@@ -1,0 +1,865 @@
+"""Canonical query plans — the SURVEY.md §2 operator inventory.
+
+Each entry is one operator class from the reference (linz/geostore),
+re-expressed as a declarative DataFrame plan (Catalyst owns the physical
+strategy) plus the equivalent ANSI SQL the DuckDB oracle runs. Column names
+are aliased identically on both sides (the driver hash compares by sorted
+column name).
+
+Scale notes applied throughout:
+- equality / prefix / range filters are plain ``filter`` calls so they push
+  down to the parquet scan (PushedFilters);
+- small-dimension joins (region, nation) carry an explicit
+  ``F.broadcast`` hint — at 100 TB the fact side never shuffles for these;
+- big-big joins (orders x lineitem) are left to AQE (sort-merge with skew
+  splitting) — no hint is the right hint;
+- aggregates use built-in functions only (whole-stage codegen, map-side
+  partial aggregation for free).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from geostore_spark.sources.tables import load_table
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class CanonicalQuery:
+    key: str
+    doc: str
+    spark: SparkQuery
+    oracle: str | None  # None → non-SQL-expressible, rows-only check
+
+
+CANONICAL_QUERIES: dict[str, CanonicalQuery] = {}
+
+
+def _register(key: str, doc: str, oracle: str | None):
+    def wrap(fn: SparkQuery) -> SparkQuery:
+        CANONICAL_QUERIES[key] = CanonicalQuery(key=key, doc=doc, spark=fn, oracle=oracle)
+        return fn
+
+    return wrap
+
+
+# ---------------------------------------------------------------------------
+# §2.1 Scans / sources / sinks
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "s1_prefix_scan",
+    "Full scan with prefix predicate — list_datasets "
+    "(reference geostore/datasets/list.py:10-25).",
+    """SELECT c_custkey, c_name FROM customer
+       WHERE c_name LIKE 'Customer#%00001%' ORDER BY c_custkey""",
+)
+def s1(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load_table(spark, "customer", sf)
+        .filter(F.col("c_name").like("Customer#%00001%"))
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@_register(
+    "s2_point_lookup",
+    "Point lookup by key — get_dataset_single "
+    "(reference geostore/datasets/get.py:28-59). Pushes an equality filter "
+    "to the scan; at scale this is partition pruning.",
+    "SELECT * FROM orders WHERE o_orderkey = 7",
+)
+def s2(spark: SparkSession, sf: str) -> DataFrame:
+    return load_table(spark, "orders", sf).filter(F.col("o_orderkey") == 7)
+
+
+@_register(
+    "s3_index_equality",
+    "Secondary-index equality lookup — title GSI query "
+    "(reference geostore/datasets/get.py:61-87, datasets_model.py:31-43). "
+    "Spark has no GSI; a pushed equality filter is the same semantics.",
+    "SELECT n_nationkey, n_name FROM nation WHERE n_name = 'JAPAN'",
+)
+def s3(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load_table(spark, "nation", sf)
+        .filter(F.col("n_name") == "JAPAN")
+        .select("n_nationkey", "n_name")
+    )
+
+
+@_register(
+    "s4_range_prefix",
+    "Range-key prefix query — assets of one type for one version "
+    "(reference geostore/import_dataset/task.py:134-146, "
+    "content_iterator/task.py:62-69).",
+    "SELECT COUNT(*) AS n FROM lineitem WHERE l_orderkey = 1 AND l_linenumber >= 1",
+)
+def s4(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load_table(spark, "lineitem", sf)
+        .filter((F.col("l_orderkey") == 1) & (F.col("l_linenumber") >= 1))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@_register(
+    "s5_json_source",
+    "S3 JSON document source — parse a field out of raw JSON text "
+    "(reference geostore/pystac_io_methods.py:24-31, "
+    "check_stac_metadata/utils.py:260-271).",
+    """SELECT regexp_extract(props, '"plan": *"([a-z]+)"', 1) AS plan, COUNT(*) AS n
+       FROM events GROUP BY plan ORDER BY n DESC, plan""",
+)
+def s5(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load_table(spark, "events", sf)
+        .select(F.regexp_extract("props", '"plan": *"([a-z]+)"', 1).alias("plan"))
+        .groupBy("plan")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "plan")
+    )
+
+
+@_register(
+    "s7_csv_manifest",
+    "CSV manifest sink projection — S3 Batch manifest rows "
+    "(reference geostore/import_dataset/task.py:128-160).",
+    """SELECT CAST(r_regionkey AS STRING) || ',' || r_name AS manifest_row
+       FROM region ORDER BY r_regionkey""",
+)
+def s7(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load_table(spark, "region", sf)
+        .orderBy("r_regionkey")
+        .select(
+            F.concat(F.col("r_regionkey").cast("string"), F.lit(","), F.col("r_name")).alias(
+                "manifest_row"
+            )
+        )
+    )
+
+
+@_register(
+    "s8_dual_location_fallback",
+    "Dual-location fallback reader — staging-then-storage resolution as a "
+    "left join + coalesce; hit flag column "
+    "(reference geostore/s3_utils.py:30-57).",
+    """SELECT o.o_orderkey, COALESCE(l.l_extendedprice, o.o_totalprice) AS price,
+              l.l_orderkey IS NOT NULL AS in_staging
+       FROM orders o LEFT JOIN (SELECT * FROM lineitem WHERE l_linenumber = 1) l
+         ON o.o_orderkey = l.l_orderkey
+       ORDER BY o.o_orderkey LIMIT 100""",
+)
+def s8(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf)
+    staging = load_table(spark, "lineitem", sf).filter(F.col("l_linenumber") == 1)
+    return (
+        orders.join(staging, orders.o_orderkey == staging.l_orderkey, "left")
+        .select(
+            "o_orderkey",
+            F.coalesce("l_extendedprice", "o_totalprice").alias("price"),
+            F.col("l_orderkey").isNotNull().alias("in_staging"),
+        )
+        .orderBy("o_orderkey")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.2 Projections / filters / predicates
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "p1_project_rename",
+    "Projection + rename, key-prefix strip — as_dict() "
+    "(reference geostore/datasets_model.py:61-70).",
+    """SELECT o_orderkey, regexp_extract(o_orderpriority, '-(.*)$', 1) AS priority_word
+       FROM orders ORDER BY o_orderkey LIMIT 50""",
+)
+def p1(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load_table(spark, "orders", sf)
+        .select(
+            "o_orderkey",
+            F.regexp_extract("o_orderpriority", "-(.*)$", 1).alias("priority_word"),
+        )
+        .orderBy("o_orderkey")
+        .limit(50)
+    )
+
+
+@_register(
+    "p2_null_flag_predicate",
+    "Nullable-flag predicate (attribute presence is meaningful) — "
+    "replaced_in_new_version.exists() "
+    "(reference geostore/dataset_versions/create.py:100-105).",
+    """SELECT COUNT(*) AS n FROM events
+       WHERE props IS NOT NULL AND event_type = 'purchase'""",
+)
+def p2(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load_table(spark, "events", sf)
+        .filter(F.col("props").isNotNull() & (F.col("event_type") == "purchase"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@_register(
+    "p3_boolean_filter",
+    "Boolean equality filter — manifest restricted to exists_in_staging "
+    "(reference geostore/import_dataset/task.py:142-145).",
+    "SELECT COUNT(*) AS n FROM lineitem WHERE l_returnflag = 'R' AND l_discount > 0.05",
+)
+def p3(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load_table(spark, "lineitem", sf)
+        .filter((F.col("l_returnflag") == "R") & (F.col("l_discount") > 0.05))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@_register(
+    "p4_compound_filter",
+    "Filename equality within version+type — garbage-collector probe "
+    "(reference geostore/step_function.py:216-232).",
+    """SELECT l_orderkey, l_linenumber FROM lineitem
+       WHERE l_partkey = 5 AND l_linenumber = 1 ORDER BY l_orderkey""",
+)
+def p4(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load_table(spark, "lineitem", sf)
+        .filter((F.col("l_partkey") == 5) & (F.col("l_linenumber") == 1))
+        .select("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey")
+    )
+
+
+@_register(
+    "p5_isin_guard",
+    "URL-scheme / root-type guards as isin predicates "
+    "(reference geostore/check_stac_metadata/utils.py:70-75,136-155).",
+    """SELECT event_id FROM events
+       WHERE event_type IN ('signup','purchase') AND event_id % 1000 = 0
+       ORDER BY event_id""",
+)
+def p5(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load_table(spark, "events", sf)
+        .filter(F.col("event_type").isin("signup", "purchase") & (F.col("event_id") % 1000 == 0))
+        .select("event_id")
+        .orderBy("event_id")
+    )
+
+
+@_register(
+    "p6_regex_validation",
+    "Regex validation of titles — TITLE_PATTERN jsonschema pattern "
+    "(reference geostore/dataset_properties.py:3-4, datasets/create.py:19-33).",
+    """SELECT COUNT(*) AS n FROM part
+       WHERE length(regexp_extract(p_name, '^[a-z ]+$', 0)) > 0""",
+)
+def p6(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load_table(spark, "part", sf)
+        .filter(F.length(F.regexp_extract("p_name", "^[a-z ]+$", 0)) > 0)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 Joins
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "j1_semi_join_exists",
+    "Existence check as left-semi join — duplicate-title guard "
+    "(reference geostore/datasets/create.py:35-38).",
+    """SELECT c_custkey FROM customer c
+       WHERE EXISTS (SELECT 1 FROM orders o
+                     WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+       ORDER BY c_custkey LIMIT 100""",
+)
+def j1(spark: SparkSession, sf: str) -> DataFrame:
+    customer = load_table(spark, "customer", sf)
+    big_orders = load_table(spark, "orders", sf).filter(F.col("o_totalprice") > 300000)
+    return (
+        customer.join(big_orders, customer.c_custkey == big_orders.o_custkey, "left_semi")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+        .limit(100)
+    )
+
+
+@_register(
+    "j2_anti_join_not_exists",
+    "Emptiness check as left-anti join — delete requires no objects "
+    "(reference geostore/datasets/delete.py:53-63).",
+    """SELECT c_custkey FROM customer c
+       WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+       ORDER BY c_custkey LIMIT 100""",
+)
+def j2(spark: SparkSession, sf: str) -> DataFrame:
+    customer = load_table(spark, "customer", sf)
+    orders = load_table(spark, "orders", sf)
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+        .limit(100)
+    )
+
+
+@_register(
+    "j3_broadcast_lookup",
+    "Per-row lookup join of a small dim — status detail assembly "
+    "(reference geostore/step_function.py:144-188). Explicit broadcast: the "
+    "dimension never exceeds driver memory, the fact side never shuffles.",
+    """SELECT n.n_name, r.r_name FROM nation n
+       JOIN region r ON n.n_regionkey = r.r_regionkey ORDER BY n.n_name""",
+)
+def j3(spark: SparkSession, sf: str) -> DataFrame:
+    nation = load_table(spark, "nation", sf)
+    region = load_table(spark, "region", sf)
+    return (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("n_name", "r_name")
+        .orderBy("n_name")
+    )
+
+
+@_register(
+    "j4_update_via_join",
+    "Update-via-join — garbage collector marks replaced filenames "
+    "(reference geostore/step_function.py:216-232); expressed as the marked "
+    "projection (the MERGE write path lives in pipeline/versions.py).",
+    """SELECT o.o_orderkey, CASE WHEN l.l_orderkey IS NOT NULL THEN 1 ELSE 0 END AS replaced
+       FROM orders o LEFT JOIN
+         (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_returnflag='R') l
+         ON o.o_orderkey = l.l_orderkey
+       ORDER BY o.o_orderkey LIMIT 100""",
+)
+def j4(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf)
+    returned = (
+        load_table(spark, "lineitem", sf)
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+        .distinct()
+    )
+    return (
+        orders.join(returned, orders.o_orderkey == returned.l_orderkey, "left")
+        .select(
+            "o_orderkey",
+            F.when(F.col("l_orderkey").isNotNull(), 1).otherwise(0).alias("replaced"),
+        )
+        .orderBy("o_orderkey")
+        .limit(100)
+    )
+
+
+@_register(
+    "j5_multiway_join",
+    "Multi-way equi-join chain — end-to-end status assembly "
+    "(reference geostore/step_function.py:72-122). region/nation broadcast; "
+    "customer x orders left to AQE.",
+    """SELECT r_name, n_name, COUNT(o_orderkey) AS orders
+       FROM region JOIN nation ON n_regionkey = r_regionkey
+       JOIN customer ON c_nationkey = n_nationkey
+       JOIN orders ON o_custkey = c_custkey
+       GROUP BY r_name, n_name ORDER BY r_name, n_name""",
+)
+def j5(spark: SparkSession, sf: str) -> DataFrame:
+    region = load_table(spark, "region", sf)
+    nation = load_table(spark, "nation", sf)
+    customer = load_table(spark, "customer", sf)
+    orders = load_table(spark, "orders", sf)
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.count("o_orderkey").alias("orders"))
+        .orderBy("r_name", "n_name")
+    )
+
+
+@_register(
+    "j6_latest_version",
+    "As-of / latest-version-per-key semantics — current_dataset_version "
+    "pointer (reference geostore/update_root_catalog/task.py:115-119, "
+    "dataset_versions/create.py:99).",
+    """SELECT o_custkey, o_orderkey, o_totalprice FROM
+       (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders) t
+       WHERE rn = 1 ORDER BY o_custkey LIMIT 100""",
+)
+def j6(spark: SparkSession, sf: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        load_table(spark, "orders", sf)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 Aggregations
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "a1_filtered_count",
+    "Filtered count — content_iterator DATA-asset count "
+    "(reference geostore/content_iterator/task.py:62-69).",
+    "SELECT COUNT(*) AS n FROM lineitem WHERE l_shipdate < TIMESTAMP '1995-01-01'",
+)
+def a1(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load_table(spark, "lineitem", sf)
+        .filter(F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@_register(
+    "a2_existence_aggregate",
+    "Existence aggregate — validation summary success ⇔ zero FAILED rows "
+    "(reference geostore/validation_summary/task.py:40-50).",
+    """SELECT o_custkey, COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) = 0 AS all_ok
+       FROM orders GROUP BY o_custkey ORDER BY o_custkey LIMIT 100""",
+)
+def a2(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load_table(spark, "orders", sf)
+        .groupBy("o_custkey")
+        .agg((F.count(F.when(F.col("o_orderstatus") == "F", 1)) == 0).alias("all_ok"))
+        .orderBy("o_custkey")
+        .limit(100)
+    )
+
+
+@_register(
+    "a3_group_collect_extrema",
+    "Group-then-collect errors (portable proxy: group extrema + count) "
+    "(reference geostore/step_function.py:144-163).",
+    """SELECT l_orderkey, MIN(l_linenumber) AS first_line, MAX(l_linenumber) AS last_line,
+              COUNT(*) AS n_lines
+       FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey LIMIT 100""",
+)
+def a3(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load_table(spark, "lineitem", sf)
+        .groupBy("l_orderkey")
+        .agg(
+            F.min("l_linenumber").alias("first_line"),
+            F.max("l_linenumber").alias("last_line"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("l_orderkey")
+        .limit(100)
+    )
+
+
+@_register(
+    "a4_minmax_summary",
+    "Min/max summary ranges — linz:asset_summaries created/updated "
+    "(reference geostore/stac_format.py:15,18,40).",
+    """SELECT l_orderkey, MIN(l_shipdate) AS created_min, MAX(l_shipdate) AS updated_max
+       FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey LIMIT 100""",
+)
+def a4(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load_table(spark, "lineitem", sf)
+        .groupBy("l_orderkey")
+        .agg(
+            F.min("l_shipdate").alias("created_min"),
+            F.max("l_shipdate").alias("updated_max"),
+        )
+        .orderBy("l_orderkey")
+        .limit(100)
+    )
+
+
+@_register(
+    "a5_status_rollup",
+    "Failure-count status rollup / TPC-H-Q1-shaped aggregate "
+    "(reference geostore/step_function.py:178-188). Flagship query.",
+    """SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty,
+              AVG(l_extendedprice) AS avg_price, COUNT(*) AS n
+       FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+       GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+)
+def a5(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load_table(spark, "lineitem", sf)
+        .filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.avg("l_extendedprice").alias("avg_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@_register(
+    "a6_distinct_set",
+    "Distinct-traversal set — traversed_urls dedup "
+    "(reference geostore/check_stac_metadata/utils.py:92,256-258).",
+    "SELECT COUNT(DISTINCT l_partkey) AS n_parts FROM lineitem",
+)
+def a6(spark: SparkSession, sf: str) -> DataFrame:
+    return load_table(spark, "lineitem", sf).agg(
+        F.count_distinct(F.col("l_partkey")).alias("n_parts")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 Window functions
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "w1_enumeration",
+    "Sequential enumeration in partition order — asset range keys from "
+    "enumerate() (reference geostore/check_stac_metadata/utils.py:165-189).",
+    """SELECT l_orderkey, l_linenumber,
+              ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                 ORDER BY l_extendedprice DESC, l_linenumber) AS price_rank
+       FROM lineitem WHERE l_orderkey <= 100 ORDER BY l_orderkey, price_rank""",
+)
+def w1(spark: SparkSession, sf: str) -> DataFrame:
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.col("l_extendedprice").desc(), F.col("l_linenumber")
+    )
+    return (
+        load_table(spark, "lineitem", sf)
+        .filter(F.col("l_orderkey") <= 100)
+        .select("l_orderkey", "l_linenumber", F.row_number().over(w).alias("price_rank"))
+        .orderBy("l_orderkey", "price_rank")
+    )
+
+
+@_register(
+    "w2_max_by",
+    "Latest-version pick — semver sort-take-first as max_by "
+    "(reference geostore/check_stac_metadata/stac_validators.py:37-44).",
+    """SELECT c_nationkey, MAX_BY(c_name, c_acctbal) AS richest
+       FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""",
+)
+def w2(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load_table(spark, "customer", sf)
+        .groupBy("c_nationkey")
+        .agg(F.max_by("c_name", "c_acctbal").alias("richest"))
+        .orderBy("c_nationkey")
+    )
+
+
+@_register(
+    "w3_batch_windows",
+    "Batch offset windows — content_iterator 10k-item windows "
+    "(reference geostore/content_iterator/task.py:48-85).",
+    """SELECT CAST(FLOOR((l_orderkey-1)/1000) AS INT) AS bucket, COUNT(*) AS n
+       FROM lineitem GROUP BY bucket ORDER BY bucket""",
+)
+def w3(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load_table(spark, "lineitem", sf)
+        .select(F.floor((F.col("l_orderkey") - 1) / 1000).cast("int").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.6 Sorts / limits / set ops
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "o1_limit_probe",
+    "Limit-1 existence probe (reference geostore/validation_summary/"
+    "task.py:48, datasets/delete.py:54-58). Catalyst plans CollectLimit — "
+    "no full sort materialization.",
+    """SELECT o_orderkey FROM orders WHERE o_totalprice > 500000
+       ORDER BY o_orderkey LIMIT 1""",
+)
+def o1(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load_table(spark, "orders", sf)
+        .filter(F.col("o_totalprice") > 500000)
+        .select("o_orderkey")
+        .orderBy("o_orderkey")
+        .limit(1)
+    )
+
+
+@_register(
+    "o2_topk",
+    "Ordered top-k — reverse semver sort take-head "
+    "(reference geostore/check_stac_metadata/stac_validators.py:44). "
+    "Catalyst plans TakeOrderedAndProject (per-partition heap, no full sort).",
+    """SELECT p_partkey, p_retailprice FROM part
+       ORDER BY p_retailprice DESC, p_partkey LIMIT 10""",
+)
+def o2(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load_table(spark, "part", sf)
+        .select("p_partkey", "p_retailprice")
+        .orderBy(F.col("p_retailprice").desc(), "p_partkey")
+        .limit(10)
+    )
+
+
+@_register(
+    "o3_set_difference",
+    "Set difference — self-link removal / EXCEPT "
+    "(reference geostore/import_metadata_file/task.py:66-67).",
+    """SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders
+       ORDER BY c_custkey LIMIT 100""",
+)
+def o3(spark: SparkSession, sf: str) -> DataFrame:
+    customer = load_table(spark, "customer", sf).select("c_custkey")
+    orders = load_table(spark, "orders", sf).select("o_custkey")
+    return customer.subtract(orders).orderBy("c_custkey").limit(100)
+
+
+@_register(
+    "o4_union_discriminator",
+    "Union of asset groups with discriminator column "
+    "(reference geostore/processing_assets_model.py:14-17).",
+    """SELECT 'cust' AS kind, c_custkey AS k FROM customer
+       UNION ALL SELECT 'supp', s_suppkey FROM supplier
+       ORDER BY kind, k LIMIT 200""",
+)
+def o4(spark: SparkSession, sf: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf).select(
+        F.lit("cust").alias("kind"), F.col("c_custkey").alias("k")
+    )
+    supp = load_table(spark, "supplier", sf).select(
+        F.lit("supp").alias("kind"), F.col("s_suppkey").alias("k")
+    )
+    return cust.unionAll(supp).orderBy("kind", "k").limit(200)
+
+
+# ---------------------------------------------------------------------------
+# §2.7 Scalar functions
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "f1_key_decompose",
+    "Key decomposition — sk split into check/url "
+    "(reference geostore/step_function.py:153, datasets_model.py:68-70).",
+    """SELECT regexp_extract(o_orderpriority, '^([0-9]+)-', 1) AS prio_num, COUNT(*) AS n
+       FROM orders GROUP BY prio_num ORDER BY prio_num""",
+)
+def f1(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load_table(spark, "orders", sf)
+        .select(F.regexp_extract("o_orderpriority", "^([0-9]+)-", 1).alias("prio_num"))
+        .groupBy("prio_num")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("prio_num")
+    )
+
+
+@_register(
+    "f2_basename",
+    "basename from URL (reference geostore/check_stac_metadata/"
+    "utils.py:60-67,174,187).",
+    """SELECT regexp_extract(source, '([^/]+)$', 1) AS base, COUNT(*) AS n
+       FROM documents GROUP BY base ORDER BY base LIMIT 50""",
+)
+def f2(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load_table(spark, "documents", sf)
+        .select(F.regexp_extract("source", "([^/]+)$", 1).alias("base"))
+        .groupBy("base")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("base")
+        .limit(50)
+    )
+
+
+@_register(
+    "f3_url_parse",
+    "URL parse into bucket/key (reference geostore/s3_utils.py:19-21).",
+    """SELECT regexp_extract('s3://bucket/a/b.json', '^s3://([^/]+)', 1) AS bucket,
+              regexp_extract('s3://bucket/a/b.json', '^s3://[^/]+/(.*)$', 1) AS key""",
+)
+def f3(spark: SparkSession, sf: str) -> DataFrame:
+    url = F.lit("s3://bucket/a/b.json")
+    return spark.range(1).select(
+        F.regexp_extract(url, "^s3://([^/]+)", 1).alias("bucket"),
+        F.regexp_extract(url, "^s3://[^/]+/(.*)$", 1).alias("key"),
+    )
+
+
+@_register(
+    "f4_key_format",
+    "String concat/format of composite keys — DATASET#id#VERSION#ver "
+    "(reference geostore/step_function.py:191-194).",
+    """SELECT concat_ws('#','DATASET', CAST(o_orderkey AS STRING),'VERSION', o_orderstatus) AS hk
+       FROM orders ORDER BY o_orderkey LIMIT 20""",
+)
+def f4(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load_table(spark, "orders", sf)
+        .orderBy("o_orderkey")
+        .limit(20)
+        .select(
+            F.concat_ws(
+                "#",
+                F.lit("DATASET"),
+                F.col("o_orderkey").cast("string"),
+                F.lit("VERSION"),
+                F.col("o_orderstatus"),
+            ).alias("hk")
+        )
+    )
+
+
+@_register(
+    "f5_timestamp_parts",
+    "Timestamp format/parse — ULID datetime formatting "
+    "(reference geostore/datasets_model.py:18-28).",
+    """SELECT year(o_orderdate) AS y, month(o_orderdate) AS m, COUNT(*) AS n
+       FROM orders GROUP BY y, m ORDER BY y, m""",
+)
+def f5(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load_table(spark, "orders", sf)
+        .select(F.year("o_orderdate").alias("y"), F.month("o_orderdate").alias("m"))
+        .groupBy("y", "m")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("y", "m")
+    )
+
+
+@_register(
+    "f6_hex_digest",
+    "Hex digest casing — multihash hex handling "
+    "(reference geostore/check_files_checksums/utils.py:92,110,123).",
+    "SELECT upper(md5(r_name)) AS h FROM region ORDER BY r_regionkey",
+)
+def f6(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load_table(spark, "region", sf)
+        .orderBy("r_regionkey")
+        .select(F.upper(F.md5(F.col("r_name").cast("binary"))).alias("h"))
+    )
+
+
+@_register(
+    "f7_hashing",
+    "Content hashing — multihash digest family "
+    "(reference geostore/check_files_checksums/utils.py:27-31).",
+    "SELECT p_partkey, md5(p_name) AS h FROM part ORDER BY p_partkey LIMIT 100",
+)
+def f7(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load_table(spark, "part", sf)
+        .select("p_partkey", F.md5(F.col("p_name").cast("binary")).alias("h"))
+        .orderBy("p_partkey")
+        .limit(100)
+    )
+
+
+@_register(
+    "f8_json_field",
+    "JSON field decode — event payload loads "
+    "(reference geostore/import_dataset/task.py:153-159).",
+    """SELECT regexp_extract(props, '"device": *"([a-z]+)"', 1) AS device,
+              ROUND(AVG(value), 6) AS avg_v
+       FROM events GROUP BY device ORDER BY device""",
+)
+def f8(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load_table(spark, "events", sf)
+        .select(
+            F.regexp_extract("props", '"device": *"([a-z]+)"', 1).alias("device"),
+            "value",
+        )
+        .groupBy("device")
+        .agg(F.round(F.avg("value"), 6).alias("avg_v"))
+        .orderBy("device")
+    )
+
+
+@_register(
+    "f9_href_rewrite",
+    "href → basename rewrite across links/assets "
+    "(reference geostore/import_metadata_file/task.py:61-73).",
+    """SELECT regexp_replace(source, '^.*/', '') AS href_basename, COUNT(*) AS n
+       FROM documents GROUP BY href_basename ORDER BY href_basename LIMIT 50""",
+)
+def f9(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load_table(spark, "documents", sf)
+        .select(F.regexp_replace("source", "^.*/", "").alias("href_basename"))
+        .groupBy("href_basename")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("href_basename")
+        .limit(50)
+    )
+
+
+@_register(
+    "f10_truncate",
+    "Truncation to char limit — Slack 3000-char body "
+    "(reference geostore/notify_status_update/task.py:137-141).",
+    """SELECT substring(text, 1, 40) AS head, n_chars FROM documents
+       ORDER BY doc_id LIMIT 20""",
+)
+def f10(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load_table(spark, "documents", sf)
+        .orderBy("doc_id")
+        .limit(20)
+        .select(F.substring("text", 1, 40).alias("head"), "n_chars")
+    )
+
+
+@_register(
+    "f11_title_case",
+    "Status-string title-case — status.title() "
+    "(reference geostore/step_function.py:122).",
+    """SELECT upper(substring(o_orderstatus,1,1)) || lower(substring(o_orderstatus,2)) AS s,
+              COUNT(*) AS n
+       FROM orders GROUP BY s ORDER BY s""",
+)
+def f11(spark: SparkSession, sf: str) -> DataFrame:
+    status = F.col("o_orderstatus")
+    title_cased = F.concat(
+        F.upper(F.substring(status, 1, 1)),
+        F.lower(status.substr(F.lit(2), F.length(status))),
+    )
+    return (
+        load_table(spark, "orders", sf)
+        .select(title_cased.alias("s"))
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("s")
+    )

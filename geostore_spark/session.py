@@ -1,0 +1,70 @@
+"""SparkSession factory.
+
+Tuned for the 100 TB design point while remaining correct on local[N]:
+
+- AQE on: runtime coalescing of shuffle partitions, skew-join splitting, and
+  dynamic join-strategy switching replace any hand-scheduling the reference
+  did with AWS Batch array jobs (/root/reference/infrastructure/constructs/
+  batch_job_queue.py:96-100).
+- ``spark.sql.shuffle.partitions`` defaults to the local core count; on a
+  real cluster AQE coalesces from a deliberately high initial number, so we
+  set the initial partition count rather than a fixed one.
+- ``parquet.nanosAsLong``: the events fixture carries nanosecond timestamps
+  which Spark 4.x refuses natively; sources/tables.py rebuilds a proper
+  timestamp column (see TESTDATA caveat).
+- Arrow enabled for every pandas-UDF path (the only Python hot paths we
+  allow: multihash checksums, JSON-Schema validation, embedding kernels).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_APP_NAME = "geostore-spark"
+
+
+def get_cpus() -> int:
+    env = os.environ.get("SPARK_GRAFT_CPUS")
+    if env:
+        return int(env)
+    return os.cpu_count() or 4
+
+
+def build_session(
+    app_name: str = DEFAULT_APP_NAME,
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = get_cpus()
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or max(cpus, 8)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def get_session() -> SparkSession:
+    """Return the active session or build one with engine defaults."""
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        return active
+    return build_session()

@@ -1,0 +1,59 @@
+"""Fixture table registry.
+
+Loads the driver-generated parquet tables (TESTDATA.md) and normalizes the
+one schema quirk: ``events.ts`` is written as parquet timestamp[ns], which
+Spark 4.x only reads as LONG under ``spark.sql.legacy.parquet.nanosAsLong``.
+We rebuild a microsecond timestamp so downstream plans treat it as a normal
+timestamp column (DuckDB reads the nanos natively, so the oracle agrees once
+both are truncated to micros).
+
+Scale note: these are plain columnar scans — filters and projections placed
+on the returned DataFrames push down to the parquet reader (verified via
+``.explain``: PushedFilters / ReadSchema), which is the whole game at 100 TB.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.1"
+
+
+def default_sf_dir() -> str:
+    return os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
+
+
+def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
+    sf_dir = sf_dir or default_sf_dir()
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # nanos-as-long → real timestamp (micros); keeps the column usable by
+        # every built-in date/time function JVM-side.
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str | None = None) -> dict[str, DataFrame]:
+    return {name: load_table(spark, name, sf_dir) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str | None = None) -> None:
+    """Register every fixture table as a temp view for spark.sql plans."""
+    for name in TABLE_NAMES:
+        load_table(spark, name, sf_dir).createOrReplaceTempView(name)
