@@ -19,17 +19,19 @@ _REPO = Path(__file__).resolve().parent
 if str(_REPO) not in sys.path:
     sys.path.insert(0, str(_REPO))
 
-from geostore_spark.plans.canonical import CANONICAL_QUERIES  # noqa: E402
+from geostore_spark.registry import all_queries  # noqa: E402
+
+_ALL = all_queries()
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return CANONICAL_QUERIES["a5_status_rollup"].spark(spark, "/root/testdata/sf0.001")
+    return _ALL["a5_status_rollup"].spark(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {key: q.spark for key, q in CANONICAL_QUERIES.items()}
+    return {key: q.spark for key, q in _ALL.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {key: q.oracle for key, q in CANONICAL_QUERIES.items() if q.oracle is not None}
+    return {key: q.oracle for key, q in _ALL.items() if q.oracle is not None}

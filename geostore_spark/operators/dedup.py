@@ -1,0 +1,332 @@
+"""Deduplication operators over the ``documents`` table.
+
+Four dedup families, all expressed as declarative DataFrame plans:
+
+- exact          — content-hash groupBy (one shuffle on the digest)
+- minhash_lsh    — word-bigram shingles → 32-perm MinHash → 8x4 LSH bands
+                   → band-bucket self-join → candidate pairs with estimated
+                   Jaccard. The standard near-dup pipeline at corpus scale:
+                   cost is O(N·shingles) + the band-bucket join, never O(N²).
+- simhash        — 32-bit SimHash fingerprint per document (token-hash bit
+                   voting), the constant-space near-dup sketch.
+- ngram_jaccard  — exact word-trigram Jaccard via inverted-index self-join
+                   (shared-shingle candidates only — the relational
+                   formulation that scales, vs. a cross join that doesn't).
+
+Hashing is md5-prefix → bigint so the DuckDB oracle reproduces values
+exactly (verified identical in both engines). MinHash permutations are
+(a_i·h + b_i) mod p with p = 2^31-1; h is reduced mod p first so every
+product stays < 2^62 (DuckDB raises on int64 overflow — silent wraparound
+would diverge).
+
+Library entry points (`exact_dedup`, `minhash_signatures`, `lsh_pairs`,
+`simhash`, `ngram_jaccard_pairs`) operate on any DataFrame with
+(id_col, text_col); the registered queries demonstrate them on `documents`.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from geostore_spark.registry import register
+from geostore_spark.sources.tables import load_table
+
+P = 2_147_483_647  # 2^31 - 1
+NUM_PERM = 32
+BANDS = 8
+ROWS_PER_BAND = NUM_PERM // BANDS
+
+_rng = random.Random(1234)
+_A = [_rng.randrange(1, P) for _ in range(NUM_PERM)]
+_B = [_rng.randrange(0, P) for _ in range(NUM_PERM)]
+
+JACCARD_THRESHOLD = 0.5
+
+
+# -- shared hash helpers ----------------------------------------------------
+
+
+def _md5_32(col: Column) -> Column:
+    """First 32 bits of md5 as a non-negative bigint (same value in DuckDB
+    via ('0x' || substring(md5(x),1,8))::BIGINT)."""
+    return F.conv(F.substring(F.md5(col.cast("binary")), 1, 8), 16, 10).cast("bigint")
+
+
+def _duck_md5_32(expr: str) -> str:
+    return f"('0x' || substring(md5({expr}), 1, 8))::BIGINT"
+
+
+# -- exact dedup ------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-level exact-duplicate summary by content digest."""
+    digest = F.md5(F.col(text_col).cast("binary"))
+    return df.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct(digest).alias("n_unique"),
+        (F.count(F.lit(1)) - F.count_distinct(digest)).alias("n_dupes"),
+    )
+
+
+@register(
+    "x_dedup_exact",
+    "Exact dedup via content-hash aggregation: one shuffle on md5(text); "
+    "at 100 TB pre-shard on the digest prefix (see x_text_fingerprint).",
+    """SELECT COUNT(*) AS n_docs, COUNT(DISTINCT md5(text)) AS n_unique,
+              COUNT(*) - COUNT(DISTINCT md5(text)) AS n_dupes
+       FROM documents""",
+)
+def q_exact(spark: SparkSession, sf: str) -> DataFrame:
+    return exact_dedup(load_table(spark, "documents", sf))
+
+
+# -- minhash + LSH ----------------------------------------------------------
+
+
+def _bigrams(text_col: str) -> Column:
+    """Distinct word-bigram shingles as an array column (JVM higher-order
+    fns; no Python). Mirrors shingling in the MinHash literature."""
+    return F.expr(
+        f"array_distinct(zip_with("
+        f"  slice(split({text_col}, ' '), 1, size(split({text_col}, ' ')) - 1),"
+        f"  slice(split({text_col}, ' '), 2, size(split({text_col}, ' ')) - 1),"
+        f"  (a, b) -> concat(a, ' ', b)))"
+    )
+
+
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document 32-perm MinHash signature (columns m0..m31)."""
+    shingled = df.select(id_col, F.explode(_bigrams(text_col)).alias("sh"))
+    base = _md5_32(F.col("sh")) % P
+    mins = [
+        F.min((F.lit(_A[i]) * base + F.lit(_B[i])) % P).alias(f"m{i}") for i in range(NUM_PERM)
+    ]
+    return shingled.groupBy(id_col).agg(*mins)
+
+
+def lsh_pairs(sig: DataFrame, id_col: str) -> DataFrame:
+    """Candidate near-dup pairs from banded LSH over a signature frame,
+    with the estimated Jaccard (fraction of agreeing minhashes)."""
+    band_hashes = [
+        F.md5(
+            F.concat_ws(
+                ",", *[F.col(f"m{b * ROWS_PER_BAND + r}").cast("string") for r in range(ROWS_PER_BAND)]
+            ).cast("binary")
+        )
+        for b in range(BANDS)
+    ]
+    bands = sig.select(
+        F.col(id_col),
+        F.posexplode(F.array(*band_hashes)).alias("band", "bh"),
+    )
+    x, y = bands.alias("x"), bands.alias("y")
+    pairs = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bh") == F.col("y.bh"))
+            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+        )
+        .select(F.col(f"x.{id_col}").alias("doc_a"), F.col(f"y.{id_col}").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col(id_col).alias("doc_a"), *[F.col(f"m{i}").alias(f"a{i}") for i in range(NUM_PERM)])
+    sb = sig.select(F.col(id_col).alias("doc_b"), *[F.col(f"m{i}").alias(f"b{i}") for i in range(NUM_PERM)])
+    agree = sum(F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(NUM_PERM))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", F.round(agree / F.lit(float(NUM_PERM)), 4).alias("est_jaccard"))
+    )
+
+
+def _minhash_oracle() -> str:
+    perm_mins = ",\n              ".join(
+        f"MIN(({_A[i]} * b + {_B[i]}) % {P}) AS m{i}" for i in range(NUM_PERM)
+    )
+    band_rows = "\n         UNION ALL\n         ".join(
+        "SELECT doc_id, {b} AS band, md5(concat_ws(',', {cols})) AS bh FROM sig".format(
+            b=b,
+            cols=", ".join(f"m{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)),
+        )
+        for b in range(BANDS)
+    )
+    agree = " + ".join(f"CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END" for i in range(NUM_PERM))
+    return f"""
+       WITH tok AS (
+         SELECT doc_id, unnest(list_distinct(list_transform(
+                  range(1, len(string_split(text, ' '))),
+                  i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+                ))) AS sh
+         FROM documents
+       ),
+       h AS (
+         SELECT doc_id, {_duck_md5_32("sh")} % {P} AS b FROM tok
+       ),
+       sig AS (
+         SELECT doc_id,
+              {perm_mins}
+         FROM h GROUP BY doc_id
+       ),
+       band AS (
+         {band_rows}
+       ),
+       pair AS (
+         SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         FROM band x JOIN band y
+           ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
+       )
+       SELECT p.doc_a, p.doc_b, ROUND(({agree}) / {float(NUM_PERM)}, 4) AS est_jaccard
+       FROM pair p JOIN sig sa ON p.doc_a = sa.doc_id
+                   JOIN sig sb ON p.doc_b = sb.doc_id
+       ORDER BY doc_a, doc_b"""
+
+
+@register(
+    "x_dedup_minhash_lsh",
+    "MinHash+LSH near-dup candidate pairs: word-bigram shingles → 32-perm "
+    "signature → 8 bands of 4 → bucket self-join. Never materializes the "
+    "O(N²) pair space.",
+    _minhash_oracle(),
+)
+def q_minhash(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf)
+    sig = minhash_signatures(docs, "doc_id", "text")
+    return lsh_pairs(sig, "doc_id").orderBy("doc_a", "doc_b")
+
+
+# -- simhash ----------------------------------------------------------------
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """32-bit SimHash fingerprint per document: per-bit ±1 voting over
+    token hashes, sign → bit. One groupBy; 32 agg columns, no row blowup."""
+    tok = df.select(id_col, F.explode(F.split(text_col, " ")).alias("word"))
+    th = _md5_32(F.col("word"))
+    votes = [
+        F.sum(
+            F.when((F.shiftright(th, b).bitwiseAND(F.lit(1))) == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(32)
+    ]
+    agged = tok.groupBy(id_col).agg(*votes)
+    fp = sum(
+        F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0)) for b in range(32)
+    )
+    return agged.select(id_col, fp.cast("bigint").alias("simhash32"))
+
+
+def _simhash_oracle() -> str:
+    votes = ",\n              ".join(
+        f"SUM(CASE WHEN (th >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}" for b in range(32)
+    )
+    fp = " + ".join(f"CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(32))
+    return f"""
+       WITH tok AS (
+         SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+       ),
+       h AS (SELECT doc_id, {_duck_md5_32("word")} AS th FROM tok),
+       v AS (
+         SELECT doc_id,
+              {votes}
+         FROM h GROUP BY doc_id
+       )
+       SELECT doc_id, CAST({fp} AS BIGINT) AS simhash32
+       FROM v ORDER BY doc_id LIMIT 200"""
+
+
+@register(
+    "x_dedup_simhash",
+    "SimHash 32-bit fingerprints: token-hash bit voting, constant space "
+    "per doc; near-dups are fingerprints within small Hamming distance.",
+    _simhash_oracle(),
+)
+def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf)
+    return simhash(docs, "doc_id", "text").orderBy("doc_id").limit(200)
+
+
+# -- exact n-gram jaccard ---------------------------------------------------
+
+
+def _trigrams(text_col: str) -> Column:
+    return F.expr(
+        f"array_distinct(zip_with("
+        f"  zip_with("
+        f"    slice(split({text_col}, ' '), 1, size(split({text_col}, ' ')) - 2),"
+        f"    slice(split({text_col}, ' '), 2, size(split({text_col}, ' ')) - 2),"
+        f"    (a, b) -> concat(a, ' ', b)),"
+        f"  slice(split({text_col}, ' '), 3, size(split({text_col}, ' ')) - 2),"
+        f"  (ab, c) -> concat(ab, ' ', c)))"
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    """Exact word-trigram Jaccard for pairs sharing ≥1 trigram (inverted-
+    index join — candidates only, the scalable relational form)."""
+    sh = df.select(F.col(id_col), F.explode(_trigrams(text_col)).alias("sh"))
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("na"))
+    nb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+_NGRAM_ORACLE = f"""
+       WITH sh AS (
+         SELECT doc_id, unnest(list_distinct(list_transform(
+                  range(1, len(string_split(text, ' ')) - 1),
+                  i -> string_split(text, ' ')[i] || ' ' ||
+                       string_split(text, ' ')[i+1] || ' ' ||
+                       string_split(text, ' ')[i+2]
+                ))) AS sh
+         FROM documents
+       ),
+       sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+       inter AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+         FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         GROUP BY a.doc_id, b.doc_id
+       )
+       SELECT i.doc_a, i.doc_b,
+              ROUND(i.inter / (na.n_sh + nb.n_sh - i.inter), 4) AS jaccard
+       FROM inter i JOIN sizes na ON i.doc_a = na.doc_id
+                    JOIN sizes nb ON i.doc_b = nb.doc_id
+       WHERE i.inter / (na.n_sh + nb.n_sh - i.inter) >= {JACCARD_THRESHOLD}
+       ORDER BY doc_a, doc_b"""
+
+
+@register(
+    "x_dedup_ngram_jaccard",
+    "Exact word-trigram Jaccard near-dup pairs via inverted-index "
+    "self-join; candidates = pairs sharing a trigram, never O(N²).",
+    _NGRAM_ORACLE,
+)
+def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf)
+    return ngram_jaccard_pairs(docs, "doc_id", "text").orderBy("doc_a", "doc_b")

@@ -1,0 +1,98 @@
+"""Event-time window operators over the ``events`` table.
+
+Tumbling / sliding / session windows. The reference has no window
+semantics (SURVEY §2.9: its streaming is orchestration); these are the
+designated north-star extension surface. Implemented with Spark's native
+``window()`` / ``session_window()`` so the *same* expressions run under
+Structured Streaming with watermarks (geostore_spark/streaming/).
+
+Oracle equivalents: tumbling = date_trunc; sliding = union of the two
+covering window starts; session = gaps-and-islands (lag + running sum),
+with session end = last event + gap, matching Spark's session_window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from geostore_spark.registry import register
+from geostore_spark.sources.tables import load_table
+
+
+@register(
+    "x_win_tumbling",
+    "Tumbling 1-day window aggregate per event_type (epoch-aligned, so "
+    "window.start == date_trunc('day')).",
+    """SELECT date_trunc('day', ts) AS w_start, event_type,
+              COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_v
+       FROM events GROUP BY w_start, event_type ORDER BY w_start, event_type""",
+)
+def win_tumbling(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load_table(spark, "events", sf)
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_v"))
+        .select(F.col("w.start").alias("w_start"), "event_type", "n", "sum_v")
+        .orderBy("w_start", "event_type")
+    )
+
+
+@register(
+    "x_win_sliding",
+    "Sliding 2-day window, 1-day slide: every event lands in exactly two "
+    "windows (starts at trunc(day) and trunc(day)-1d).",
+    """WITH w AS (
+         SELECT date_trunc('day', ts) AS w_start, value FROM events
+         UNION ALL
+         SELECT date_trunc('day', ts) - INTERVAL 1 DAY AS w_start, value FROM events
+       )
+       SELECT w_start, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_v
+       FROM w GROUP BY w_start ORDER BY w_start""",
+)
+def win_sliding(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load_table(spark, "events", sf)
+        .groupBy(F.window("ts", "2 days", "1 day").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_v"))
+        .select(F.col("w.start").alias("w_start"), "n", "sum_v")
+        .orderBy("w_start")
+    )
+
+
+@register(
+    "x_win_session",
+    "Session windows per user with a 2-hour gap; session end = last event "
+    "+ gap (Spark session_window semantics, reproduced in the oracle via "
+    "gaps-and-islands).",
+    """WITH o AS (
+         SELECT user_id, ts,
+                CASE WHEN lag(ts) OVER w IS NULL
+                          OR ts >= lag(ts) OVER w + INTERVAL 2 HOUR
+                     THEN 1 ELSE 0 END AS new_s
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+       ),
+       s AS (
+         SELECT user_id, ts,
+                SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+         FROM o
+       )
+       SELECT user_id, MIN(ts) AS s_start, MAX(ts) + INTERVAL 2 HOUR AS s_end,
+              COUNT(*) AS n
+       FROM s GROUP BY user_id, sid ORDER BY user_id, s_start""",
+)
+def win_session(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load_table(spark, "events", sf)
+        .groupBy(F.session_window("ts", "2 hours").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("s_start"),
+            F.col("w.end").alias("s_end"),
+            "n",
+        )
+        .orderBy("user_id", "s_start")
+    )

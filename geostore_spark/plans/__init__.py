@@ -1,3 +1,4 @@
-from geostore_spark.plans.canonical import CANONICAL_QUERIES, CanonicalQuery
+from geostore_spark.registry import REGISTRY as CANONICAL_QUERIES
+from geostore_spark.registry import RegisteredQuery as CanonicalQuery
 
 __all__ = ["CANONICAL_QUERIES", "CanonicalQuery"]

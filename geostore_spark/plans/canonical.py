@@ -19,35 +19,13 @@ Scale notes applied throughout:
 
 from __future__ import annotations
 
-from collections.abc import Callable
-from dataclasses import dataclass
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from geostore_spark.registry import REGISTRY as CANONICAL_QUERIES  # back-compat alias
+from geostore_spark.registry import register as _register
 from geostore_spark.sources.tables import load_table
-
-SparkQuery = Callable[[SparkSession, str], DataFrame]
-
-
-@dataclass(frozen=True)
-class CanonicalQuery:
-    key: str
-    doc: str
-    spark: SparkQuery
-    oracle: str | None  # None → non-SQL-expressible, rows-only check
-
-
-CANONICAL_QUERIES: dict[str, CanonicalQuery] = {}
-
-
-def _register(key: str, doc: str, oracle: str | None):
-    def wrap(fn: SparkQuery) -> SparkQuery:
-        CANONICAL_QUERIES[key] = CanonicalQuery(key=key, doc=doc, spark=fn, oracle=oracle)
-        return fn
-
-    return wrap
 
 
 # ---------------------------------------------------------------------------

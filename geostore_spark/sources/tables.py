@@ -45,7 +45,8 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # nanos-as-long → real timestamp (micros); keeps the column usable by
         # every built-in date/time function JVM-side.
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        # integer div: float division loses precision at ~1e18 ns epochs
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return df
 
 
