@@ -1,0 +1,241 @@
+"""STAC validation operators (V2-V5, V9, V10).
+
+The reference's 13 check kinds live in geostore/check.py:4-17; the ones
+with real compute are re-expressed here:
+
+- V2 per-type JSON-Schema validation (Draft 7) — a Python UDF by necessity:
+  Catalyst cannot express $ref-resolving Draft-7 validation. Schemas are
+  minimal required-key profiles derived from the public STAC spec (the
+  golden docs in FIXTURES.md B4), selected by the document's ``type`` like
+  STAC_TYPE_VALIDATION_MAP (check_stac_metadata/utils.py:45-49).
+- V3 security-classification gate (utils.py:210-225): any document not
+  'unclassified' fails validation.
+- V4 duplicate-JSON-key detection (utils.py:297-314): a UDF over *raw*
+  text with an object_pairs_hook — any structured parse silently keeps the
+  last key, so this check must run beside, not after, the JSON reader.
+- V5 asset/metadata manifest accumulation with discovery-order enumeration
+  (utils.py:165-189,229-249): explode + row_number.
+- V9 no-assets gate (utils.py:316-333).
+- V10 root-type gate (utils.py:136-155).
+
+Validation results use the decoded schema (dataset_id, version_id, check,
+url, result, details) — FIXTURES.md B3.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, StringType
+from pyspark.sql.window import Window
+
+RESULT_PASSED = "Passed"
+RESULT_FAILED = "Failed"
+
+# check names follow the reference's Check enum (geostore/check.py:4-17)
+CHECK_JSON_SCHEMA = "JSON schema"
+CHECK_DUPLICATE_KEYS = "duplicate object names"
+CHECK_SECURITY = "security classification"
+CHECK_ROOT_TYPE = "root STAC type"
+CHECK_NO_ASSETS = "assets in dataset"
+CHECK_CHECKSUM = "checksum"
+CHECK_STAGING_ACCESS = "staging access"
+
+UNCLASSIFIED = "unclassified"
+ROOT_TYPES = ("Catalog", "Collection")
+
+# Minimal Draft-7 required-key profiles per STAC type (public STAC spec
+# core fields; mirrors the golden minimal docs of FIXTURES.md B4).
+STAC_SCHEMAS: dict[str, dict] = {
+    "Catalog": {
+        "type": "object",
+        "required": ["type", "stac_version", "id", "description", "links"],
+        "properties": {"type": {"const": "Catalog"}, "links": {"type": "array"}},
+    },
+    "Collection": {
+        "type": "object",
+        "required": [
+            "type", "stac_version", "id", "description", "links",
+            "title", "license", "extent",
+        ],
+        "properties": {"type": {"const": "Collection"}, "links": {"type": "array"}},
+    },
+    "Feature": {
+        "type": "object",
+        "required": ["type", "stac_version", "id", "properties", "assets", "links"],
+        "properties": {
+            "type": {"const": "Feature"},
+            "properties": {"type": "object", "required": ["datetime"]},
+        },
+    },
+}
+
+
+@F.udf(returnType=ArrayType(StringType()))
+def json_schema_errors(raw: str) -> list[str]:
+    """V2: Draft-7 validation errors for one raw document ('' = parse ok)."""
+    try:
+        doc = json.loads(raw)
+    except (json.JSONDecodeError, TypeError) as err:
+        return [f"Invalid JSON: {err}"]
+    import jsonschema  # executor-side import
+
+    doc_type = doc.get("type")
+    schema = STAC_SCHEMAS.get(doc_type)
+    if schema is None:
+        return [f"Unknown STAC type: {doc_type!r}"]
+    validator = jsonschema.Draft7Validator(schema)
+    return [e.message for e in validator.iter_errors(doc)]
+
+
+@F.udf(returnType=ArrayType(StringType()))
+def duplicate_json_keys(raw: str) -> list[str]:
+    """V4: repeated keys anywhere in the document, from raw text."""
+    dupes: list[str] = []
+
+    def hook(pairs):
+        seen = set()
+        for key, _ in pairs:
+            if key in seen:
+                dupes.append(key)
+            seen.add(key)
+        return dict(pairs)
+
+    try:
+        json.loads(raw, object_pairs_hook=hook)
+    except (json.JSONDecodeError, TypeError):
+        return []  # malformed JSON is V2's finding, not V4's
+    return sorted(set(dupes))
+
+
+def _result_row(check: str, result_col, details_col):
+    return F.struct(
+        F.lit(check).alias("check"),
+        result_col.alias("result"),
+        details_col.alias("details"),
+    )
+
+
+def validate_documents(docs: DataFrame) -> DataFrame:
+    """Run V2 + V3 + V4 over traversed documents → one validation row per
+    (check, url). Input needs columns (url, raw, doc)."""
+    checked = docs.select(
+        "url",
+        json_schema_errors("raw").alias("schema_errors"),
+        duplicate_json_keys("raw").alias("dupe_keys"),
+        F.col("doc.`linz:security_classification`").alias("classification"),
+    )
+    schema_res = checked.select(
+        "url",
+        F.lit(CHECK_JSON_SCHEMA).alias("check"),
+        F.when(F.size("schema_errors") == 0, RESULT_PASSED)
+        .otherwise(RESULT_FAILED)
+        .alias("result"),
+        F.when(
+            F.size("schema_errors") > 0,
+            F.create_map(F.lit("message"), F.concat_ws("; ", "schema_errors")),
+        ).alias("details"),
+    )
+    dupe_res = checked.select(
+        "url",
+        F.lit(CHECK_DUPLICATE_KEYS).alias("check"),
+        F.when(F.size("dupe_keys") == 0, RESULT_PASSED).otherwise(RESULT_FAILED).alias("result"),
+        F.when(
+            F.size("dupe_keys") > 0,
+            F.create_map(
+                F.lit("message"),
+                F.concat(F.lit("Duplicate keys: "), F.concat_ws(", ", "dupe_keys")),
+            ),
+        ).alias("details"),
+    )
+    sec_res = checked.select(
+        "url",
+        F.lit(CHECK_SECURITY).alias("check"),
+        F.when(
+            F.coalesce("classification", F.lit(UNCLASSIFIED)) == UNCLASSIFIED, RESULT_PASSED
+        )
+        .otherwise(RESULT_FAILED)
+        .alias("result"),
+        F.when(
+            F.coalesce("classification", F.lit(UNCLASSIFIED)) != UNCLASSIFIED,
+            F.create_map(
+                F.lit("message"),
+                F.concat(F.lit("Expected unclassified, got "), "classification"),
+            ),
+        ).alias("details"),
+    )
+    return schema_res.unionByName(dupe_res).unionByName(sec_res)
+
+
+def root_type_gate(docs: DataFrame, root_url: str) -> DataFrame:
+    """V10: the root document must be a Catalog or Collection."""
+    return docs.filter(F.col("url") == root_url).select(
+        "url",
+        F.lit(CHECK_ROOT_TYPE).alias("check"),
+        F.when(F.col("doc.type").isin(*ROOT_TYPES), RESULT_PASSED)
+        .otherwise(RESULT_FAILED)
+        .alias("result"),
+        F.when(
+            ~F.col("doc.type").isin(*ROOT_TYPES),
+            F.create_map(
+                F.lit("message"),
+                F.concat(F.lit("Root type must be Catalog or Collection, got "), "doc.type"),
+            ),
+        ).alias("details"),
+    )
+
+
+def collect_assets(docs: DataFrame) -> DataFrame:
+    """V5 + W1: explode per-document assets, enumerate in discovery order.
+    Asset hrefs resolve against the parent document's directory, same as
+    link hrefs (reference utils.py:59-67,229-249).
+    Returns (asset_type, item_index, url, filename, multihash)."""
+    from geostore_spark.pipeline.traversal import _resolve_href
+
+    data_assets = (
+        docs.select(
+            "url",
+            "discovery_ord",
+            F.explode_outer(F.col("doc.assets")).alias("asset_name", "asset"),
+        )
+        .filter(F.col("asset.href").isNotNull())
+        .select(
+            F.lit("DATA_ITEM_INDEX").alias("asset_type"),
+            F.col("url").alias("parent_url"),
+            "discovery_ord",
+            "asset_name",
+            _resolve_href(F.col("url"), F.col("asset.href")).alias("href"),
+            F.col("asset.`file:checksum`").alias("multihash"),
+        )
+    )
+    w = Window.partitionBy("asset_type").orderBy("discovery_ord", "asset_name")
+    data_rows = data_assets.select(
+        "asset_type",
+        (F.row_number().over(w) - 1).cast("long").alias("item_index"),
+        "href",
+        "multihash",
+        "parent_url",
+    )
+    meta_w = Window.partitionBy(F.lit("METADATA_ITEM_INDEX")).orderBy("discovery_ord")
+    meta_rows = docs.select(
+        F.lit("METADATA_ITEM_INDEX").alias("asset_type"),
+        (F.row_number().over(meta_w) - 1).cast("long").alias("item_index"),
+        F.col("url").alias("href"),
+        F.lit(None).cast("string").alias("multihash"),
+        F.col("url").alias("parent_url"),
+    )
+    return data_rows.unionByName(meta_rows)
+
+
+def no_assets_gate(asset_rows: DataFrame, root_url: str) -> DataFrame:
+    """V9: a dataset version with zero DATA assets fails validation."""
+    n = asset_rows.filter(F.col("asset_type") == "DATA_ITEM_INDEX").limit(1).count()
+    spark = asset_rows.sparkSession
+    result = RESULT_PASSED if n > 0 else RESULT_FAILED
+    details = None if n > 0 else {"message": "No asset in the dataset"}
+    return spark.createDataFrame(
+        [(root_url, CHECK_NO_ASSETS, result, details)],
+        "url string, check string, result string, details map<string,string>",
+    )

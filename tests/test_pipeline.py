@@ -1,0 +1,280 @@
+"""End-to-end pipeline tests, modeled on the reference's test strategy
+(SURVEY §5): golden minimal documents, behavior-named cases, negative
+fixtures per check, and the single-asset e2e flow of
+tests/test_processing_stack.py:131-279.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+from datetime import datetime, timezone
+
+import pytest
+from pyspark.sql import functions as F
+
+from geostore_spark.api.datasets import (
+    create_dataset,
+    delete_dataset,
+    get_dataset,
+    list_datasets,
+    update_dataset,
+)
+from geostore_spark.pipeline.checksums import sha256_multihash
+from geostore_spark.pipeline.ingest import create_dataset_version, get_import_status
+from geostore_spark.pipeline.traversal import traverse
+from geostore_spark.sources.store import MetadataStore
+
+from .stac_fixtures import build_golden_tree, minimal_catalog, minimal_collection, _write_json
+
+NOW = datetime(2026, 1, 2, 3, 4, 5, 678000, tzinfo=timezone.utc)
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return MetadataStore(spark, str(tmp_path / "store"))
+
+
+def _rng():
+    return random.Random(99)
+
+
+def _setup_dataset(store, title="Test_Dataset"):
+    resp = create_dataset(store, title, now=NOW, rng=_rng())
+    assert resp["status_code"] == 201
+    return resp["body"]["id"]
+
+
+# -- store ---------------------------------------------------------------
+
+
+def test_store_snapshot_isolation_and_merge(spark, store):
+    df1 = spark.createDataFrame(
+        [("d1", "A", NOW, NOW, None)], store.schema("datasets")
+    )
+    store.append("datasets", df1)
+    assert store.current_version("datasets") == 0
+    store.update_where(
+        "datasets", F.col("dataset_id") == "d1", {"title": F.lit("B")}
+    )
+    assert store.current_version("datasets") == 1
+    assert store.read("datasets").collect()[0]["title"] == "B"
+    # merge insert-not-matched is idempotent (V12)
+    child = spark.createDataFrame(
+        [("u1", "Collection", "d1", "B", "root", None)], store.schema("catalog")
+    )
+    store.merge("catalog", child, on=["url"], insert_not_matched=True)
+    store.merge("catalog", child, on=["url"], insert_not_matched=True)
+    assert store.read("catalog").count() == 1
+
+
+# -- dataset CRUD (reference geostore/datasets/*) --------------------------
+
+
+def test_dataset_crud_semantics(store, tmp_path):
+    created = create_dataset(store, "Dataset_ā1", now=NOW, rng=_rng())
+    assert created["status_code"] == 201
+    ds_id = created["body"]["id"]
+
+    assert create_dataset(store, "Dataset_ā1", now=NOW, rng=_rng())["status_code"] == 409
+    assert create_dataset(store, "bad title!", now=NOW)["status_code"] == 400
+    assert get_dataset(store, dataset_id=ds_id)["status_code"] == 200
+    assert get_dataset(store, title="Dataset_ā1")["status_code"] == 200
+    assert get_dataset(store, dataset_id="missing")["status_code"] == 404
+    assert len(list_datasets(store)["body"]) == 1
+
+    updated = update_dataset(store, ds_id, "Renamed_ū", now=NOW)
+    assert updated["status_code"] == 200 and updated["body"]["title"] == "Renamed_ū"
+    assert update_dataset(store, "missing", "X", now=NOW)["status_code"] == 404
+
+    storage = str(tmp_path / "storage")
+    # non-empty storage prefix blocks delete (J2 emptiness probe)
+    os.makedirs(os.path.join(storage, "Renamed_ū"))
+    with open(os.path.join(storage, "Renamed_ū", "f.bin"), "wb") as f:
+        f.write(b"x")
+    assert delete_dataset(store, ds_id, storage)["status_code"] == 409
+    os.remove(os.path.join(storage, "Renamed_ū", "f.bin"))
+    assert delete_dataset(store, ds_id, storage)["status_code"] == 204
+    assert get_dataset(store, dataset_id=ds_id)["status_code"] == 404
+
+
+# -- traversal (V1) --------------------------------------------------------
+
+
+def test_traversal_visits_each_url_once_in_discovery_order(spark, tmp_path):
+    tree = build_golden_tree(str(tmp_path))
+    docs = traverse(spark, tree["root_url"])
+    rows = docs.orderBy("discovery_ord").collect()
+    # item linked twice (cycle) but visited once
+    assert [r["url"] for r in rows] == [tree["catalog"], tree["collection"], tree["item"]]
+    assert [r["discovery_ord"] for r in rows] == [0, 1, 2]
+
+
+# -- golden end-to-end ingest (test_processing_stack.py:131-279 analog) ----
+
+
+def test_golden_ingest_end_to_end(spark, store, tmp_path):
+    tree = build_golden_tree(str(tmp_path))
+    storage = str(tmp_path / "storage")
+    ds_id = _setup_dataset(store)
+
+    resp = create_dataset_version(
+        spark, store, ds_id, tree["root_url"], storage, now=NOW, rng=_rng()
+    )
+    assert resp["status_code"] == 201
+    version_id = resp["body"]["new_version_id"]
+    assert version_id.startswith("2026-01-02T03-04-05-678Z_")
+
+    status = get_import_status(store, resp["body"]["execution_id"])
+    body = status["body"]
+    assert body["step function"]["status"] == "Succeeded"
+    assert body["validation"] == {"status": "Passed", "errors": []}
+    assert body["asset upload"]["status"] == "Complete"
+    assert body["metadata upload"]["status"] == "Complete"
+
+    # asset rows: enumerated densely per type in discovery order
+    assets = (
+        store.read("processing_assets")
+        .filter(F.col("asset_type") == "DATA_ITEM_INDEX")
+        .orderBy("item_index")
+        .collect()
+    )
+    assert [a["item_index"] for a in assets] == [0, 1]
+    assert all(a["multihash"].startswith("1220") for a in assets)
+    assert all(a["exists_in_staging"] for a in assets)
+
+    # validation rows all Passed
+    results = store.read("validation_results").collect()
+    assert results and all(r["result"] == "Passed" for r in results)
+
+    # storage: copied assets + rewritten metadata
+    title_dir = os.path.join(storage, "Test_Dataset")
+    assert sorted(os.listdir(title_dir)) == [
+        "catalog.json", "collection.json", "data1.bin", "data2.bin", "item.json",
+    ]
+    with open(os.path.join(title_dir, "item.json")) as f:
+        item = json.load(f)
+    assert all("/" not in a["href"] for a in item["assets"].values())  # F9 basename rewrite
+    assert all(lk["rel"] != "self" for lk in item["links"])  # self links dropped
+
+    # current-version pointer + root catalog child (V12)
+    ds = get_dataset(store, dataset_id=ds_id)["body"]
+    assert ds["current_dataset_version"] == version_id
+    with open(os.path.join(storage, "catalog.json")) as f:
+        root_catalog = json.load(f)
+    child_hrefs = [lk["href"] for lk in root_catalog["links"] if lk["rel"] == "child"]
+    assert child_hrefs == ["./Test_Dataset/catalog.json"]
+
+
+def test_reingest_marks_replaced_and_sweeps_stale_files(spark, store, tmp_path):
+    tree1 = build_golden_tree(
+        str(tmp_path / "v1"), {"a.bin": b"payload-a", "b.bin": b"payload-b"}
+    )
+    tree2 = build_golden_tree(
+        str(tmp_path / "v2"), {"b.bin": b"payload-b", "c.bin": b"payload-c"}
+    )
+    storage = str(tmp_path / "storage")
+    ds_id = _setup_dataset(store)
+
+    r1 = create_dataset_version(spark, store, ds_id, tree1["root_url"], storage, now=NOW, rng=_rng())
+    v1 = r1["body"]["new_version_id"]
+    later = NOW.replace(minute=30)
+    r2 = create_dataset_version(spark, store, ds_id, tree2["root_url"], storage, now=later, rng=_rng())
+    assert r2["status_code"] == 201
+
+    old_rows = {
+        r["filename"]: r["replaced_in_new_version"]
+        for r in store.read("processing_assets")
+        .filter((F.col("version_id") == v1) & (F.col("asset_type") == "DATA_ITEM_INDEX"))
+        .collect()
+    }
+    assert old_rows["b.bin"] is True  # reappeared → marked (V8)
+    assert old_rows["a.bin"] is None  # unmarked → swept
+    files = set(os.listdir(os.path.join(storage, "Test_Dataset")))
+    assert "a.bin" not in files and {"b.bin", "c.bin"} <= files
+
+
+# -- negative fixtures (one per check, SURVEY §5 / FIXTURES.md B4) ----------
+
+
+def _ingest_expect_failure(spark, store, tmp_path, root_url, expected_check):
+    storage = str(tmp_path / "storage")
+    ds_id = _setup_dataset(store)
+    resp = create_dataset_version(spark, store, ds_id, root_url, storage, now=NOW, rng=_rng())
+    status = get_import_status(store, resp["body"]["execution_id"])
+    body = status["body"]
+    assert body["step function"]["status"] == "Succeeded"  # T4: failure is data
+    assert body["validation"]["status"] == "Failed"
+    assert body["asset upload"]["status"] == "Skipped"  # Pending→Skipped inference
+    assert body["metadata upload"]["status"] == "Skipped"
+    checks = {e["check"] for e in body["validation"]["errors"]}
+    assert expected_check in checks, f"expected {expected_check} in {checks}"
+    # import did not run
+    assert not os.path.exists(os.path.join(storage, "Test_Dataset"))
+    return body
+
+
+def test_checksum_mismatch_blocks_import(spark, store, tmp_path):
+    tree = build_golden_tree(str(tmp_path))
+    item = json.load(open(tree["item"]))
+    item["assets"]["asset0"]["file:checksum"] = "1220" + "0" * 64
+    _write_json(tree["item"], item)
+    body = _ingest_expect_failure(spark, store, tmp_path, tree["root_url"], "checksum")
+    [err] = [e for e in body["validation"]["errors"] if e["check"] == "checksum"]
+    assert "expected" in err["details"]["message"]
+
+
+def test_missing_asset_file_fails_staging_access(spark, store, tmp_path):
+    tree = build_golden_tree(str(tmp_path))
+    os.remove(tree["assets"]["data1.bin"])
+    _ingest_expect_failure(spark, store, tmp_path, tree["root_url"], "staging access")
+
+
+def test_root_type_gate(spark, store, tmp_path):
+    bad_root = _write_json(
+        str(tmp_path / "staging" / "item.json"),
+        {"type": "Feature", "stac_version": "1.0.0", "id": "x",
+         "properties": {"datetime": "2021-01-01T00:00:00Z"}, "assets": {}, "links": []},
+    )
+    _ingest_expect_failure(spark, store, tmp_path, bad_root, "root STAC type")
+
+
+def test_classified_document_fails(spark, store, tmp_path):
+    root = _write_json(
+        str(tmp_path / "staging" / "collection.json"),
+        minimal_collection(links=[], **{"linz:security_classification": "restricted"}),
+    )
+    _ingest_expect_failure(spark, store, tmp_path, root, "security classification")
+
+
+def test_duplicate_json_key_detected(spark, store, tmp_path):
+    path = str(tmp_path / "staging" / "catalog.json")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    doc = minimal_catalog(links=[])
+    raw = json.dumps(doc)
+    raw = raw.replace('"id": "test-catalog"', '"id": "test-catalog", "id": "dupe"', 1)
+    with open(path, "w") as f:
+        f.write(raw)
+    _ingest_expect_failure(spark, store, tmp_path, path, "duplicate object names")
+
+
+def test_zero_assets_fails(spark, store, tmp_path):
+    root = _write_json(
+        str(tmp_path / "staging" / "collection.json"), minimal_collection(links=[])
+    )
+    _ingest_expect_failure(spark, store, tmp_path, root, "assets in dataset")
+
+
+def test_missing_required_key_fails_schema(spark, store, tmp_path):
+    doc = minimal_collection(links=[])
+    del doc["license"]
+    root = _write_json(str(tmp_path / "staging" / "collection.json"), doc)
+    _ingest_expect_failure(spark, store, tmp_path, root, "JSON schema")
+
+
+def test_version_create_404_for_missing_dataset(spark, store, tmp_path):
+    resp = create_dataset_version(
+        spark, store, "nope", "/does/not/matter.json", str(tmp_path), now=NOW
+    )
+    assert resp["status_code"] == 404
