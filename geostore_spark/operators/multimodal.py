@@ -1,0 +1,138 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+North-star surface (BASELINE.json): at 100 TB, media rows are
+``(id, content binary, media_type, meta map)`` in parquet — never
+materialized whole-table; decode/feature work happens in Arrow-batched
+``mapInPandas`` so each task holds one batch of payloads at a time and
+partitioning carries straight through.
+
+The container has no image/audio libraries, so the *codec* step is a
+clearly-marked deterministic STUB (``_stub_decode``) behind a real-codec
+try-import — the Spark-side plumbing (schema, batch shape, UDF signatures,
+partition behavior) is real and is what the tests pin down. Swapping the
+stub for PIL/ffmpeg changes no plan shape.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from geostore_spark.registry import register
+from geostore_spark.sources.tables import load_table
+
+DECODED_SCHEMA = (
+    "doc_id long, media_type string, width int, height int, n_bytes long, "
+    "feature array<float>"
+)
+FRAME_SCHEMA = "doc_id long, frame_index int, frame_bytes long, frame_hash string"
+
+FEATURE_DIM = 8
+
+
+def _stub_decode(payload: bytes) -> tuple[int, int]:
+    """STUB codec: deterministic fake dimensions derived from the content
+    hash. A real deployment replaces this with PIL/libvips — see
+    decode_media's try-import. NOT a real decoder."""
+    h = hashlib.sha256(payload).digest()
+    width = 64 + h[0] % 192
+    height = 64 + h[1] % 192
+    return width, height
+
+
+def _stub_features(payload: bytes) -> list[float]:
+    """STUB feature extractor: deterministic 8-dim summary of the bytes
+    (chunk means), standing in for a CNN/CLIP embedding."""
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    if arr.size == 0:
+        return [0.0] * FEATURE_DIM
+    chunks = np.array_split(arr.astype(np.float32), FEATURE_DIM)
+    return [float(round(c.mean() if c.size else 0.0, 4)) for c in chunks]
+
+
+def attach_binary(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Demo payload builder: treats the document text bytes as an opaque
+    media payload with typed metadata — the storage shape media rows use."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).cast("binary").alias("content"),
+        F.lit("image/stub").alias("media_type"),
+        F.create_map(F.lit("source"), F.lit("documents.text")).alias("meta"),
+    )
+
+
+def decode_media(df: DataFrame) -> DataFrame:
+    """Decode + feature-extract in Arrow batches. Each task sees an
+    iterator of pandas batches — memory is bounded by batch size, not
+    partition size; partitioning of the input carries through unchanged."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        try:  # real codec when available; STUB otherwise
+            from PIL import Image  # noqa: F401  (not in this container)
+
+            raise NotImplementedError("real image decode path not wired yet")
+        except ImportError:
+            decode = _stub_decode
+        for pdf in it:
+            rows = []
+            for doc_id, content, media_type in zip(
+                pdf["doc_id"], pdf["content"], pdf["media_type"]
+            ):
+                payload = bytes(content)
+                width, height = decode(payload)
+                rows.append(
+                    (doc_id, media_type, width, height, len(payload), _stub_features(payload))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "media_type", "width", "height", "n_bytes", "feature"],
+            )
+
+    return df.mapInPandas(batches, DECODED_SCHEMA)
+
+
+def sample_frames(df: DataFrame, frame_size: int = 4096, every_n: int = 2) -> DataFrame:
+    """Frame sampling for video-shaped payloads: split the byte stream into
+    fixed-size frames, keep every Nth. Same batch-bounded mapInPandas
+    shape; a real build swaps the splitter for a container demuxer."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                payload = bytes(content)
+                frames = [
+                    payload[i : i + frame_size] for i in range(0, len(payload), frame_size)
+                ]
+                for idx in range(0, len(frames), every_n):
+                    frame = frames[idx]
+                    rows.append(
+                        (doc_id, idx, len(frame), hashlib.md5(frame).hexdigest())
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_index", "frame_bytes", "frame_hash"]
+            )
+
+    return df.mapInPandas(batches, FRAME_SCHEMA)
+
+
+@register(
+    "x_mm_decode",
+    "Multimodal decode + feature extraction over binary media columns via "
+    "Arrow-batched mapInPandas (codec stubbed; plumbing real). Python-side "
+    "compute → no SQL oracle; driver runs the rows-only check.",
+    None,
+)
+def q_mm_decode(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf)
+    return (
+        decode_media(attach_binary(docs))
+        .select("doc_id", "media_type", "width", "height", "n_bytes", "feature")
+        .orderBy("doc_id")
+        .limit(200)
+    )

@@ -267,6 +267,23 @@ def _run_pipeline(
     )
     store.append("pipeline_runs", run_row)
 
+    # event tail (S9/S10): one immutable event per run for the streaming
+    # notification sink (geostore_spark/streaming/status_events.py)
+    from geostore_spark.streaming.status_events import emit_status_event
+
+    emit_status_event(
+        os.path.join(store.root, "events"),
+        {
+            "event_id": execution_id,
+            "dataset_id": dataset_id,
+            "version_id": version_id,
+            "title": title,
+            "status": "Succeeded",
+            "validation_success": validation_success,
+            "ts": now,
+        },
+    )
+
 
 def _import_assets(
     spark: SparkSession,

@@ -43,7 +43,13 @@ def register(key: str, doc: str, oracle: str | None):
 def all_queries() -> dict[str, RegisteredQuery]:
     """Import every contributing module, then return the registry."""
     # Imports are effectful: each module registers its queries on import.
-    from geostore_spark.operators import dedup, similarity, text, windows  # noqa: F401
+    from geostore_spark.operators import (  # noqa: F401
+        dedup,
+        multimodal,
+        similarity,
+        text,
+        windows,
+    )
     from geostore_spark.plans import canonical  # noqa: F401
 
     return dict(REGISTRY)

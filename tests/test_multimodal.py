@@ -1,0 +1,42 @@
+"""Multimodal plumbing tests: schema, batch shape, determinism, partition
+carry-through. The codec is a stub; the Spark plumbing is what's pinned."""
+
+from __future__ import annotations
+
+from geostore_spark.operators.multimodal import (
+    FEATURE_DIM,
+    attach_binary,
+    decode_media,
+    sample_frames,
+)
+from geostore_spark.sources.tables import load_table
+
+from .conftest import SF_DIR
+
+
+def test_decode_schema_and_determinism(spark):
+    docs = load_table(spark, "documents", SF_DIR).limit(20)
+    decoded = decode_media(attach_binary(docs))
+    assert decoded.columns == ["doc_id", "media_type", "width", "height", "n_bytes", "feature"]
+    rows1 = {r["doc_id"]: r for r in decoded.collect()}
+    rows2 = {r["doc_id"]: r for r in decode_media(attach_binary(docs)).collect()}
+    assert len(rows1) == 20
+    for doc_id, row in rows1.items():
+        assert 64 <= row["width"] < 256 and 64 <= row["height"] < 256
+        assert row["n_bytes"] > 0
+        assert len(row["feature"]) == FEATURE_DIM
+        assert rows2[doc_id]["feature"] == row["feature"]  # deterministic stub
+
+
+def test_decode_preserves_partitioning(spark):
+    docs = load_table(spark, "documents", SF_DIR).repartition(7)
+    decoded = decode_media(attach_binary(docs))
+    assert decoded.rdd.getNumPartitions() == 7  # mapInPandas is per-partition
+
+
+def test_frame_sampling_keeps_every_nth(spark):
+    docs = load_table(spark, "documents", SF_DIR).limit(5)
+    frames = sample_frames(attach_binary(docs), frame_size=100, every_n=2)
+    rows = frames.collect()
+    assert rows and all(r["frame_index"] % 2 == 0 for r in rows)
+    assert all(r["frame_bytes"] <= 100 for r in rows)
