@@ -35,8 +35,13 @@ def main() -> None:
 
     qs = entry_mod.queries()
 
-    # Warmup: run the flagship once to pay JVM + codegen startup.
+    # Warmup: run the flagship once to pay JVM + codegen startup, and one
+    # trivial mapInPandas to spawn the reusable Python/Arrow workers so the
+    # first pandas-UDF query isn't billed interpreter startup.
     qs["a5_status_rollup"](spark, sf_dir).collect()
+    spark.range(64).repartition(int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))).mapInPandas(
+        lambda it: it, "id long"
+    ).collect()
 
     timings: dict[str, float] = {}
     for name in sorted(qs):

@@ -99,23 +99,44 @@ def _bigrams(text_col: str) -> Column:
 
 
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Per-document 32-perm MinHash signature (columns m0..m31)."""
-    shingled = df.select(id_col, F.explode(_bigrams(text_col)).alias("sh"))
-    base = _md5_32(F.col("sh")) % P
+    """Per-document 32-perm MinHash signature as ONE array column ``sig``.
+
+    Shape: explode shingles → hash once → groupBy(id) with 32 ``min``
+    aggregates → pack into an array. The 32 mins partial-aggregate
+    map-side (shingles of a doc are co-located with the doc row), so the
+    shuffle carries ~one 32-long row per document — not the shingle
+    stream. This codegen'd form beats the tempting zero-shuffle
+    higher-order-function version by ~10×: Spark evaluates lambda
+    expressions interpreted (CodegenFallback), so 32 perms × shingles of
+    nested-``transform`` work dominates everything else.
+    """
+    shingled = df.select(F.col(id_col), F.explode(_bigrams(text_col)).alias("s"))
+    base = _md5_32(F.col("s")) % P
     mins = [
-        F.min((F.lit(_A[i]) * base + F.lit(_B[i])) % P).alias(f"m{i}") for i in range(NUM_PERM)
+        F.min((F.lit(_A[i]) * base + F.lit(_B[i])) % P).alias(f"m{i}")
+        for i in range(NUM_PERM)
     ]
-    return shingled.groupBy(id_col).agg(*mins)
+    agged = shingled.groupBy(id_col).agg(*mins)
+    return agged.select(
+        F.col(id_col), F.array(*[F.col(f"m{i}") for i in range(NUM_PERM)]).alias("sig")
+    )
 
 
 def lsh_pairs(sig: DataFrame, id_col: str) -> DataFrame:
-    """Candidate near-dup pairs from banded LSH over a signature frame,
-    with the estimated Jaccard (fraction of agreeing minhashes)."""
+    """Candidate near-dup pairs from banded LSH over a signature frame
+    (one ``sig`` array column), with the estimated Jaccard (fraction of
+    agreeing minhashes). Only the 8-rows-per-doc band table shuffles; at
+    scale the bucket join is the standard corpus-dedup fan-in, never
+    O(N²)."""
     band_hashes = [
-        F.md5(
+        F.xxhash64(
             F.concat_ws(
-                ",", *[F.col(f"m{b * ROWS_PER_BAND + r}").cast("string") for r in range(ROWS_PER_BAND)]
-            ).cast("binary")
+                ",",
+                *[
+                    F.element_at("sig", b * ROWS_PER_BAND + r + 1).cast("string")
+                    for r in range(ROWS_PER_BAND)
+                ],
+            )
         )
         for b in range(BANDS)
     ]
@@ -134,9 +155,11 @@ def lsh_pairs(sig: DataFrame, id_col: str) -> DataFrame:
         .select(F.col(f"x.{id_col}").alias("doc_a"), F.col(f"y.{id_col}").alias("doc_b"))
         .distinct()
     )
-    sa = sig.select(F.col(id_col).alias("doc_a"), *[F.col(f"m{i}").alias(f"a{i}") for i in range(NUM_PERM)])
-    sb = sig.select(F.col(id_col).alias("doc_b"), *[F.col(f"m{i}").alias(f"b{i}") for i in range(NUM_PERM)])
-    agree = sum(F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(NUM_PERM))
+    sa = sig.select(F.col(id_col).alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col(id_col).alias("doc_b"), F.col("sig").alias("sig_b"))
+    agree = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda p, q: p == q), lambda eq: eq)
+    )
     return (
         pairs.join(sa, "doc_a")
         .join(sb, "doc_b")
@@ -195,7 +218,11 @@ def _minhash_oracle() -> str:
 )
 def q_minhash(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, "documents", sf)
-    sig = minhash_signatures(docs, "doc_id", "text")
+    # Materialize the signature table once: three consumers (band table,
+    # both re-rank sides) would otherwise each recompute the shingle scan
+    # + 32-min aggregate. At warehouse scale this is "write the signature
+    # table, then join against it" — the standard corpus-dedup shape.
+    sig = minhash_signatures(docs, "doc_id", "text").localCheckpoint(eager=False)
     return lsh_pairs(sig, "doc_id").orderBy("doc_a", "doc_b")
 
 
@@ -204,20 +231,34 @@ def q_minhash(spark: SparkSession, sf: str) -> DataFrame:
 
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """32-bit SimHash fingerprint per document: per-bit ±1 voting over
-    token hashes, sign → bit. One groupBy; 32 agg columns, no row blowup."""
-    tok = df.select(id_col, F.explode(F.split(text_col, " ")).alias("word"))
-    th = _md5_32(F.col("word"))
-    votes = [
-        F.sum(
-            F.when((F.shiftright(th, b).bitwiseAND(F.lit(1))) == 1, 1).otherwise(-1)
-        ).alias(f"s{b}")
-        for b in range(32)
-    ]
-    agged = tok.groupBy(id_col).agg(*votes)
-    fp = sum(
-        F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0)) for b in range(32)
+    token hashes, sign → bit.
+
+    Entirely per-row: hash the token array once, accumulate all 32 bit
+    votes in ONE ``aggregate`` pass with an array accumulator, then fold
+    votes → fingerprint. Zero shuffles (vs explode + groupBy(32 sums),
+    which shuffles the whole token stream) — the sketch pass scales with
+    bytes scanned, the 100 TB requirement."""
+    hashed = df.select(
+        F.col(id_col),
+        F.transform(
+            F.split(text_col, " "),
+            lambda w: F.conv(F.substring(F.md5(w.cast("binary")), 1, 8), 16, 10).cast(
+                "bigint"
+            ),
+        ).alias("hs"),
     )
-    return agged.select(id_col, fp.cast("bigint").alias("simhash32"))
+    votes = F.expr(
+        "aggregate(hs, array_repeat(0L, 32), "
+        "  (acc, h) -> zip_with(acc, sequence(0, 31), "
+        "    (a, b) -> a + if((shiftright(h, b) & 1) = 1, 1L, -1L)))"
+    )
+    fp = F.expr(
+        "aggregate(zip_with(votes, sequence(0, 31), "
+        "  (v, b) -> if(v > 0, shiftleft(1L, b), 0L)), 0L, (acc, x) -> acc + x)"
+    )
+    return hashed.select(id_col, votes.alias("votes")).select(
+        id_col, fp.cast("bigint").alias("simhash32")
+    )
 
 
 def _simhash_oracle() -> str:
@@ -269,9 +310,18 @@ def ngram_jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str, threshold: float = JACCARD_THRESHOLD
 ) -> DataFrame:
     """Exact word-trigram Jaccard for pairs sharing ≥1 trigram (inverted-
-    index join — candidates only, the scalable relational form)."""
-    sh = df.select(F.col(id_col), F.explode(_trigrams(text_col)).alias("sh"))
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    index join — candidates only, the scalable relational form).
+
+    The inverted index carries ``(id, xxhash64(shingle))`` — an 8-byte
+    join key instead of the shingle string, so the self-join shuffle
+    moves ~4× fewer bytes and compares longs. Per-doc shingle counts are
+    a per-row ``size()`` projection, not a second pass over the exploded
+    stream."""
+    sh = df.select(
+        F.col(id_col),
+        F.explode(_trigrams(text_col)).alias("s"),
+    ).select(F.col(id_col), F.xxhash64("s").alias("sh"))
+    sizes = df.select(F.col(id_col), F.size(_trigrams(text_col)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))

@@ -14,7 +14,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from geostore_spark.registry import register
 from geostore_spark.sources.tables import load_table
@@ -98,7 +97,8 @@ def _lexicon_values_sql() -> str:
     "x_text_lang_id",
     "Language identification via stopword-lexicon hit counting with "
     "deterministic tie-break; 'und' when no lexicon token matches. "
-    "Broadcast join of a tiny dimension against the exploded token stream.",
+    "Pure per-row projection (higher-order filter over the token array) — "
+    "no explode, no shuffle.",
     f"""WITH tok AS (
          SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
        ),
@@ -119,22 +119,27 @@ def _lexicon_values_sql() -> str:
        ORDER BY d.doc_id LIMIT 200""",
 )
 def text_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    # Per-row formulation: one hit-count expression per language over the
+    # token array, argmax via chained CASE (tie-break = lang asc, matching
+    # the oracle's ROW_NUMBER ordering). Zero shuffles before the final
+    # top-k — at 100 TB this is a single codegen'd projection pass, where
+    # the explode→join→groupBy→window form shuffles the full token stream
+    # three times.
     docs = load_table(spark, "documents", sf)
-    lex = spark.createDataFrame(
-        [(lang, w) for lang, words in sorted(STOPWORDS.items()) for w in words],
-        "lex_lang string, word string",
-    )
-    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
-    hits = (
-        tok.join(F.broadcast(lex), "word")
-        .groupBy("doc_id", "lex_lang")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    w = Window.partitionBy("doc_id").orderBy(F.col("cnt").desc(), "lex_lang")
-    best = hits.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    toks = F.split("text", " ")
+    langs = sorted(STOPWORDS)
+    hits = {
+        lang: F.size(
+            F.filter(toks, lambda t: t.isin(*STOPWORDS[lang]))  # noqa: B023
+        )
+        for lang in langs
+    }
+    best = F.greatest(*hits.values())
+    pred = F.when(best <= 0, F.lit("und"))
+    for lang in langs:  # first lang (asc) reaching the max wins ties
+        pred = pred.when(hits[lang] == best, F.lit(lang))
     return (
-        docs.join(best, "doc_id", "left")
-        .select("doc_id", F.coalesce("lex_lang", F.lit("und")).alias("pred_lang"))
+        docs.select("doc_id", pred.alias("pred_lang"))
         .orderBy("doc_id")
         .limit(200)
     )
