@@ -371,6 +371,80 @@ _NGRAM_ORACLE = f"""
        ORDER BY doc_a, doc_b"""
 
 
+# -- embedding-cosine near-dup ----------------------------------------------
+
+COSINE_DUP_THRESHOLD = 0.4
+
+
+def embedding_cosine_pairs(
+    embeddings: DataFrame, threshold: float = COSINE_DUP_THRESHOLD
+) -> DataFrame:
+    """Semantic near-dup pairs: embeddings whose cosine ≥ threshold,
+    candidate-limited to the same random-hyperplane LSH bucket (similar
+    vectors collide with high probability; recall is tuned by adding
+    hash tables / planes). At scale the bucket column is the partition
+    key, so candidate generation is a co-partitioned self-join — never
+    the O(N²) pair space."""
+    from geostore_spark.operators.similarity import _as_double, _dot, _norm, bucket_column
+
+    e = embeddings.select(
+        F.col("vec_id"),
+        _as_double("embedding").alias("emb"),
+        _norm(_as_double("embedding")).alias("nrm"),
+        bucket_column(_as_double("embedding")).alias("bucket"),
+    )
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            (
+                _dot(F.col("a.emb"), F.col("b.emb")) / (F.col("a.nrm") * F.col("b.nrm"))
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+        .select("vec_a", "vec_b", F.round("cos", 4).alias("cos"))
+    )
+
+
+def _embed_cosine_oracle() -> str:
+    from geostore_spark.operators.similarity import _duck_bucket
+
+    return f"""
+       WITH e AS (
+         SELECT vec_id, embedding::DOUBLE[] AS emb,
+                sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm,
+                {_duck_bucket("embedding::DOUBLE[]")} AS bucket
+         FROM embeddings
+       ),
+       s AS (
+         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) AS cos
+         FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       )
+       SELECT vec_a, vec_b, ROUND(cos, 4) AS cos FROM s
+       WHERE cos >= {COSINE_DUP_THRESHOLD}
+       ORDER BY vec_a, vec_b"""
+
+
+@register(
+    "x_dedup_embed_cosine",
+    "Embedding-cosine near-dup pairs: LSH-bucketed candidate self-join + "
+    "exact cosine filter — the semantic-dedup complement to MinHash "
+    "(surface text) at corpus scale.",
+    _embed_cosine_oracle(),
+)
+def q_embed_cosine(spark: SparkSession, sf: str) -> DataFrame:
+    return embedding_cosine_pairs(load_table(spark, "embeddings", sf)).orderBy(
+        "vec_a", "vec_b"
+    )
+
+
 @register(
     "x_dedup_ngram_jaccard",
     "Exact word-trigram Jaccard near-dup pairs via inverted-index "

@@ -196,6 +196,134 @@ _LSH_ORACLE = f"""
        WHERE rn <= {TOP_K} ORDER BY q_id, n_id"""
 
 
+NUM_CELLS = 8
+NPROBE = 2
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = TOP_K,
+    nprobe: int = NPROBE,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: a small trained coarse quantizer assigns
+    every vector to its nearest centroid cell; a query probes only its
+    ``nprobe`` nearest cells and exact-reranks inside them.
+
+    All declarative: the centroid table is tiny → broadcast cross join +
+    windowed argmin for assignment; the probe is an equi-join on cell id.
+    At scale the table is *partitioned by cell id*, so probing is
+    partition pruning and each query touches nprobe/num_cells of the data
+    — same plan, no code change.
+    """
+    c = centroids.select(
+        F.col("cell_id"), _as_double("embedding").alias("c_emb"),
+        _norm(_as_double("embedding")).alias("c_nrm"),
+    )
+    e = embeddings.select(
+        F.col("vec_id").alias("n_id"), _as_double("embedding").alias("emb"),
+        _norm(_as_double("embedding")).alias("nrm"),
+    )
+    # assignment: nearest centroid per vector (rank 1 of cosine desc)
+    ec = e.crossJoin(F.broadcast(c)).select(
+        "n_id", "emb", "nrm", "cell_id",
+        (_dot(F.col("emb"), F.col("c_emb")) / (F.col("nrm") * F.col("c_nrm"))).alias("c_cos"),
+    )
+    w_assign = Window.partitionBy("n_id").orderBy(F.col("c_cos").desc(), "cell_id")
+    assigned = (
+        ec.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("n_id", "emb", "nrm", "cell_id")
+    )
+    q = queries.select(
+        F.col("vec_id").alias("q_id"), _as_double("embedding").alias("q_emb"),
+        _norm(_as_double("embedding")).alias("q_nrm"),
+    )
+    qc = q.crossJoin(F.broadcast(c)).select(
+        "q_id", "q_emb", "q_nrm", "cell_id",
+        (_dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_nrm") * F.col("c_nrm"))).alias("c_cos"),
+    )
+    w_probe = Window.partitionBy("q_id").orderBy(F.col("c_cos").desc(), "cell_id")
+    probes = (
+        qc.withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= nprobe)
+        .select("q_id", "q_emb", "q_nrm", "cell_id")
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(assigned, "cell_id")
+        .filter(F.col("n_id") != F.col("q_id"))
+        .select(
+            "q_id", "n_id",
+            (_dot(F.col("q_emb"), F.col("emb")) / (F.col("q_nrm") * F.col("nrm"))).alias("cos"),
+        )
+    )
+    w_topk = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), "n_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w_topk))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "n_id", F.round("cos", 4).alias("cos"))
+    )
+
+
+_IVF_ORACLE = f"""
+       WITH e AS (
+         SELECT vec_id, embedding::DOUBLE[] AS emb,
+                sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+         FROM embeddings
+       ),
+       c AS (SELECT vec_id AS cell_id, emb AS c_emb, nrm AS c_nrm FROM e
+             WHERE vec_id < {NUM_CELLS}),
+       assigned AS (
+         SELECT n_id, emb, nrm, cell_id FROM (
+           SELECT e.vec_id AS n_id, e.emb, e.nrm, c.cell_id,
+                  ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                    list_dot_product(e.emb, c.c_emb) / (e.nrm * c.c_nrm) DESC,
+                    c.cell_id) AS rn
+           FROM e CROSS JOIN c)
+         WHERE rn = 1
+       ),
+       probes AS (
+         SELECT q_id, q_emb, q_nrm, cell_id FROM (
+           SELECT e.vec_id AS q_id, e.emb AS q_emb, e.nrm AS q_nrm, c.cell_id,
+                  ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                    list_dot_product(e.emb, c.c_emb) / (e.nrm * c.c_nrm) DESC,
+                    c.cell_id) AS rn
+           FROM e CROSS JOIN c WHERE e.vec_id < {N_QUERIES})
+         WHERE rn <= {NPROBE}
+       ),
+       s AS (
+         SELECT p.q_id, a.n_id,
+                list_dot_product(p.q_emb, a.emb) / (p.q_nrm * a.nrm) AS cos
+         FROM probes p JOIN assigned a ON p.cell_id = a.cell_id
+         WHERE a.n_id != p.q_id
+       )
+       SELECT q_id, n_id, ROUND(cos, 4) AS cos
+       FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rn
+             FROM s)
+       WHERE rn <= {TOP_K} ORDER BY q_id, n_id"""
+
+
+@register(
+    "x_sim_ivf",
+    "IVF ANN top-k: coarse-quantizer cells (nearest-centroid assignment), "
+    "query probes its nprobe nearest cells, exact cosine re-rank inside. "
+    "Cell id is the partition key at scale → probing = partition pruning.",
+    _IVF_ORACLE,
+)
+def q_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf)
+    # deterministic stand-in for a trained quantizer: first NUM_CELLS
+    # vectors serve as centroids (k-means init); swapping in real trained
+    # centroids changes no plan shape.
+    centroids = emb.filter(F.col("vec_id") < NUM_CELLS).select(
+        F.col("vec_id").alias("cell_id"), "embedding"
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return ivf_topk(emb, centroids, queries).orderBy("q_id", "n_id")
+
+
 @register(
     "x_sim_ann_lsh",
     "ANN top-k via random-hyperplane LSH bucketing + exact re-rank within "
