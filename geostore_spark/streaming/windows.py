@@ -1,0 +1,112 @@
+"""Streaming window aggregation + custom stateful operators.
+
+The reference has no tumbling/sliding/session windows or watermark
+semantics (SURVEY §2.9) — its "streaming" is Step-Function orchestration.
+These extend the engine's event surface to real Structured Streaming:
+
+- ``streaming_tumbling_counts``: watermarked tumbling-window aggregate.
+  Late events beyond the watermark are dropped; the same expression
+  shape as operators/windows.py:win_tumbling, so batch and streaming
+  share semantics (the Spark contract).
+- ``running_user_totals``: custom stateful operator via
+  ``applyInPandasWithState`` — per-key state (event count, value sum,
+  last-seen timestamp) maintained across micro-batches. This is the
+  pattern slot for any stateful op the built-ins can't express
+  (sessionization with custom gap logic, per-dataset import-status
+  machines mirroring the reference's poll loop, SURVEY §2.9 T3).
+
+Scale note: state is partitioned by the grouping key across executors
+and checkpointed via the state store — the same mechanics that carry a
+1000-executor cluster; nothing here is driver-resident.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EVENT_SCHEMA = "event_id long, user_id long, event_type string, value double, ts timestamp"
+
+RUNNING_TOTALS_SCHEMA = "user_id long, n_events long, sum_value double, last_ts timestamp"
+_STATE_SCHEMA = "n_events long, sum_value double, last_ts_epoch long"
+
+
+def event_stream(spark: SparkSession, events_dir: str, watermark: str = "1 hour") -> DataFrame:
+    """File-source stream of event JSON with an event-time watermark."""
+    return spark.readStream.schema(EVENT_SCHEMA).json(events_dir).withWatermark("ts", watermark)
+
+
+def streaming_tumbling_counts(
+    stream: DataFrame, window: str = "1 day"
+) -> DataFrame:
+    """Watermarked tumbling-window counts per event_type. In append mode a
+    window emits once its end passes the watermark; events later than the
+    watermark are dropped — the late-data contract the reference's FIFO
+    dedup window only approximates."""
+    return (
+        stream.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_v"))
+        .select(F.col("w.start").alias("w_start"), "event_type", "n", "sum_v")
+    )
+
+
+def _update_running_totals(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-user accumulator: fold each micro-batch into (n, sum, last_ts)."""
+    n, total, last_epoch = state.get if state.exists else (0, 0.0, 0)
+    for pdf in batches:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+        if len(pdf):
+            last_epoch = max(last_epoch, int(pdf["ts"].max().timestamp() * 1_000_000))
+    state.update((n, total, last_epoch))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "sum_value": [round(total, 4)],
+            "last_ts": [pd.Timestamp(last_epoch, unit="us")],
+        }
+    )
+
+
+def running_user_totals(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-user running totals across batches
+    (applyInPandasWithState; update output mode)."""
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _update_running_totals,
+        outputStructType=RUNNING_TOTALS_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def drain_collect(
+    stream_df: DataFrame, checkpoint_dir: str, output_mode: str = "append"
+) -> list:
+    """Run one availableNow drain of ``stream_df`` and return the emitted
+    rows (foreachBatch sink — supports checkpoint recovery in every
+    output mode, unlike the memory sink)."""
+    rows: list = []
+
+    def collect_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        rows.extend(batch_df.collect())
+
+    query = (
+        stream_df.writeStream.foreachBatch(collect_batch)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return rows

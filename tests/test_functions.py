@@ -1,0 +1,91 @@
+"""Scalar function library tests (SURVEY §2.7): key codecs, URL parsing,
+href rewrite, Unicode title validation, truncation, title-case."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from geostore_spark import functions as gf
+
+
+def test_key_roundtrip(spark):
+    df = spark.createDataFrame([("abc", "v1")], "id string, ver string").select(
+        gf.dataset_hash_key(F.col("id"), F.col("ver")).alias("hk"),
+        gf.dataset_hash_key(F.col("id")).alias("pk"),
+    )
+    row = df.first()
+    assert row["hk"] == "DATASET#abc#VERSION#v1"
+    assert row["pk"] == "DATASET#abc"
+    back = df.select(
+        gf.split_hash_key(F.col("hk"), 1).alias("id"),
+        gf.split_hash_key(F.col("hk"), 3).alias("ver"),
+    ).first()
+    assert (back["id"], back["ver"]) == ("abc", "v1")
+
+
+def test_url_functions(spark):
+    url = "s3://bucket-x/a/b/item.json"
+    row = (
+        spark.range(1)
+        .select(
+            gf.basename(F.lit(url)).alias("base"),
+            gf.dirname(F.lit(url)).alias("dir"),
+            gf.parse_s3_bucket(F.lit(url)).alias("bucket"),
+            gf.parse_s3_key(F.lit(url)).alias("key"),
+            gf.is_s3_url(F.lit(url)).alias("is_s3"),
+            gf.is_s3_url(F.lit("http://x/y")).alias("is_http"),
+        )
+        .first()
+    )
+    assert row["base"] == "item.json"
+    assert row["dir"] == "s3://bucket-x/a/b"
+    assert row["bucket"] == "bucket-x"
+    assert row["key"] == "a/b/item.json"
+    assert row["is_s3"] and not row["is_http"]
+
+
+def test_title_validation_unicode(spark):
+    # macron titles valid (Te Reo Māori alphabet); spaces/symbols invalid
+    rows = (
+        spark.createDataFrame(
+            [("Kōwhai_2024",), ("plain-title",), ("bad title",), ("semi;colon",)],
+            "t string",
+        )
+        .select("t", gf.valid_title(F.col("t")).alias("ok"))
+        .collect()
+    )
+    assert [r["ok"] for r in rows] == [True, True, False, False]
+
+
+def test_href_rewrite_and_truncate_and_title_case(spark):
+    df = spark.createDataFrame(
+        [([{"href": "s3://b/deep/path/f.json", "rel": "item"}], "fAiLeD")],
+        "links array<struct<href string, rel string>>, status string",
+    )
+    row = df.select(
+        gf.href_to_basename(F.col("links")).alias("links"),
+        gf.truncate_chars(F.lit("x" * 5000)).alias("short"),
+        gf.title_case(F.col("status")).alias("s"),
+    ).first()
+    assert row["links"][0]["href"] == "f.json"
+    assert row["links"][0]["rel"] == "item"
+    assert len(row["short"]) == 3000
+    assert row["s"] == "Failed"
+
+
+def test_hex_digest_matches_duckdb(spark):
+    import duckdb
+
+    vals = ["alpha", "Kōwhai", ""]
+    spark_rows = (
+        spark.createDataFrame([(v,) for v in vals], "v string")
+        .select("v", gf.hex_digest_32(F.col("v")).alias("d"))
+        .collect()
+    )
+    got = {r["v"]: r["d"] for r in spark_rows}
+    con = duckdb.connect()
+    for v in vals:
+        (exp,) = con.execute(
+            "SELECT ('0x' || substring(md5(?), 1, 8))::BIGINT", [v]
+        ).fetchone()
+        assert got[v] == exp, v

@@ -1,0 +1,101 @@
+"""Streaming window + custom-stateful-operator tests: watermark late-data
+drop across checkpointed drains, and applyInPandasWithState accumulation."""
+
+from __future__ import annotations
+
+import json
+import os
+from datetime import datetime, timezone
+
+from geostore_spark.streaming.windows import (
+    drain_collect,
+    event_stream,
+    running_user_totals,
+    streaming_tumbling_counts,
+)
+
+
+def _ts(day: int, hour: int = 0) -> str:
+    return datetime(2026, 3, day, hour, tzinfo=timezone.utc).isoformat()
+
+
+def _write_events(path: str, name: str, rows: list[dict]) -> None:
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, name), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def _event(event_id: int, user_id: int, ts: str, value: float = 1.0) -> dict:
+    return {
+        "event_id": event_id,
+        "user_id": user_id,
+        "event_type": "click",
+        "value": value,
+        "ts": ts,
+    }
+
+
+def test_streaming_tumbling_watermark_drops_late_events(spark, tmp_path):
+    events = str(tmp_path / "events")
+    ckpt = str(tmp_path / "ckpt")
+
+    # batch 1: two days of events; day-1 window closes once watermark
+    # (max ts - 1h) passes its end.
+    _write_events(
+        events,
+        "b1.json",
+        [
+            _event(1, 1, _ts(1, 5)),
+            _event(2, 1, _ts(1, 6)),
+            _event(3, 2, _ts(3, 12)),  # advances watermark past day 1+2
+        ],
+    )
+    first = drain_collect(
+        streaming_tumbling_counts(event_stream(spark, events)), ckpt
+    )
+    assert {(r["w_start"].day, r["n"]) for r in first} >= {(1, 2)}
+
+    # batch 2: an event for day 1 arrives after the watermark moved to
+    # day 3 11:00 → dropped; a fresh day-4 event advances the stream.
+    _write_events(
+        events,
+        "b2.json",
+        [_event(4, 1, _ts(1, 7)), _event(5, 2, _ts(4, 12))],
+    )
+    second = drain_collect(
+        streaming_tumbling_counts(event_stream(spark, events)), ckpt
+    )
+    # the late day-1 event never re-emits or corrects the closed window
+    assert all(r["w_start"].day != 1 for r in second)
+
+
+def test_apply_in_pandas_with_state_accumulates_across_batches(spark, tmp_path):
+    events = str(tmp_path / "events")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write_events(
+        events,
+        "b1.json",
+        [
+            _event(1, 7, _ts(1, 1), 2.0),
+            _event(2, 7, _ts(1, 2), 3.0),
+            _event(3, 8, _ts(1, 3), 5.0),
+        ],
+    )
+    t1_rows = drain_collect(
+        running_user_totals(event_stream(spark, events)), ckpt, "update"
+    )
+    t1 = {r["user_id"]: (r["n_events"], r["sum_value"]) for r in t1_rows}
+    assert t1[7] == (2, 5.0)
+    assert t1[8] == (1, 5.0)
+
+    # second micro-batch folds into checkpointed state across a restart
+    _write_events(events, "b2.json", [_event(4, 7, _ts(2, 1), 10.0)])
+    t2_rows = drain_collect(
+        running_user_totals(event_stream(spark, events)), ckpt, "update"
+    )
+    t2 = {r["user_id"]: (r["n_events"], r["sum_value"]) for r in t2_rows}
+    assert t2[7] == (3, 15.0)  # state (2, 5.0) carried across the restart
+    last = [r["last_ts"] for r in t2_rows if r["user_id"] == 7][0]
+    assert last.day == 2
