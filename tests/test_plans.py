@@ -1,0 +1,81 @@
+"""Physical-plan regression tests: the scale-critical plan properties.
+
+Correctness says what a query returns; these pin HOW it executes — the
+properties that decide whether the same plan survives 100 TB:
+
+- filters reach the parquet scan (PushedFilters), so selective queries
+  read row-groups, not the table;
+- projections prune the scan schema (ReadSchema), so a 2-column query
+  never reads 16 columns;
+- small-dimension joins broadcast (BroadcastHashJoin), so the fact side
+  never shuffles for a lookup join;
+- semi/anti semantics use semi/anti joins (no materialized distinct);
+- aggregates partial-aggregate map-side (two HashAggregate phases), so
+  a groupBy shuffles one row per (key, partition), not the input.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = entry_mod.queries()[name](spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_point_lookup_pushes_filter_to_scan(spark):
+    plan = _plan(spark, "s2_point_lookup")
+    assert "PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey" in plan
+
+
+def test_projection_prunes_scan_schema(spark):
+    plan = _plan(spark, "s1_prefix_scan")
+    # two-column query must read a two-column schema
+    assert "ReadSchema: struct<c_custkey:bigint,c_name:string>" in plan
+
+
+def test_small_dim_join_broadcasts(spark):
+    plan = _plan(spark, "j3_broadcast_lookup")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_semi_and_anti_joins_stay_semi_anti(spark):
+    assert "LeftSemi" in _plan(spark, "j1_semi_join_exists")
+    assert "LeftAnti" in _plan(spark, "j2_anti_join_not_exists")
+
+
+def test_aggregate_partially_aggregates_map_side(spark):
+    plan = _plan(spark, "a5_status_rollup")
+    # partial + final HashAggregate phases around the exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_" in plan.lower() or "Partial" in plan
+
+
+def test_topk_is_take_ordered_not_global_sort(spark):
+    plan = _plan(spark, "o2_topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_lang_id_is_single_projection_pass(spark):
+    # the per-row rewrite must not reintroduce explode/join/window
+    plan = _plan(spark, "x_text_lang_id")
+    for op in ("Generate", "Join", "Window"):
+        assert op not in plan, f"unexpected {op} in lang-id plan"
+
+
+def test_minhash_band_join_not_cartesian(spark):
+    plan = _plan(spark, "x_dedup_minhash_lsh")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+@pytest.mark.parametrize("name", ["x_sim_topk_bruteforce", "x_sim_ann_lsh", "x_sim_ivf"])
+def test_similarity_queries_broadcast_query_side(spark, name):
+    plan = _plan(spark, name)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
