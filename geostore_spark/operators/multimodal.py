@@ -96,6 +96,35 @@ def decode_media(df: DataFrame) -> DataFrame:
     return df.mapInPandas(batches, DECODED_SCHEMA)
 
 
+RESIZED_SCHEMA = "doc_id long, width int, height int, r_width int, r_height int, thumb_hash string"
+
+
+def resize_media(df: DataFrame, max_side: int = 64) -> DataFrame:
+    """Resize step for image-shaped payloads: aspect-preserving bound to
+    ``max_side``. The pixel work is the STUB codec (deterministic
+    dimensions + a content-derived thumb hash standing in for resampled
+    bytes); the Spark shape — mapInPandas over binary columns, metadata
+    computed per batch — is the real plumbing a PIL/libvips swap-in
+    keeps."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                payload = bytes(content)
+                width, height = _stub_decode(payload)
+                scale = min(max_side / width, max_side / height, 1.0)
+                r_w, r_h = max(1, int(width * scale)), max(1, int(height * scale))
+                thumb = hashlib.md5(payload + f"{r_w}x{r_h}".encode()).hexdigest()
+                rows.append((doc_id, width, height, r_w, r_h, thumb))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "r_width", "r_height", "thumb_hash"],
+            )
+
+    return df.mapInPandas(batches, RESIZED_SCHEMA)
+
+
 def sample_frames(df: DataFrame, frame_size: int = 4096, every_n: int = 2) -> DataFrame:
     """Frame sampling for video-shaped payloads: split the byte stream into
     fixed-size frames, keep every Nth. Same batch-bounded mapInPandas
@@ -134,5 +163,35 @@ def q_mm_decode(spark: SparkSession, sf: str) -> DataFrame:
         decode_media(attach_binary(docs))
         .select("doc_id", "media_type", "width", "height", "n_bytes", "feature")
         .orderBy("doc_id")
+        .limit(200)
+    )
+
+
+@register(
+    "x_mm_resize",
+    "Aspect-preserving resize over binary media columns (mapInPandas; "
+    "codec stubbed, plumbing real). Python-side → rows-only driver check.",
+    None,
+)
+def q_mm_resize(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf)
+    return (
+        resize_media(attach_binary(docs))
+        .orderBy("doc_id")
+        .limit(200)
+    )
+
+
+@register(
+    "x_mm_frames",
+    "Frame sampling for video-shaped payloads: fixed-size byte frames, "
+    "every-Nth kept (mapInPandas demux stand-in). Rows-only driver check.",
+    None,
+)
+def q_mm_frames(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf)
+    return (
+        sample_frames(attach_binary(docs))
+        .orderBy("doc_id", "frame_index")
         .limit(200)
     )

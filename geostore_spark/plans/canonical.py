@@ -841,3 +841,50 @@ def f11(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("s")
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 extensions — free in Spark, absent in the reference (SURVEY §2.4:
+# "No grouping-sets/cube/rollup, no approximate aggregates in the reference;
+# they come free in Spark and are exposed by the engine")
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "a7_grouping_sets",
+    "Multi-level rollup in one pass — GROUPING SETS ((flag,status),(flag),()) "
+    "over lineitem; one scan feeds every level (extension; no reference op).",
+    """SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+              COALESCE(l_linestatus, 'ALL') AS status,
+              COUNT(*) AS n, ROUND(SUM(l_quantity), 4) AS sum_qty
+       FROM lineitem
+       GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+       ORDER BY flag, status""",
+)
+def a7(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf)
+    li.createOrReplaceTempView("_a7_lineitem")
+    return spark.sql(
+        """SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+                  COALESCE(l_linestatus, 'ALL') AS status,
+                  COUNT(*) AS n, ROUND(SUM(l_quantity), 4) AS sum_qty
+           FROM _a7_lineitem
+           GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+           ORDER BY flag, status"""
+    )
+
+
+@_register(
+    "a8_approx_distinct",
+    "Approximate distinct counting (HyperLogL) per group — the sketch "
+    "aggregate for 100 TB cardinality work. Engines use different HLL "
+    "variants so values differ from DuckDB's; rows-only driver check.",
+    None,
+)
+def a8(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load_table(spark, "lineitem", sf)
+        .groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"))
+        .orderBy("l_returnflag")
+    )

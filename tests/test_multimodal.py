@@ -40,3 +40,16 @@ def test_frame_sampling_keeps_every_nth(spark):
     rows = frames.collect()
     assert rows and all(r["frame_index"] % 2 == 0 for r in rows)
     assert all(r["frame_bytes"] <= 100 for r in rows)
+
+
+def test_resize_bounds_and_aspect(spark):
+    from geostore_spark.operators.multimodal import resize_media
+
+    docs = load_table(spark, "documents", SF_DIR).limit(10)
+    rows = resize_media(attach_binary(docs), max_side=64).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert max(r["r_width"], r["r_height"]) <= 64
+        # aspect preserved within integer truncation
+        assert abs(r["r_width"] / r["r_height"] - r["width"] / r["height"]) < 0.1
+        assert len(r["thumb_hash"]) == 32
