@@ -1,0 +1,155 @@
+"""Temporal join operators: as-of join, range join, moving windows.
+
+The reference's only temporal semantic is the latest-version pointer
+(SURVEY §2.3 J6); these generalize it to the operators a time-aware
+warehouse needs. Spark has no ASOF JOIN primitive — the as-of here is the
+scalable composition: UNION both sides tagged, one shuffle on the key,
+and a running-max window picks "latest left row at-or-before each right
+row". Cost is one shuffle + one sort over rows(L)+rows(R) — versus a
+per-row correlated probe (the naive form) that at 100 TB is a
+nested-loop disaster. Range joins against a small band dimension
+broadcast; Catalyst turns BETWEEN into a nested-loop over the broadcast
+side, which is the right plan when the dim is tiny.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from geostore_spark.registry import register
+from geostore_spark.sources.tables import load_table
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    value_col: str,
+) -> DataFrame:
+    """For each right row, the max ``value_col`` among left rows with the
+    same key and ``left_ts <= right_ts`` (as-of semantics via union +
+    running-max window; one shuffle, no correlated probes)."""
+    l_part = left.select(
+        F.col(left_key).alias("k"),
+        F.col(left_ts).cast("timestamp").alias("t"),
+        F.lit(0).alias("is_probe"),
+        F.lit(None).cast("long").alias("probe_id"),
+        F.col(value_col).alias("v"),
+    )
+    r_part = right.select(
+        F.col(right_key).alias("k"),
+        F.col(right_ts).cast("timestamp").alias("t"),
+        F.lit(1).alias("is_probe"),
+        F.col("event_id").alias("probe_id"),
+        F.lit(None).cast(dict(left.dtypes)[value_col]).alias("v"),
+    )
+    # build rows sort before probe rows at equal t → '<=' semantics
+    w = (
+        Window.partitionBy("k")
+        .orderBy("t", "is_probe")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        l_part.unionByName(r_part)
+        .withColumn("asof_v", F.max("v").over(w))
+        .filter(F.col("is_probe") == 1)
+        .select("probe_id", "k", "t", "asof_v")
+    )
+
+
+@register(
+    "x_asof_join",
+    "As-of join: each event picks the latest order date of its user at or "
+    "before the event time. Union + running-max window — one shuffle on "
+    "the key, no correlated per-row probes.",
+    """SELECT e.event_id,
+              (SELECT MAX(o.o_orderdate) FROM orders o
+                WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+                AS last_order_ts
+       FROM events e
+       ORDER BY e.event_id LIMIT 200""",
+)
+def q_asof(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf)
+    events = load_table(spark, "events", sf)
+    return (
+        asof_join(
+            orders, events, "o_custkey", "user_id", "o_orderdate", "ts", "o_orderdate"
+        )
+        .select(F.col("probe_id").alias("event_id"), F.col("asof_v").alias("last_order_ts"))
+        .orderBy("event_id")
+        .limit(200)
+    )
+
+
+PRICE_BANDS: list[tuple[float, float, str]] = [
+    (0.0, 25_000.0, "low"),
+    (25_000.0, 100_000.0, "mid"),
+    (100_000.0, 1_000_000.0, "high"),
+]
+
+
+def _bands_sql() -> str:
+    rows = ", ".join(f"({lo}, {hi}, '{name}')" for lo, hi, name in PRICE_BANDS)
+    return f"(VALUES {rows}) AS bands(lo, hi, band)"
+
+
+@register(
+    "x_range_join",
+    "Range (interval) join: orders bucketed into literal price bands via "
+    "BETWEEN against a broadcast dimension — nested-loop over the tiny "
+    "broadcast side, never a shuffle of the fact table.",
+    f"""SELECT bands.band, COUNT(*) AS n, ROUND(AVG(o.o_totalprice), 4) AS avg_price
+       FROM orders o JOIN {_bands_sql()}
+         ON o.o_totalprice >= bands.lo AND o.o_totalprice < bands.hi
+       GROUP BY bands.band ORDER BY bands.band""",
+)
+def q_range_join(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf)
+    bands = spark.createDataFrame(PRICE_BANDS, "lo double, hi double, band string")
+    return (
+        orders.join(
+            F.broadcast(bands),
+            (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        )
+        .orderBy("band")
+    )
+
+
+@register(
+    "x_win_moving_avg",
+    "Moving average over an ordered per-key frame (ROWS BETWEEN 2 "
+    "PRECEDING AND CURRENT ROW) — the rolling-metric window shape.",
+    """SELECT o_custkey, o_orderkey,
+              ROUND(AVG(o_totalprice) OVER (
+                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS avg3
+       FROM orders
+       ORDER BY o_custkey, o_orderkey LIMIT 200""",
+)
+def q_moving_avg(spark: SparkSession, sf: str) -> DataFrame:
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return (
+        load_table(spark, "orders", sf)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.avg("o_totalprice").over(w), 4).alias("avg3"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+        .limit(200)
+    )
