@@ -1,0 +1,112 @@
+"""Randomized generative tests, mirroring the reference's fuzz-lite style
+(tests/general_generators.py: printable ASCII + Unicode incl. macrons;
+deterministic seeds). Each test generates a batch and runs ONE Spark job —
+never a job per example.
+"""
+
+from __future__ import annotations
+
+import random
+import string
+from datetime import datetime, timedelta, timezone
+
+from pyspark.sql import functions as F
+
+from geostore_spark import functions as gf
+from geostore_spark.pipeline.ulid import human_readable_ulid, ulid
+
+MACRONS = "āēīōūĀĒĪŌŪ"
+TITLE_ALPHABET = string.ascii_letters + string.digits + "_-" + MACRONS
+
+RNG = random.Random(20260813)
+
+
+def _random_title(rng: random.Random) -> str:
+    return "".join(rng.choice(TITLE_ALPHABET) for _ in range(rng.randint(1, 30)))
+
+
+def _random_text(rng: random.Random) -> str:
+    pool = string.printable + MACRONS + "✓☺"
+    return "".join(rng.choice(pool) for _ in range(rng.randint(0, 60)))
+
+
+def test_ulid_time_sortable():
+    base = datetime(2020, 1, 1, tzinfo=timezone.utc)
+    times = sorted(
+        {base + timedelta(milliseconds=RNG.randrange(10**10)) for _ in range(200)}
+    )
+    ids = [ulid(t, random.Random(i)) for i, t in enumerate(times)]
+    hr = [human_readable_ulid(t, random.Random(i)) for i, t in enumerate(times)]
+    # strictly increasing ms timestamps ⇒ strictly increasing id strings
+    assert ids == sorted(ids)
+    assert hr == sorted(hr)
+
+
+def test_key_codec_roundtrip_random_titles(spark):
+    rows = [(_random_title(RNG), f"v{i}") for i in range(300)]
+    df = spark.createDataFrame(rows, "id string, ver string")
+    back = (
+        df.select(
+            "id",
+            "ver",
+            gf.dataset_hash_key(F.col("id"), F.col("ver")).alias("hk"),
+        )
+        .select(
+            "id",
+            "ver",
+            gf.split_hash_key(F.col("hk"), 1).alias("id2"),
+            gf.split_hash_key(F.col("hk"), 3).alias("ver2"),
+        )
+        .collect()
+    )
+    for r in back:
+        assert r["id2"] == r["id"] and r["ver2"] == r["ver"]
+
+
+def test_title_validation_matches_python_regex(spark):
+    import re
+
+    from geostore_spark.functions.scalars import TITLE_PATTERN
+
+    pat = re.compile(TITLE_PATTERN)
+    samples = [_random_title(RNG) for _ in range(100)] + [
+        _random_text(RNG) for _ in range(200)
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], "t string")
+    got = {
+        r["t"]: r["ok"]
+        for r in df.select("t", gf.valid_title(F.col("t")).alias("ok")).collect()
+    }
+    for s in samples:
+        assert got[s] == bool(pat.match(s)), repr(s)
+
+
+def test_hex_digest_matches_duckdb_on_random_unicode(spark):
+    import duckdb
+
+    samples = list({_random_text(RNG) for _ in range(150)})
+    df = spark.createDataFrame([(s,) for s in samples], "v string")
+    got = {
+        r["v"]: r["d"]
+        for r in df.select("v", gf.hex_digest_32(F.col("v")).alias("d")).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(v VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(s,) for s in samples])
+    for v, exp in con.execute(
+        "SELECT v, ('0x' || substring(md5(v), 1, 8))::BIGINT FROM t"
+    ).fetchall():
+        assert got[v] == exp, repr(v)
+
+
+def test_simhash_identical_texts_identical_fingerprints(spark):
+    from geostore_spark.operators.dedup import simhash
+
+    texts = [_random_text(RNG) or "x" for _ in range(40)]
+    rows = [(i, texts[i % len(texts)]) for i in range(120)]  # each text 3×
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = simhash(df, "doc_id", "text").collect()
+    by_text = {}
+    for r in fps:
+        by_text.setdefault(rows[r["doc_id"]][1], set()).add(r["simhash32"])
+    assert all(len(v) == 1 for v in by_text.values())  # deterministic per text
