@@ -81,7 +81,7 @@ def win_sliding(spark: SparkSession, sf: str) -> DataFrame:
        )
        SELECT user_id, MIN(ts) AS s_start, MAX(ts) + INTERVAL 2 HOUR AS s_end,
               COUNT(*) AS n
-       FROM s GROUP BY user_id, sid ORDER BY user_id, s_start""",
+       FROM s GROUP BY user_id, sid ORDER BY user_id, s_start LIMIT 200""",
 )
 def win_session(spark: SparkSession, sf: str) -> DataFrame:
     return (
@@ -95,4 +95,5 @@ def win_session(spark: SparkSession, sf: str) -> DataFrame:
             "n",
         )
         .orderBy("user_id", "s_start")
+        .limit(200)
     )
