@@ -1,0 +1,64 @@
+"""CLI e2e: the reference's command surface driven end-to-end in-process
+(create → list → version create → status → delete), with the reference's
+exit codes (0 success, 3 conflict, 1 unknown/404)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from geostore_spark import cli
+
+from .stac_fixtures import build_golden_tree
+
+
+@pytest.fixture()
+def roots(tmp_path):
+    return {
+        "store": str(tmp_path / "store"),
+        "storage": str(tmp_path / "storage"),
+        "tree": build_golden_tree(str(tmp_path)),
+    }
+
+
+def _run(capsys, roots, *argv) -> tuple[int, str, str]:
+    code = cli.main(["--store", roots["store"], "--storage", roots["storage"], *argv])
+    captured = capsys.readouterr()
+    return code, captured.out, captured.err
+
+
+def test_cli_full_lifecycle(spark, capsys, roots):
+    code, out, _ = _run(capsys, roots, "dataset", "create", "--title", "Cli_DS")
+    assert code == 0
+    dataset_id = json.loads(out)["id"]
+
+    # duplicate title → conflict exit code 3 (reference ExitCode.CONFLICT)
+    code, _, err = _run(capsys, roots, "dataset", "create", "--title", "Cli_DS")
+    assert code == 3 and "already exists" in err
+
+    code, out, _ = _run(capsys, roots, "dataset", "list")
+    assert code == 0 and [d["title"] for d in json.loads(out)] == ["Cli_DS"]
+
+    code, out, _ = _run(
+        capsys, roots, "version", "create",
+        "--dataset-id", dataset_id, "--metadata-url", roots["tree"]["root_url"],
+    )
+    assert code == 0
+    body = json.loads(out)
+    execution_id = body["execution_id"]
+    assert body["new_version_id"]
+
+    code, out, _ = _run(capsys, roots, "version", "status", "--execution-id", execution_id)
+    assert code == 0
+    status = json.loads(out)
+    assert status["step function"]["status"] == "Succeeded"
+    assert status["validation"]["status"] == "Passed"
+
+    # import wrote assets under <storage>/<title>/ → delete conflicts (409)
+    code, _, err = _run(capsys, roots, "dataset", "delete", "--id", dataset_id)
+    assert code == 3 and "not empty" in err
+
+    # unknown id → 404 → unknown exit code 1
+    code, _, _ = _run(capsys, roots, "dataset", "get", "--id", "nope")
+    assert code == 1
