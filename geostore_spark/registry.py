@@ -47,6 +47,7 @@ def all_queries() -> dict[str, RegisteredQuery]:
         dedup,
         multimodal,
         similarity,
+        skew,
         temporal,
         text,
         windows,
