@@ -888,3 +888,27 @@ def a8(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"))
         .orderBy("l_returnflag")
     )
+
+
+@_register(
+    "a9_quantiles",
+    "Exact continuous quantiles per group (percentile ≡ DuckDB "
+    "quantile_cont, both linear-interpolating) — the distribution-summary "
+    "aggregate (extension; no reference op).",
+    """SELECT o_orderstatus,
+              ROUND(quantile_cont(o_totalprice, 0.25), 4) AS q25,
+              ROUND(quantile_cont(o_totalprice, 0.50), 4) AS q50,
+              ROUND(quantile_cont(o_totalprice, 0.75), 4) AS q75
+       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+)
+def a9(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load_table(spark, "orders", sf)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.25)"), 4).alias("q25"),
+            F.round(F.expr("percentile(o_totalprice, 0.50)"), 4).alias("q50"),
+            F.round(F.expr("percentile(o_totalprice, 0.75)"), 4).alias("q75"),
+        )
+        .orderBy("o_orderstatus")
+    )
