@@ -70,26 +70,53 @@ def bucket_column(emb: Column) -> Column:
 def cosine_topk(
     embeddings: DataFrame, queries: DataFrame, k: int = TOP_K
 ) -> DataFrame:
-    """Brute-force exact top-k neighbors per query vector (cosine)."""
-    e = embeddings.select(
-        F.col("vec_id").alias("n_id"),
-        _as_double("embedding").alias("emb"),
-        _norm(_as_double("embedding")).alias("nrm"),
-    )
-    q = queries.select(
-        F.col("vec_id").alias("q_id"),
-        _as_double("embedding").alias("q_emb"),
-        _norm(_as_double("embedding")).alias("q_nrm"),
-    )
-    scored = (
-        F.broadcast(q)
-        .join(e, F.col("n_id") != F.col("q_id"))
-        .select(
-            "q_id",
-            "n_id",
-            (_dot(F.col("q_emb"), F.col("emb")) / (F.col("q_nrm") * F.col("nrm"))).alias("cos"),
-        )
-    )
+    """Brute-force exact top-k neighbors per query vector (cosine).
+
+    Scale shape: the query matrix (q×d, small by definition) ships to
+    every task; each partition computes one BLAS matmul (block of N × all
+    queries) and *locally prunes to its own top-k per query* — so the
+    shuffle carries ≤ k·q rows per partition, never the N·q score space.
+    A final per-query window merges partition winners. O(N·d·q) flops in
+    vectorized numpy, O(partitions·k·q) shuffle bytes.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select("vec_id", _as_double("embedding").alias("emb")).collect()
+    q_ids = np.array([r["vec_id"] for r in q_rows])
+    q_mat = np.vstack([np.asarray(r["emb"]) for r in q_rows])
+    q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+
+    def score_partition(batches) -> "pd.DataFrame":
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            n_ids = pdf["vec_id"].to_numpy()
+            mat = np.vstack(pdf["emb"].to_numpy())
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            scores = mat @ q_mat.T  # (n, q)
+            for j in range(len(q_ids)):
+                col = scores[:, j]
+                cand = np.nonzero(n_ids != q_ids[j])[0]
+                if not len(cand):
+                    continue
+                take = min(k, len(cand))
+                # local prune on RAW scores with the oracle's exact order
+                # (cos desc, id asc); rounding happens after the global
+                # merge, as in the oracle
+                order = np.lexsort((n_ids[cand], -col[cand]))[:take]
+                top = cand[order]
+                yield pd.DataFrame(
+                    {
+                        "q_id": np.repeat(q_ids[j], len(top)),
+                        "n_id": n_ids[top],
+                        "cos": col[top],
+                    }
+                )
+
+    scored = embeddings.select(
+        "vec_id", _as_double("embedding").alias("emb")
+    ).mapInPandas(score_partition, "q_id long, n_id long, cos double")
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), "n_id")
     return (
         scored.withColumn("rn", F.row_number().over(w))

@@ -75,7 +75,15 @@ def test_minhash_band_join_not_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-@pytest.mark.parametrize("name", ["x_sim_topk_bruteforce", "x_sim_ann_lsh", "x_sim_ivf"])
+@pytest.mark.parametrize("name", ["x_sim_ann_lsh", "x_sim_ivf"])
 def test_similarity_queries_broadcast_query_side(spark, name):
     plan = _plan(spark, name)
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_bruteforce_topk_is_partition_local_blas(spark):
+    # queries ship in the task closure; per-partition BLAS + local top-k
+    # prune, so the only shuffle is the k·q-rows-per-partition merge
+    plan = _plan(spark, "x_sim_topk_bruteforce")
+    assert "MapInPandas" in plan
+    assert "Join" not in plan
