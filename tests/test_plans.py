@@ -87,3 +87,19 @@ def test_bruteforce_topk_is_partition_local_blas(spark):
     plan = _plan(spark, "x_sim_topk_bruteforce")
     assert "MapInPandas" in plan
     assert "Join" not in plan
+
+
+def test_range_join_broadcasts_band_dim(spark):
+    plan = _plan(spark, "x_range_join")
+    assert "BroadcastNestedLoopJoin" in plan  # tiny dim side broadcast
+
+
+def test_skew_salted_agg_is_two_phase(spark):
+    plan = _plan(spark, "x_skew_salted_agg")
+    assert plan.count("HashAggregate") >= 3  # partial+final × two phases
+
+
+def test_asof_join_is_union_window_not_join(spark):
+    plan = _plan(spark, "x_asof_join")
+    assert "Union" in plan and "Window" in plan
+    assert "Join" not in plan  # no correlated probe join
