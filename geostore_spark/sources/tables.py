@@ -39,14 +39,27 @@ def default_sf_dir() -> str:
     return os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
 
 
+# DataFrame *plans* are immutable — memoize per (session, path) so repeated
+# loads skip the eager footer read schema inference costs (~50 ms each; a
+# 70-query suite re-reads footers ~100×). Keyed on the session id so a new
+# session never sees another session's plan objects.
+_PLAN_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
     sf_dir = sf_dir or default_sf_dir()
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    key = (spark.sparkContext.applicationId, path)
+    cached = _PLAN_CACHE.get(key)
+    if cached is not None:
+        return cached
+    df = spark.read.parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # nanos-as-long → real timestamp (micros); keeps the column usable by
         # every built-in date/time function JVM-side.
         # integer div: float division loses precision at ~1e18 ns epochs
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    _PLAN_CACHE[key] = df
     return df
 
 
