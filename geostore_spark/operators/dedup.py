@@ -396,13 +396,22 @@ def embedding_cosine_pairs(
     import numpy as np
     import pandas as pd
 
-    from geostore_spark.operators.similarity import bucket_column
+    from geostore_spark.operators.similarity import numpy_buckets
+
+    def add_bucket(batches):
+        # vectorized bucket assignment (one matmul per Arrow batch) — the
+        # expression form (`bucket_column`) evaluates its lambdas
+        # interpreted and costs ~0.25 ms/row; at ingest time the bucket
+        # would be written once as the partition key with either form
+        for pdf in batches:
+            if len(pdf):
+                yield pdf.assign(
+                    bucket=numpy_buckets(np.vstack(pdf["emb"].to_numpy())).astype("int32")
+                )
 
     e = embeddings.select(
-        "vec_id",
-        F.col("embedding").cast("array<double>").alias("emb"),
-        bucket_column(F.col("embedding").cast("array<double>")).alias("bucket"),
-    )
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    ).mapInPandas(add_bucket, "vec_id long, emb array<double>, bucket int")
 
     max_block = 4096  # bounds per-task memory: block² floats, not bucket²
 

@@ -1,0 +1,208 @@
+"""Spatial join operators over bbox columns (STAC bounding boxes).
+
+The reference's catalog carries a ``bbox: [minx, miny, maxx, maxy]`` per
+item (reference stac_format.py bbox key); a spatial catalog has to answer
+"which items intersect which query regions" at collection scale. A naive
+bbox-intersects join is a cross product — O(N·M) comparisons that no
+cluster survives. The scalable relational form is the classic
+grid-bucketed spatial join (PBSM lineage): snap every box to the fixed
+grid cells it overlaps, equi-join on the cell id, verify exact
+intersection inside the bucket, and de-duplicate multi-cell pairs with
+the *reference-point* rule — a pair is emitted only from the one cell
+that contains the intersection's lower-left corner, so no distinct pass
+over the pair stream is needed.
+
+At 100 TB the cell id is an ingest-time partition key: the equi-join
+shuffles both sides once on (cell_x, cell_y), skewed megacells can be
+salted like any hot key, and the exact-intersects verify is a codegen'd
+comparison — no UDF anywhere in the pipeline.
+
+The demo queries derive deterministic boxes from integer keys of the
+TPC-H-ish tables (exact integer-then-divide arithmetic, so the DuckDB
+oracle reproduces every coordinate bit-for-bit).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from geostore_spark.functions.geo import bbox_extent_agg, bbox_intersects
+from geostore_spark.registry import register
+from geostore_spark.sources.tables import load_table
+
+CELL_DEG = 2.0  # fixed grid pitch in degrees
+
+
+def _c(b: Column, i: int) -> Column:
+    return F.element_at(b, i + 1)
+
+
+def _cell(v: Column) -> Column:
+    return F.floor(v / F.lit(CELL_DEG))
+
+
+def grid_cover(bbox: Column) -> tuple[Column, Column]:
+    """Column pair of cell-index ranges (x and y) a box overlaps, as
+    ``sequence`` arrays ready to explode."""
+    return (
+        F.sequence(_cell(_c(bbox, 0)), _cell(_c(bbox, 2))),
+        F.sequence(_cell(_c(bbox, 1)), _cell(_c(bbox, 3))),
+    )
+
+
+def spatial_grid_join(
+    left: DataFrame, right: DataFrame, l_id: str, r_id: str
+) -> DataFrame:
+    """All (left, right) id pairs whose ``bbox`` columns intersect.
+
+    Both sides flatten the box to four scalar columns FIRST, then explode
+    to (id, bounds..., cell_x, cell_y); the join is a pure equi-join on
+    the cell pair plus a codegen'd scalar-comparison verify.
+    Reference-point dedup: the pair survives only in the cell containing
+    (max(minx), max(miny)) — a cell both boxes overlap by construction —
+    so multi-cell pairs never need a distinct shuffle.
+
+    Flattening before the explode matters: Catalyst infers a
+    non-empty-sequence filter below each Generate and substitutes the
+    generator's argument expression into it wholesale (no CSE), so
+    sequence bounds built from ``element_at(bbox, …)`` re-evaluate the
+    whole box expression ~8× per input row (measured 3.2 s → 1.9 s warm,
+    14 s → 3 s cold, on the demo join after flattening).
+    """
+
+    def cover(df: DataFrame, id_col: str, p: str) -> DataFrame:
+        b = F.col("bbox")
+        return (
+            df.select(
+                F.col(id_col),
+                _c(b, 0).alias(f"{p}x0"),
+                _c(b, 1).alias(f"{p}y0"),
+                _c(b, 2).alias(f"{p}x1"),
+                _c(b, 3).alias(f"{p}y1"),
+            )
+            .withColumn(
+                "cell_x",
+                F.explode(F.sequence(_cell(F.col(f"{p}x0")), _cell(F.col(f"{p}x1")))),
+            )
+            .withColumn(
+                "cell_y",
+                F.explode(F.sequence(_cell(F.col(f"{p}y0")), _cell(F.col(f"{p}y1")))),
+            )
+        )
+
+    lc = cover(left, l_id, "l")
+    rc = cover(right, r_id, "r")
+    intersects = (
+        (F.col("lx0") <= F.col("rx1"))
+        & (F.col("rx0") <= F.col("lx1"))
+        & (F.col("ly0") <= F.col("ry1"))
+        & (F.col("ry0") <= F.col("ly1"))
+    )
+    ref_x = _cell(F.greatest(F.col("lx0"), F.col("rx0")))
+    ref_y = _cell(F.greatest(F.col("ly0"), F.col("ry0")))
+    return (
+        lc.join(rc, ["cell_x", "cell_y"])
+        .filter(intersects)
+        .filter((F.col("cell_x") == ref_x) & (F.col("cell_y") == ref_y))
+        .select(l_id, r_id)
+    )
+
+
+# -- deterministic demo geometries ------------------------------------------
+#
+# Integer modular arithmetic then one divide: every coordinate is the same
+# IEEE double in Spark and DuckDB, so join predicates and floors agree
+# bit-for-bit.
+
+
+def _item_bbox() -> Column:
+    cx = (F.col("o_orderkey") % 3600) / F.lit(10.0) - F.lit(180.0)
+    cy = (F.col("o_orderkey") * 7 % 1700) / F.lit(10.0) - F.lit(85.0)
+    hw = ((F.col("o_orderkey") % 13) + 1) / F.lit(20.0)
+    hh = ((F.col("o_orderkey") % 7) + 1) / F.lit(20.0)
+    return F.array(cx - hw, cy - hh, cx + hw, cy + hh)
+
+
+_ITEM_BBOX_SQL = """
+    [ (o_orderkey % 3600) / 10.0 - 180.0 - ((o_orderkey % 13) + 1) / 20.0,
+      (o_orderkey * 7 % 1700) / 10.0 - 85.0 - ((o_orderkey % 7) + 1) / 20.0,
+      (o_orderkey % 3600) / 10.0 - 180.0 + ((o_orderkey % 13) + 1) / 20.0,
+      (o_orderkey * 7 % 1700) / 10.0 - 85.0 + ((o_orderkey % 7) + 1) / 20.0 ]"""
+
+
+def _zone_bbox() -> Column:
+    cx = (F.col("c_custkey") * 7 % 3600) / F.lit(10.0) - F.lit(180.0)
+    cy = (F.col("c_custkey") * 13 % 1700) / F.lit(10.0) - F.lit(85.0)
+    half = ((F.col("c_custkey") % 11) + 5) / F.lit(10.0)
+    return F.array(cx - half, cy - half, cx + half, cy + half)
+
+
+_ZONE_BBOX_SQL = """
+    [ (c_custkey * 7 % 3600) / 10.0 - 180.0 - ((c_custkey % 11) + 5) / 10.0,
+      (c_custkey * 13 % 1700) / 10.0 - 85.0 - ((c_custkey % 11) + 5) / 10.0,
+      (c_custkey * 7 % 3600) / 10.0 - 180.0 + ((c_custkey % 11) + 5) / 10.0,
+      (c_custkey * 13 % 1700) / 10.0 - 85.0 + ((c_custkey % 11) + 5) / 10.0 ]"""
+
+
+@register(
+    "x_geo_grid_join",
+    "Grid-bucketed bbox intersection join (PBSM shape): snap boxes to "
+    "fixed 2° cells, equi-join on cell id, exact-intersects verify, "
+    "reference-point dedup — never a cross product, never a distinct "
+    "over the pair stream. Cell id is the partition key at scale.",
+    f"""WITH items AS (
+          SELECT o_orderkey AS item_id, {_ITEM_BBOX_SQL} AS bbox FROM orders
+        ),
+        zones AS (
+          SELECT c_custkey AS zone_id, {_ZONE_BBOX_SQL} AS bbox FROM customer
+        ),
+        pairs AS (
+          SELECT z.zone_id, i.item_id
+          FROM items i JOIN zones z
+            ON i.bbox[1] <= z.bbox[3] AND z.bbox[1] <= i.bbox[3]
+           AND i.bbox[2] <= z.bbox[4] AND z.bbox[2] <= i.bbox[4]
+        )
+        SELECT zone_id, COUNT(*) AS n_items
+        FROM pairs GROUP BY zone_id
+        ORDER BY n_items DESC, zone_id LIMIT 100""",
+)
+def q_grid_join(spark: SparkSession, sf: str) -> DataFrame:
+    items = load_table(spark, "orders", sf).select(
+        F.col("o_orderkey").alias("item_id"), _item_bbox().alias("bbox")
+    )
+    zones = load_table(spark, "customer", sf).select(
+        F.col("c_custkey").alias("zone_id"), _zone_bbox().alias("bbox")
+    )
+    return (
+        spatial_grid_join(items, zones, "item_id", "zone_id")
+        .groupBy("zone_id")
+        .agg(F.count(F.lit(1)).alias("n_items"))
+        .orderBy(F.col("n_items").desc(), "zone_id")
+        .limit(100)
+    )
+
+
+@register(
+    "x_geo_extent_rollup",
+    "Collection extent rollup: per-group bbox union via min/max aggregates "
+    "(the STAC collection summary extent) — partial-aggregates map-side "
+    "like any min/max, one row per group on the wire.",
+    f"""WITH items AS (
+          SELECT o_orderstatus, {_ITEM_BBOX_SQL} AS bbox FROM orders
+        )
+        SELECT o_orderstatus,
+               MIN(bbox[1]) AS extent_minx, MIN(bbox[2]) AS extent_miny,
+               MAX(bbox[3]) AS extent_maxx, MAX(bbox[4]) AS extent_maxy,
+               COUNT(*) AS n_items
+        FROM items GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+)
+def q_extent_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    items = load_table(spark, "orders", sf).select(
+        "o_orderstatus", _item_bbox().alias("bbox")
+    )
+    return (
+        items.groupBy("o_orderstatus")
+        .agg(*bbox_extent_agg(F.col("bbox")), F.count(F.lit(1)).alias("n_items"))
+        .orderBy("o_orderstatus")
+    )

@@ -48,6 +48,7 @@ def all_queries() -> dict[str, RegisteredQuery]:
         multimodal,
         similarity,
         skew,
+        spatial,
         temporal,
         text,
         windows,

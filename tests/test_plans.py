@@ -76,9 +76,13 @@ def test_minhash_band_join_not_cartesian(spark):
 
 
 @pytest.mark.parametrize("name", ["x_sim_ann_lsh", "x_sim_ivf"])
-def test_similarity_queries_broadcast_query_side(spark, name):
+def test_similarity_probes_are_partition_local_blas(spark, name):
+    # query matrix + quantizer ship in the task closure; per-partition
+    # BLAS probe with local top-k prune — the only shuffle is the
+    # k·q-rows-per-partition winner merge, never an N-row score space
     plan = _plan(spark, name)
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "MapInPandas" in plan
+    assert "Join" not in plan
 
 
 def test_bruteforce_topk_is_partition_local_blas(spark):
