@@ -31,6 +31,7 @@ import random
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from geostore_spark.operators.util import rebalance_for_python
 from geostore_spark.registry import register
 from geostore_spark.sources.tables import load_table
 
@@ -129,7 +130,9 @@ def shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame
                 outs.extend(grams)
             yield pd.DataFrame({id_col: ids, "s": outs})
 
-    return df.select(id_col, text_col).mapInPandas(gen, f"{id_col} long, s string")
+    return rebalance_for_python(df.select(id_col, text_col)).mapInPandas(
+        gen, f"{id_col} long, s string"
+    )
 
 
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -267,31 +270,55 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """32-bit SimHash fingerprint per document: per-bit ±1 voting over
     token hashes, sign → bit.
 
-    Entirely per-row: hash the token array once, accumulate all 32 bit
-    votes in ONE ``aggregate`` pass with an array accumulator, then fold
-    votes → fingerprint. Zero shuffles (vs explode + groupBy(32 sums),
-    which shuffles the whole token stream) — the sketch pass scales with
-    bytes scanned, the 100 TB requirement."""
-    hashed = df.select(
-        F.col(id_col),
-        F.transform(
-            F.split(text_col, " "),
-            lambda w: F.conv(F.substring(F.md5(w.cast("binary")), 1, 8), 16, 10).cast(
-                "bigint"
-            ),
-        ).alias("hs"),
-    )
-    votes = F.expr(
-        "aggregate(hs, array_repeat(0L, 32), "
-        "  (acc, h) -> zip_with(acc, sequence(0, 31), "
-        "    (a, b) -> a + if((shiftright(h, b) & 1) = 1, 1L, -1L)))"
-    )
-    fp = F.expr(
-        "aggregate(zip_with(votes, sequence(0, 31), "
-        "  (v, b) -> if(v > 0, shiftleft(1L, b), 0L)), 0L, (acc, x) -> acc + x)"
-    )
-    return hashed.select(id_col, votes.alias("votes")).select(
-        id_col, fp.cast("bigint").alias("simhash32")
+    Zero shuffles either way (the sketch is per-row), but the expression
+    form — nested ``aggregate``/``zip_with`` lambdas over every token —
+    evaluates interpreted (CodegenFallback), so this runs as one
+    Arrow-batched pass instead: md5-prefix token hashes (bit-identical
+    to the oracle's ``('0x' || substring(md5(w),1,8))::BIGINT``), a
+    (tokens × 32) sign matrix, and a segment-sum per document — all
+    numpy except the md5 loop. Scales with bytes scanned, the 100 TB
+    requirement for a sketch pass."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    def fingerprint(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            tokens: list = []
+            counts: list = []
+            for t in pdf[text_col]:
+                ws = t.split(" ")
+                tokens.extend(ws)
+                counts.append(len(ws))
+            md5 = hashlib.md5
+            th = np.fromiter(
+                (
+                    int.from_bytes(md5(w.encode("utf-8")).digest()[:4], "big")
+                    for w in tokens
+                ),
+                dtype=np.uint32,
+                count=len(tokens),
+            )
+            # votes_b > 0  ⟺  2·(count of set bits) > token count, so only
+            # the 0/1 bit matrix is materialized (uint32, ~1/4 the memory
+            # of a ±1 int64 sign matrix); token rows are doc-contiguous →
+            # segment-sum via reduceat
+            bits = (th[:, None] >> np.arange(32, dtype=np.uint32)) & 1
+            starts = np.zeros(len(ids), dtype=np.int64)
+            np.cumsum(counts[:-1], out=starts[1:])
+            ones = np.add.reduceat(bits, starts, axis=0).astype(np.int64)
+            n_tok = np.asarray(counts, dtype=np.int64)[:, None]
+            fp = ((2 * ones > n_tok).astype(np.int64) << np.arange(32, dtype=np.int64)).sum(
+                axis=1
+            )
+            yield pd.DataFrame({id_col: ids, "simhash32": fp})
+
+    return rebalance_for_python(df.select(id_col, text_col)).mapInPandas(
+        fingerprint, f"{id_col} long, simhash32 long"
     )
 
 
@@ -323,6 +350,111 @@ def _simhash_oracle() -> str:
 def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, "documents", sf)
     return simhash(docs, "doc_id", "text").orderBy("doc_id").limit(200)
+
+
+HAMMING_MAX = 3
+SIMHASH_BANDS = HAMMING_MAX + 1  # pigeonhole: ≤3 flipped bits → ≥1 intact band
+
+
+def simhash_pairs(
+    fingerprints: DataFrame, id_col: str, max_hamming: int = HAMMING_MAX
+) -> DataFrame:
+    """Near-dup pairs whose 32-bit simhash fingerprints differ in at most
+    ``max_hamming`` bits, found without an O(N²) comparison.
+
+    Pigeonhole multi-index (Manku et al., WWW'07 lineage): split the
+    fingerprint into ``max_hamming + 1`` bands; any pair within the
+    distance budget matches EXACTLY on at least one band, so candidates
+    come from equi-joins on (band, band_value) and the verify is one
+    codegen'd ``bit_count(a ^ b)``. Fingerprints ride along in the band
+    rows (8 bytes), so no re-join for the verify; multi-band matches
+    collapse in a distinct over the (small) verified output.
+
+    At scale each band index is a shuffle key — candidates per bucket
+    stay ~N/2^band_bits, and the band table is 4 rows per doc.
+    """
+    width = 32 // SIMHASH_BANDS  # 8 bits per band
+    bands = fingerprints.select(
+        F.col(id_col),
+        F.col("simhash32").alias("fp"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("simhash32", b * width)
+                        .bitwiseAND((1 << width) - 1)
+                        .alias("bval"),
+                    )
+                    for b in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "fp", F.col("bk.band").alias("band"), F.col("bk.bval").alias("bval"))
+    a, b = bands.alias("a"), bands.alias("b")
+    hamming = F.expr("bit_count(fp_a ^ fp_b)")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col("a.fp").alias("fp_a"),
+            F.col("b.fp").alias("fp_b"),
+        )
+        .filter(hamming <= max_hamming)
+        .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
+        .distinct()
+    )
+
+
+def _simhash_pairs_oracle() -> str:
+    votes = ",\n              ".join(
+        f"SUM(CASE WHEN (th >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}" for b in range(32)
+    )
+    fp = " + ".join(f"CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(32))
+    width = 32 // SIMHASH_BANDS
+    band_rows = "\n         UNION ALL\n         ".join(
+        f"SELECT doc_id, fp, {b} AS band, (fp >> {b * width}) & {(1 << width) - 1} AS bval FROM f"
+        for b in range(SIMHASH_BANDS)
+    )
+    return f"""
+       WITH tok AS (
+         SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+       ),
+       h AS (SELECT doc_id, {_duck_md5_32("word")} AS th FROM tok),
+       v AS (
+         SELECT doc_id,
+              {votes}
+         FROM h GROUP BY doc_id
+       ),
+       f AS (SELECT doc_id, CAST({fp} AS BIGINT) AS fp FROM v),
+       bands AS (
+         {band_rows}
+       )
+       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+       FROM bands a JOIN bands b
+         ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+       WHERE bit_count(xor(a.fp, b.fp)) <= {HAMMING_MAX}
+       ORDER BY doc_a, doc_b"""
+
+
+@register(
+    "x_dedup_simhash_pairs",
+    "SimHash near-dup pairs within Hamming distance 3 via the pigeonhole "
+    "multi-index: 4 band equi-joins instead of O(N²) fingerprint "
+    "comparisons; verify is one bit_count(xor).",
+    _simhash_pairs_oracle(),
+)
+def q_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf)
+    fps = simhash(docs, "doc_id", "text").localCheckpoint(eager=False)
+    return simhash_pairs(fps, "doc_id").orderBy("doc_a", "doc_b")
 
 
 # -- exact n-gram jaccard ---------------------------------------------------

@@ -26,6 +26,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from geostore_spark.operators.util import rebalance_for_python
 from geostore_spark.registry import register
 from geostore_spark.sources.tables import load_table
 
@@ -114,8 +115,8 @@ def cosine_topk(
                     }
                 )
 
-    scored = embeddings.select(
-        "vec_id", _as_double("embedding").alias("emb")
+    scored = rebalance_for_python(
+        embeddings.select("vec_id", _as_double("embedding").alias("emb"))
     ).mapInPandas(score_partition, "q_id long, n_id long, cos double")
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), "n_id")
     return (
@@ -230,8 +231,8 @@ def _probe_topk(
                     }
                 )
 
-    scored = embeddings.select(
-        "vec_id", _as_double("embedding").alias("emb")
+    scored = rebalance_for_python(
+        embeddings.select("vec_id", _as_double("embedding").alias("emb"))
     ).mapInPandas(probe, "q_id long, n_id long, cos double")
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), "n_id")
     return (

@@ -27,7 +27,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from geostore_spark.functions.geo import bbox_extent_agg, bbox_intersects
+from geostore_spark.functions.geo import (
+    bbox_extent_agg,
+    bbox_intersects,
+    zorder_key,
+    zorder_key_sql,
+)
 from geostore_spark.registry import register
 from geostore_spark.sources.tables import load_table
 
@@ -205,4 +210,38 @@ def q_extent_rollup(spark: SparkSession, sf: str) -> DataFrame:
         items.groupBy("o_orderstatus")
         .agg(*bbox_extent_agg(F.col("bbox")), F.count(F.lit(1)).alias("n_items"))
         .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "x_geo_zorder",
+    "Morton (Z-order) clustering key from bbox centroid cells — the "
+    "spatial write-layout primitive: sort/range-partition on this key at "
+    "ingest and parquet row-group min/max stats turn bbox queries into "
+    "file skipping. Pure integer bit interleave, codegen'd.",
+    f"""WITH items AS (
+          SELECT o_orderkey AS item_id, {_ITEM_BBOX_SQL} AS bbox FROM orders
+        ),
+        cells AS (
+          SELECT item_id,
+                 CAST(FLOOR(((bbox[1] + bbox[3]) / 2 + 180.0) * 64.0) AS BIGINT) AS cx,
+                 CAST(FLOOR(((bbox[2] + bbox[4]) / 2 + 90.0) * 64.0) AS BIGINT) AS cy
+          FROM items
+        )
+        SELECT item_id, {zorder_key_sql("cx", "cy")} AS zkey
+        FROM cells ORDER BY zkey, item_id LIMIT 200""",
+)
+def q_zorder(spark: SparkSession, sf: str) -> DataFrame:
+    items = load_table(spark, "orders", sf).select(
+        F.col("o_orderkey").alias("item_id"), _item_bbox().alias("bbox")
+    )
+    cells = items.select(
+        "item_id",
+        F.floor(((_c(F.col("bbox"), 0) + _c(F.col("bbox"), 2)) / 2 + 180.0) * 64.0).alias("cx"),
+        F.floor(((_c(F.col("bbox"), 1) + _c(F.col("bbox"), 3)) / 2 + 90.0) * 64.0).alias("cy"),
+    )
+    return (
+        cells.select("item_id", zorder_key(F.col("cx"), F.col("cy")).alias("zkey"))
+        .orderBy("zkey", "item_id")
+        .limit(200)
     )

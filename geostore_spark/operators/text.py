@@ -126,7 +126,9 @@ def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id", text_col: str = "
                 min_fps.append(int(fp.min()))
             yield pd.DataFrame({id_col: ids, "n_fp": n_fps, "min_fp": min_fps})
 
-    return df.select(id_col, text_col).mapInPandas(
+    from geostore_spark.operators.util import rebalance_for_python
+
+    return rebalance_for_python(df.select(id_col, text_col)).mapInPandas(
         batches, f"{id_col} long, n_fp int, min_fp long"
     )
 

@@ -902,13 +902,17 @@ def a8(spark: SparkSession, sf: str) -> DataFrame:
        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
 )
 def a9(spark: SparkSession, sf: str) -> DataFrame:
+    # one percentile buffer for all three cut points (the array form),
+    # not three independent value-count maps per group
     return (
         load_table(spark, "orders", sf)
         .groupBy("o_orderstatus")
-        .agg(
-            F.round(F.expr("percentile(o_totalprice, 0.25)"), 4).alias("q25"),
-            F.round(F.expr("percentile(o_totalprice, 0.50)"), 4).alias("q50"),
-            F.round(F.expr("percentile(o_totalprice, 0.75)"), 4).alias("q75"),
+        .agg(F.expr("percentile(o_totalprice, array(0.25D, 0.50D, 0.75D))").alias("qs"))
+        .select(
+            "o_orderstatus",
+            F.round(F.element_at("qs", 1), 4).alias("q25"),
+            F.round(F.element_at("qs", 2), 4).alias("q50"),
+            F.round(F.element_at("qs", 3), 4).alias("q75"),
         )
         .orderBy("o_orderstatus")
     )
