@@ -412,7 +412,10 @@ def simhash_pairs(
     )
 
 
-def _simhash_pairs_oracle() -> str:
+def simhash_pairs_ctes() -> str:
+    """The pair-mining pipeline as reusable DuckDB CTE clauses (everything
+    after ``WITH``): ``tok``/``h``/``v``/``f``/``bands``. Shared by the
+    pairs oracle and the connected-components oracle in ``graph.py``."""
     votes = ",\n              ".join(
         f"SUM(CASE WHEN (th >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}" for b in range(32)
     )
@@ -422,8 +425,7 @@ def _simhash_pairs_oracle() -> str:
         f"SELECT doc_id, fp, {b} AS band, (fp >> {b * width}) & {(1 << width) - 1} AS bval FROM f"
         for b in range(SIMHASH_BANDS)
     )
-    return f"""
-       WITH tok AS (
+    return f"""tok AS (
          SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
        ),
        h AS (SELECT doc_id, {_duck_md5_32("word")} AS th FROM tok),
@@ -435,7 +437,12 @@ def _simhash_pairs_oracle() -> str:
        f AS (SELECT doc_id, CAST({fp} AS BIGINT) AS fp FROM v),
        bands AS (
          {band_rows}
-       )
+       )"""
+
+
+def _simhash_pairs_oracle() -> str:
+    return f"""
+       WITH {simhash_pairs_ctes()}
        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
               CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
        FROM bands a JOIN bands b
