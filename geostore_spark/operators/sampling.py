@@ -1,0 +1,92 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+The reference takes no samples — it validates every asset exhaustively
+(``geostore/check_files_checksums/task.py:45-69`` fans the full manifest
+out to array workers). A 100 TB corpus pipeline, by contrast, constantly
+needs *reproducible* subsets: eval holdouts, per-language rebalancing,
+quick-look QA slices. ``rand()``-based sampling is non-reproducible
+across retries and engines, so these operators derive the keep/drop
+decision from a content-independent hash of the row key plus an explicit
+seed string: the same row lands on the same side of the cut on every
+engine, every run, every partition layout. The predicate is a pure
+codegen expression evaluated at the scan — no shuffle, no state, and
+Catalyst pushes the stratum filter into the parquet read.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from geostore_spark.operators.dedup import _duck_md5_32, _md5_32
+from geostore_spark.registry import register
+from geostore_spark.sources.tables import load_table
+
+SEED = "geostore-sample-v1"
+BUCKETS = 10_000
+
+# per-language keep rates: downsample the dominant language, keep the
+# scarce ones whole — the standard corpus-rebalancing move
+LANG_RATES = {"en": 0.25, "de": 0.6, "es": 0.6, "fr": 0.6, "zh": 1.0}
+DEFAULT_RATE = 0.5
+
+
+def sample_bucket(key: Column, seed: str = SEED) -> Column:
+    """Deterministic bucket in [0, BUCKETS) from md5(seed || key)."""
+    return _md5_32(F.concat(F.lit(seed + ":"), key.cast("string"))) % BUCKETS
+
+
+def stratified_sample(
+    df: DataFrame,
+    key: Column,
+    stratum: Column,
+    rates: dict[str, float],
+    default_rate: float = DEFAULT_RATE,
+    seed: str = SEED,
+) -> DataFrame:
+    """Keep each row iff its hash bucket falls under its stratum's rate.
+
+    Exact reproducibility properties: adding/removing OTHER rows never
+    changes a row's fate (no rank/quantile dependence), and raising a
+    stratum's rate strictly grows the previous sample (nested samples,
+    the property eval-holdout pipelines rely on)."""
+    cut = F.lit(default_rate * BUCKETS)
+    for value, rate in rates.items():
+        cut = F.when(stratum == value, F.lit(rate * BUCKETS)).otherwise(cut)
+    return df.filter(sample_bucket(key, seed) < cut)
+
+
+def _sample_oracle() -> str:
+    bucket = _duck_md5_32(f"'{SEED}:' || CAST(doc_id AS VARCHAR)") + f" % {BUCKETS}"
+    cut = "CASE lang " + " ".join(
+        f"WHEN '{v}' THEN {r * BUCKETS}" for v, r in LANG_RATES.items()
+    ) + f" ELSE {DEFAULT_RATE * BUCKETS} END"
+    return f"""
+       WITH kept AS (
+         SELECT doc_id, lang, source FROM documents WHERE {bucket} < {cut}
+       )
+       SELECT lang, COUNT(*) AS n_kept,
+              MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+       FROM kept GROUP BY lang ORDER BY lang"""
+
+
+@register(
+    "x_sample_stratified",
+    "Deterministic hash-stratified sampling: keep iff md5(seed||doc_id) "
+    "bucket < per-language rate. Reproducible across engines/retries/"
+    "partitionings (no rand()), nested under rate increases, zero "
+    "shuffle — the predicate evaluates at the scan.",
+    _sample_oracle(),
+)
+def q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf)
+    kept = stratified_sample(docs, F.col("doc_id"), F.col("lang"), LANG_RATES)
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("lang")
+    )

@@ -250,3 +250,78 @@ def text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("doc_id")
         .limit(200)
     )
+
+
+# -- repetition / degenerate-text filters (Gopher-style) --------------------
+
+
+@register(
+    "x_text_repetition",
+    "Repetition quality filters a la the Gopher rules: duplicate-word "
+    "fraction and top-bigram fraction per document, flagging degenerate "
+    "boilerplate. Per-row counts are codegen'd; the bigram mode is an "
+    "explode -> two-level count with map-side partial aggregation (the "
+    "per-(doc,gram) shuffle key is unique per doc, so no hot keys).",
+    """WITH w AS (
+         SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents
+       ),
+       base AS (
+         SELECT doc_id, len(ws) AS n_tok, len(list_distinct(ws)) AS n_uniq
+         FROM w WHERE len(ws) >= 2
+       ),
+       bg AS (
+         SELECT doc_id,
+                unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS g
+         FROM w WHERE len(ws) >= 2
+       ),
+       bgc AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY doc_id, g),
+       top AS (SELECT doc_id, MAX(c) AS max_bg FROM bgc GROUP BY doc_id)
+       SELECT b.doc_id, n_tok,
+              1.0 - CAST(n_uniq AS DOUBLE) / n_tok AS dup_word_frac,
+              CAST(max_bg AS DOUBLE) / (n_tok - 1) AS top_bigram_frac,
+              (1.0 - CAST(n_uniq AS DOUBLE) / n_tok) > 0.5
+                OR CAST(max_bg AS DOUBLE) / (n_tok - 1) > 0.1 AS low_quality
+       FROM base b JOIN top t ON b.doc_id = t.doc_id
+       ORDER BY b.doc_id LIMIT 200""",
+)
+def text_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf)
+    words = F.split(F.trim("text"), " ")
+    base = docs.select(
+        "doc_id",
+        F.size(words).alias("n_tok"),
+        F.size(F.array_distinct(words)).alias("n_uniq"),
+    ).filter(F.col("n_tok") >= 2)
+    # non-distinct bigram stream; zip_with/slice are interpreted but
+    # per-row trivial — the heavy part (counting) stays codegen'd
+    bigrams = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "zip_with("
+                    "  slice(split(trim(text), ' '), 1, size(split(trim(text), ' ')) - 1),"
+                    "  slice(split(trim(text), ' '), 2, size(split(trim(text), ' ')) - 1),"
+                    "  (a, b) -> concat(a, ' ', b))"
+                )
+            ).alias("g"),
+        )
+        .groupBy("doc_id", "g")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("max_bg"))
+    )
+    dup_frac = 1.0 - F.col("n_uniq").cast("double") / F.col("n_tok")
+    top_frac = F.col("max_bg").cast("double") / (F.col("n_tok") - 1)
+    return (
+        base.join(bigrams, "doc_id")
+        .select(
+            "doc_id",
+            "n_tok",
+            dup_frac.alias("dup_word_frac"),
+            top_frac.alias("top_bigram_frac"),
+            ((dup_frac > 0.5) | (top_frac > 0.1)).alias("low_quality"),
+        )
+        .orderBy("doc_id")
+        .limit(200)
+    )

@@ -47,6 +47,7 @@ def all_queries() -> dict[str, RegisteredQuery]:
         dedup,
         graph,
         multimodal,
+        sampling,
         similarity,
         skew,
         spatial,

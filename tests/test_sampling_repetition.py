@@ -1,0 +1,77 @@
+"""Deterministic sampling properties and repetition-filter arithmetic."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from geostore_spark.operators.sampling import sample_bucket, stratified_sample
+from geostore_spark.operators.text import text_repetition  # noqa: F401  (registration)
+
+ROWS = [(i, "en" if i % 3 else "zh") for i in range(300)]
+
+
+def test_sample_is_deterministic_and_nested(spark):
+    df = spark.createDataFrame(ROWS, "doc_id long, lang string")
+    kept_small = {
+        r["doc_id"]
+        for r in stratified_sample(
+            df, F.col("doc_id"), F.col("lang"), {"en": 0.2, "zh": 0.5}
+        ).collect()
+    }
+    kept_small_again = {
+        r["doc_id"]
+        for r in stratified_sample(
+            df, F.col("doc_id"), F.col("lang"), {"en": 0.2, "zh": 0.5}
+        ).collect()
+    }
+    kept_big = {
+        r["doc_id"]
+        for r in stratified_sample(
+            df, F.col("doc_id"), F.col("lang"), {"en": 0.6, "zh": 0.9}
+        ).collect()
+    }
+    assert kept_small == kept_small_again  # no rand(): same rows every run
+    assert kept_small <= kept_big  # raising rates only grows the sample
+    assert 0 < len(kept_small) < len(kept_big) < len(ROWS)
+
+
+def test_sample_membership_independent_of_other_rows(spark):
+    full = spark.createDataFrame(ROWS, "doc_id long, lang string")
+    half = spark.createDataFrame(ROWS[::2], "doc_id long, lang string")
+    rates = {"en": 0.3, "zh": 0.3}
+    kept_full = {
+        r["doc_id"]
+        for r in stratified_sample(full, F.col("doc_id"), F.col("lang"), rates).collect()
+    }
+    kept_half = {
+        r["doc_id"]
+        for r in stratified_sample(half, F.col("doc_id"), F.col("lang"), rates).collect()
+    }
+    assert kept_half == {i for i in kept_full if i % 2 == 0}
+
+
+def test_sample_bucket_range(spark):
+    df = spark.createDataFrame([(i,) for i in range(100)], "k long")
+    rows = df.select(sample_bucket(F.col("k")).alias("b")).collect()
+    assert all(0 <= r["b"] < 10_000 for r in rows)
+
+
+def test_repetition_flags_degenerate_doc(spark, tmp_path):
+    import pandas as pd
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": [
+                "spam ham " * 30 + "spam ham",  # one bigram dominates
+                " ".join(f"w{i}" for i in range(40)),  # all-distinct words
+            ],
+            "lang": ["en", "en"],
+            "source": ["s", "s"],
+            "n_chars": [0, 0],
+        }
+    )
+    docs.to_parquet(tmp_path / "documents.parquet")
+    out = {r["doc_id"]: r.asDict() for r in text_repetition(spark, str(tmp_path)).collect()}
+    assert out[1]["low_quality"] and out[1]["dup_word_frac"] > 0.9
+    assert not out[2]["low_quality"] and out[2]["dup_word_frac"] == 0.0
