@@ -46,6 +46,7 @@ def all_queries() -> dict[str, RegisteredQuery]:
     from geostore_spark.operators import (  # noqa: F401
         dedup,
         graph,
+        ml,
         multimodal,
         sampling,
         similarity,
