@@ -325,3 +325,170 @@ def text_repetition(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("doc_id")
         .limit(200)
     )
+
+
+# -- TF-IDF ------------------------------------------------------------------
+
+
+@register(
+    "x_text_tfidf",
+    "Per-document top-5 TF-IDF terms: explode -> (doc,term) counts with "
+    "map-side partial agg, document frequency from the same exploded pass, "
+    "corpus size broadcast as a 1-row dimension. Rank within doc is by the "
+    "integer (tf DESC, term ASC) key so ordering never depends on float "
+    "rounding; the float tfidf rides along as a payload column.",
+    """WITH tok AS (
+         SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term
+         FROM documents
+       ),
+       tf AS (
+         SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+       ),
+       dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+       n AS (SELECT COUNT(*) AS n_docs FROM documents),
+       ranked AS (
+         SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+                tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df) AS tfidf,
+                ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                                   ORDER BY tf.tf DESC, tf.term) AS rn
+         FROM tf JOIN dfreq USING (term) CROSS JOIN n
+       )
+       SELECT doc_id, term, tf, df, tfidf
+       FROM ranked WHERE rn <= 5
+       ORDER BY doc_id, term LIMIT 500""",
+)
+def text_tfidf(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf)
+    tf = (
+        docs.select("doc_id", F.explode(F.split(F.trim("text"), " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    # df is |vocab|-sized (tiny vs the corpus) and n is one row: both
+    # broadcast so the tf side never shuffles again after its partial agg.
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("doc_id", "term", "tf", "df", "tfidf")
+        .orderBy("doc_id", "term")
+        .limit(500)
+    )
+
+
+# -- character entropy -------------------------------------------------------
+
+
+@register(
+    "x_text_entropy",
+    "Character-unigram Shannon entropy per document, an order-independent "
+    "formulation: each (char,count) contributes the INTEGER "
+    "round(c*ln(c)*1e6), summed exactly, and entropy = ln(L) - S/(1e6*L) "
+    "is reconstructed per row. A float sum over group-by output would "
+    "round differently under Spark's vs DuckDB's aggregation order; the "
+    "integer quantization makes the aggregate associative-exact.",
+    """WITH ch AS (
+         SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+       ),
+       cnt AS (
+         SELECT doc_id, ch, COUNT(*) AS c FROM ch
+         WHERE ch <> '' GROUP BY doc_id, ch
+       ),
+       agg AS (
+         SELECT doc_id,
+                CAST(SUM(c) AS BIGINT) AS n_chars,
+                COUNT(*) AS n_distinct,
+                SUM(CAST(round(c * ln(c) * 1000000) AS BIGINT)) AS s
+         FROM cnt GROUP BY doc_id
+       )
+       SELECT doc_id, n_chars, n_distinct,
+              ln(CAST(n_chars AS DOUBLE)) - CAST(s AS DOUBLE) / (1e6 * n_chars)
+                AS entropy
+       FROM agg ORDER BY doc_id LIMIT 200""",
+)
+def text_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf)
+    cnt = (
+        docs.select("doc_id", F.explode(F.split("text", "")).alias("ch"))
+        .filter(F.col("ch") != "")
+        .groupBy("doc_id", "ch")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    term = F.round(F.col("c") * F.log("c") * 1e6, 0).cast("bigint")
+    agg = cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n_chars"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(term).alias("s"),
+    )
+    entropy = F.log(F.col("n_chars").cast("double")) - F.col("s").cast("double") / (
+        1e6 * F.col("n_chars")
+    )
+    return (
+        agg.select("doc_id", "n_chars", "n_distinct", entropy.alias("entropy"))
+        .orderBy("doc_id")
+        .limit(200)
+    )
+
+
+# -- PII detection / redaction ----------------------------------------------
+
+_EMAIL_PAT = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PHONE_PAT = "\\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+@register(
+    "x_text_pii_redact",
+    "PII detection + redaction: count email- and phone-shaped spans and "
+    "replace them with [EMAIL]/[PHONE] placeholders. The fixtures carry no "
+    "natural PII, so the query first synthesizes a deterministic profile "
+    "string per customer (email and E.164-ish phone derived from the key) "
+    "and then runs the real detector over it — the regex machinery, not "
+    "the corpus, is what is under test. Pure codegen'd per-row "
+    "expressions; at 100 TB this is a single scan-project pass.",
+    f"""SELECT c_custkey,
+              len(regexp_extract_all(profile, '{_EMAIL_PAT}')) AS n_email,
+              len(regexp_extract_all(profile, '{_PHONE_PAT}')) AS n_phone,
+              regexp_replace(regexp_replace(profile, '{_EMAIL_PAT}', '[EMAIL]', 'g'),
+                             '{_PHONE_PAT}', '[PHONE]', 'g') AS redacted
+       FROM (SELECT c_custkey,
+                    printf('%s <user%d@example.com> +1-%03d-%03d-%04d',
+                           c_name, c_custkey, 200 + c_custkey % 700,
+                           c_custkey % 1000, c_custkey % 10000) AS profile
+             FROM customer)
+       ORDER BY c_custkey LIMIT 200""",
+)
+def text_pii_redact(spark: SparkSession, sf: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf)
+    profile = F.format_string(
+        "%s <user%d@example.com> +1-%03d-%03d-%04d",
+        F.col("c_name"),
+        F.col("c_custkey"),
+        F.lit(200) + F.col("c_custkey") % 700,
+        F.col("c_custkey") % 1000,
+        F.col("c_custkey") % 10000,
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(profile, _EMAIL_PAT, "[EMAIL]"), _PHONE_PAT, "[PHONE]"
+    )
+    return (
+        cust.select(
+            "c_custkey",
+            F.size(F.regexp_extract_all(profile, F.lit(_EMAIL_PAT), 0)).alias("n_email"),
+            F.size(F.regexp_extract_all(profile, F.lit(_PHONE_PAT), 0)).alias("n_phone"),
+            redacted.alias("redacted"),
+        )
+        .orderBy("c_custkey")
+        .limit(200)
+    )

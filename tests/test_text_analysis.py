@@ -1,0 +1,74 @@
+"""TF-IDF, character entropy, and PII-redaction arithmetic on tiny corpora."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+
+from geostore_spark.operators.text import text_entropy, text_pii_redact, text_tfidf
+
+
+def _write_docs(tmp_path, texts):
+    pd.DataFrame(
+        {
+            "doc_id": list(range(1, len(texts) + 1)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["s"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+
+
+def test_tfidf_idf_and_ranking(spark, tmp_path):
+    _write_docs(
+        tmp_path,
+        [
+            "the the the apple",  # "apple" unique to doc 1
+            "the banana banana",
+            "the cherry",
+        ],
+    )
+    rows = {
+        (r["doc_id"], r["term"]): r.asDict()
+        for r in text_tfidf(spark, str(tmp_path)).collect()
+    }
+    # "the" appears in all 3 docs -> idf = ln(3/3) = 0 -> tfidf 0
+    assert rows[(1, "the")]["tfidf"] == 0.0
+    assert rows[(1, "the")]["tf"] == 3 and rows[(1, "the")]["df"] == 3
+    # "apple" tf=1, df=1 -> tfidf = ln(3)
+    assert math.isclose(rows[(1, "apple")]["tfidf"], math.log(3.0), rel_tol=1e-12)
+    # "banana" tf=2, df=1 -> 2*ln(3)
+    assert math.isclose(rows[(2, "banana")]["tfidf"], 2 * math.log(3.0), rel_tol=1e-12)
+
+
+def test_entropy_known_distributions(spark, tmp_path):
+    _write_docs(tmp_path, ["aaaa", "ab", "aabb"])
+    rows = {r["doc_id"]: r.asDict() for r in text_entropy(spark, str(tmp_path)).collect()}
+    assert math.isclose(rows[1]["entropy"], 0.0, abs_tol=1e-6)
+    assert rows[1]["n_distinct"] == 1
+    # uniform over 2 symbols -> ln 2 (quantized term sum: error <= 1e-6/char)
+    assert math.isclose(rows[2]["entropy"], math.log(2.0), abs_tol=1e-5)
+    assert math.isclose(rows[3]["entropy"], math.log(2.0), abs_tol=1e-5)
+    assert rows[3]["n_chars"] == 4
+
+
+def test_pii_detects_and_redacts(spark, tmp_path):
+    pd.DataFrame(
+        {
+            "c_custkey": [7, 42],
+            "c_name": ["Customer#000000007", "Customer#000000042"],
+            "c_nationkey": [1, 2],
+            "c_acctbal": [0.0, 0.0],
+            "c_mktsegment": ["BUILDING", "MACHINERY"],
+        }
+    ).to_parquet(tmp_path / "customer.parquet")
+    rows = {r["c_custkey"]: r.asDict() for r in text_pii_redact(spark, str(tmp_path)).collect()}
+    for key in (7, 42):
+        assert rows[key]["n_email"] == 1 and rows[key]["n_phone"] == 1
+        assert "[EMAIL]" in rows[key]["redacted"]
+        assert "[PHONE]" in rows[key]["redacted"]
+        assert "@example.com" not in rows[key]["redacted"]
+        assert "+1-" not in rows[key]["redacted"]
+    assert rows[7]["redacted"].startswith("Customer#000000007 <[EMAIL]> [PHONE]")
