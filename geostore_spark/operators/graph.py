@@ -24,8 +24,48 @@ from geostore_spark.registry import register
 from geostore_spark.sources.tables import load_table
 
 
+def _local_union_find(sym: DataFrame) -> DataFrame:
+    """Single-task union-find over an edge list that fits one partition.
+
+    Same output contract as the distributed loop (label = min reachable
+    vertex id): union-by-min with path compression, O(E α(E)). The edge
+    list is coalesced — not shuffled — into one task.
+    """
+    import pandas as pd
+
+    def run(batches):
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for pdf in batches:
+            for a, b in zip(pdf["v"], pdf["n"]):
+                a, b = int(a), int(b)
+                parent.setdefault(a, a)
+                parent.setdefault(b, b)
+                ra, rb = find(a), find(b)
+                if ra < rb:
+                    parent[rb] = ra
+                elif rb < ra:
+                    parent[ra] = rb
+        verts = sorted(parent)
+        yield pd.DataFrame({"v": verts, "label": [find(x) for x in verts]})
+
+    return sym.coalesce(1).mapInPandas(run, "v long, label long")
+
+
 def connected_components(
-    edges: DataFrame, src: str, dst: str, max_iter: int = 25
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    max_iter: int = 25,
+    local_threshold: int = 10_000_000,
 ) -> DataFrame:
     """Label every vertex of an undirected edge list with the minimum
     vertex id reachable from it (= its component id).
@@ -60,12 +100,25 @@ def connected_components(
         .repartition("v")
         .localCheckpoint(eager=False)
     )
+    # Runtime strategy dispatch (the AQE broadcast-switch idea applied to
+    # graph shape): a pair graph whose edge list fits one partition budget
+    # is solved by single-task union-find — O(E α(E)), zero shuffle rounds.
+    # Above the threshold the O(log diameter) distributed loop engages;
+    # the count also materializes the checkpoint either way.
+    if sym.count() <= local_threshold:
+        return _local_union_find(sym)
     labels = sym.select("v").distinct().select("v", F.col("v").alias("label"))
     prev_sum = None
     for _ in range(max_iter):
         offers = sym.join(labels, "v").select(F.col("n").alias("v"), "label")
+        # checkpoint hopped: the jump join consumes it on BOTH sides, and an
+        # unmaterialized plan would execute the hop join + groupBy twice per
+        # round (measured ~2x round cost)
         hopped = (
-            labels.union(offers).groupBy("v").agg(F.min("label").alias("label"))
+            labels.union(offers)
+            .groupBy("v")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=False)
         )
         # pointer jump: label(v) <- label(label(v)); label values are
         # vertex ids, so the lookup side is labels itself

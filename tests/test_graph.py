@@ -1,8 +1,16 @@
-"""Connected components vs a Python union-find over the same edges."""
+"""Connected components vs a Python union-find over the same edges.
+
+Both physical strategies are pinned: the single-task union-find fast path
+(default at this size) and the distributed min-label + pointer-jumping
+loop (forced via local_threshold=0) must agree with each other and with
+the reference union-find.
+"""
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
+import random
+
+import pytest
 
 from geostore_spark.operators.graph import connected_components
 
@@ -20,7 +28,7 @@ EDGES = [
 ]
 
 
-def _union_find() -> dict[int, int]:
+def _union_find(edges) -> dict[int, int]:
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -30,25 +38,49 @@ def _union_find() -> dict[int, int]:
             x = parent[x]
         return x
 
-    for a, b in EDGES:
+    for a, b in edges:
         ra, rb = find(a), find(b)
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
     return {v: find(v) for v in parent}
 
 
-def test_connected_components_match_union_find(spark):
+@pytest.mark.parametrize("threshold", [10_000_000, 0], ids=["local", "distributed"])
+def test_connected_components_match_union_find(spark, threshold):
     edges = spark.createDataFrame(EDGES, "src long, dst long")
     got = {
         r["v"]: r["label"]
-        for r in connected_components(edges, "src", "dst").collect()
+        for r in connected_components(
+            edges, "src", "dst", local_threshold=threshold
+        ).collect()
     }
-    assert got == _union_find()
+    assert got == _union_find(EDGES)
     # the chain's far end reached the minimum despite no direct edge
     assert got[4] == 1 and got[13] == 10
 
 
-def test_connected_components_converges_on_single_edge(spark):
+@pytest.mark.parametrize("threshold", [10_000_000, 0], ids=["local", "distributed"])
+def test_connected_components_converges_on_single_edge(spark, threshold):
     edges = spark.createDataFrame([(7, 5)], "src long, dst long")
-    rows = connected_components(edges, "src", "dst").orderBy("v").collect()
+    rows = (
+        connected_components(edges, "src", "dst", local_threshold=threshold)
+        .orderBy("v")
+        .collect()
+    )
     assert [(r["v"], r["label"]) for r in rows] == [(5, 5), (7, 5)]
+
+
+def test_strategies_agree_on_random_graph(spark):
+    rng = random.Random(17)
+    edges = [(rng.randrange(200), rng.randrange(200)) for _ in range(150)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    fast = {
+        r["v"]: r["label"]
+        for r in connected_components(df, "src", "dst").collect()
+    }
+    loop = {
+        r["v"]: r["label"]
+        for r in connected_components(df, "src", "dst", local_threshold=0).collect()
+    }
+    assert fast == loop == _union_find(edges)
