@@ -492,3 +492,63 @@ def text_pii_redact(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("c_custkey")
         .limit(200)
     )
+
+
+# -- bigram language model ---------------------------------------------------
+
+
+@register(
+    "x_text_bigram_lm",
+    "Corpus bigram language model: top-50 bigrams with count and the "
+    "conditional probability P(w2|w1) = c(w1 w2)/c(w1 ·), the context "
+    "count derived from the same bigram table so numerator and "
+    "denominator are consistent by construction. One explode + two "
+    "partially-aggregated shuffles; ordering is the integer "
+    "(count DESC, bigram ASC) key.",
+    """WITH w AS (
+         SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents
+       ),
+       bg AS (
+         SELECT unnest(list_transform(range(1, len(ws)),
+                                      i -> ws[i] || ' ' || ws[i+1])) AS g,
+                unnest(list_transform(range(1, len(ws)), i -> ws[i])) AS w1
+         FROM w WHERE len(ws) >= 2
+       ),
+       bgc AS (SELECT w1, g, COUNT(*) AS c FROM bg GROUP BY w1, g),
+       ctx AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS cw1 FROM bgc GROUP BY w1)
+       SELECT g AS bigram, c AS cnt, cw1 AS context_cnt,
+              CAST(c AS DOUBLE) / cw1 AS p_cond
+       FROM bgc JOIN ctx USING (w1)
+       ORDER BY cnt DESC, bigram LIMIT 50""",
+)
+def text_bigram_lm(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf)
+    ws = F.split(F.trim("text"), " ")
+    pairs = (
+        docs.filter(F.size(ws) >= 2)
+        .select(
+            F.explode(
+                F.zip_with(
+                    F.slice(ws, 1, F.size(ws) - 1),
+                    F.slice(ws, 2, F.size(ws) - 1),
+                    lambda a, b: F.struct(a.alias("w1"), F.concat_ws(" ", a, b).alias("g")),
+                )
+            ).alias("z")
+        )
+        .select("z.w1", "z.g")
+    )
+    bgc = pairs.groupBy("w1", "g").agg(F.count(F.lit(1)).alias("cnt"))
+    # context counts come from the bigram table itself (map-side partials;
+    # |vocab|-sized result broadcast back onto the bigram side)
+    ctx = bgc.groupBy("w1").agg(F.sum("cnt").alias("context_cnt"))
+    return (
+        bgc.join(F.broadcast(ctx), "w1")
+        .select(
+            F.col("g").alias("bigram"),
+            "cnt",
+            "context_cnt",
+            (F.col("cnt").cast("double") / F.col("context_cnt")).alias("p_cond"),
+        )
+        .orderBy(F.col("cnt").desc(), "bigram")
+        .limit(50)
+    )

@@ -72,3 +72,40 @@ def test_pii_detects_and_redacts(spark, tmp_path):
         assert "@example.com" not in rows[key]["redacted"]
         assert "+1-" not in rows[key]["redacted"]
     assert rows[7]["redacted"].startswith("Customer#000000007 <[EMAIL]> [PHONE]")
+
+
+def test_bigram_lm_counts_and_conditionals(spark, tmp_path):
+    _write_docs(tmp_path, ["a b a b", "a b c"])
+    from geostore_spark.operators.text import text_bigram_lm
+
+    rows = {r["bigram"]: r.asDict() for r in text_bigram_lm(spark, str(tmp_path)).collect()}
+    # "a b" occurs 3x; context "a ." occurs 3x -> P(b|a) = 1.0
+    assert rows["a b"]["cnt"] == 3 and rows["a b"]["p_cond"] == 1.0
+    # "b a" 1x and "b c" 1x out of 2 "b ." contexts
+    assert rows["b a"]["cnt"] == 1 and rows["b a"]["context_cnt"] == 2
+    assert math.isclose(rows["b c"]["p_cond"], 0.5)
+
+
+def test_emb_quantize_digests(spark, tmp_path):
+    import numpy as np
+
+    pd.DataFrame(
+        {
+            "vec_id": [1, 2],
+            "embedding": [
+                np.array([0.5, -0.25, 0.0], dtype=np.float32),
+                np.array([0.0, 0.0, 0.0], dtype=np.float32),  # zero vector
+            ],
+            "label": [0, 0],
+        }
+    ).to_parquet(tmp_path / "embeddings.parquet")
+    from geostore_spark.operators.embeddings import emb_quantize
+
+    rows = {r["vec_id"]: r.asDict() for r in emb_quantize(spark, str(tmp_path)).collect()}
+    # codes for [0.5, -0.25, 0]: scale 0.5 -> [127, -64 (round(-63.5) away), 0]
+    assert rows[1]["max_abs"] == 0.5
+    assert rows[1]["n_sat"] == 1
+    assert rows[1]["sum_q"] == 127 - 64
+    assert rows[1]["sum_q2"] == 127 * 127 + 64 * 64
+    # zero vector: scale 0 -> NULL digests, never a division crash
+    assert rows[2]["max_abs"] == 0.0 and rows[2]["sum_q"] is None
