@@ -107,3 +107,31 @@ def test_asof_join_is_union_window_not_join(spark):
     plan = _plan(spark, "x_asof_join")
     assert "Union" in plan and "Window" in plan
     assert "Join" not in plan  # no correlated probe join
+
+
+def test_tfidf_vocab_and_corpus_size_broadcast(spark):
+    plan = _plan(spark, "x_text_tfidf")
+    # df (vocab-sized) and the 1-row corpus count both broadcast: the
+    # (doc,term) side shuffles once for its partial agg and never again
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bigram_lm_context_counts_broadcast(spark):
+    plan = _plan(spark, "x_text_bigram_lm")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_emb_quantize_is_zero_shuffle_scan_project(spark):
+    plan = _plan(spark, "x_emb_quantize")
+    # per-row expressions only: the single TakeOrdered collect is the
+    # only thing after the scan — no Exchange anywhere
+    assert "Exchange" not in plan
+
+
+def test_pii_redact_is_single_pass_and_prunes_schema(spark):
+    plan = _plan(spark, "x_text_pii_redact")
+    assert "Exchange" not in plan
+    assert "ReadSchema: struct<c_custkey:bigint,c_name:string>" in plan
