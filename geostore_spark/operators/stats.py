@@ -1,0 +1,123 @@
+"""Statistical profiling operators — distribution-level data quality.
+
+Z-score outlier profiling and equi-width histograms are the standard
+first-pass checks a training-data pipeline runs over numeric telemetry
+(the reference validates *structure* via JSON Schema —
+geostore/check_stac_metadata/utils.py — but has no numeric profiling).
+
+Cross-engine exactness: every aggregate feeding a float expression is an
+exact decimal or integer sum (associative, so partial aggregation and
+shuffle order cannot change it); the float math (mean, std, z, bucket
+width) happens per-row on those exact inputs, where IEEE doubles are
+bit-identical across engines. Group stats join back via broadcast — a
+handful of rows against the full fact side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from geostore_spark.registry import register
+from geostore_spark.sources.tables import load_table
+
+N_BUCKETS = 20
+
+
+@register(
+    "x_stats_zscore",
+    "Per-group z-score outlier profile over events.value: mean/std from "
+    "exact decimal sums, |z|>3 outlier counts, z extrema. Two map-side "
+    "partial aggregations + one broadcast join of 5 group rows back onto "
+    "the fact side.",
+    """WITH g AS (
+         SELECT event_type,
+                COUNT(*) AS n,
+                CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS s1,
+                CAST(SUM(CAST(value * value AS DECIMAL(28,6))) AS DOUBLE) AS s2
+         FROM events GROUP BY event_type
+       ),
+       m AS (
+         SELECT event_type, n, s1 / n AS mean,
+                sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0)) AS std
+         FROM g
+       )
+       SELECT e.event_type, m.n, m.mean, m.std,
+              CAST(SUM(CASE WHEN abs((e.value - m.mean) / nullif(m.std, 0)) > 3
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+              MIN((e.value - m.mean) / nullif(m.std, 0)) AS z_min,
+              MAX((e.value - m.mean) / nullif(m.std, 0)) AS z_max
+       FROM events e JOIN m USING (event_type)
+       GROUP BY e.event_type, m.n, m.mean, m.std
+       ORDER BY e.event_type""",
+)
+def stats_zscore(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, "events", sf)
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("s1"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(28,6)"))
+        .cast("double")
+        .alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n")
+    std = F.sqrt(F.greatest(F.col("s2") / F.col("n") - mean * mean, F.lit(0.0)))
+    m = g.select("event_type", "n", mean.alias("mean"), std.alias("std"))
+    z = (F.col("value") - F.col("mean")) / F.nullif(F.col("std"), F.lit(0.0))
+    return (
+        ev.join(F.broadcast(m), "event_type")
+        .groupBy("event_type", "n", "mean", "std")
+        .agg(
+            F.sum(F.when(F.abs(z) > 3, 1).otherwise(0)).cast("bigint").alias("n_outliers"),
+            F.min(z).alias("z_min"),
+            F.max(z).alias("z_max"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "x_stats_histogram",
+    "Equi-width histogram (20 buckets) of lineitem.l_extendedprice: "
+    "min/max bounds broadcast as a 1-row dimension, bucket index is a "
+    "per-row floor on exact inputs, counts are one partially-aggregated "
+    "shuffle of at most 20 keys per partition.",
+    f"""WITH b AS (
+         SELECT MIN(l_extendedprice) AS mn, MAX(l_extendedprice) AS mx
+         FROM lineitem
+       )
+       SELECT least(CAST(floor((l_extendedprice - mn)
+                                / nullif((mx - mn) / {N_BUCKETS}, 0)) AS BIGINT),
+                    {N_BUCKETS - 1}) AS bucket,
+              COUNT(*) AS cnt,
+              mn + least(CAST(floor((l_extendedprice - mn)
+                                     / nullif((mx - mn) / {N_BUCKETS}, 0)) AS BIGINT),
+                         {N_BUCKETS - 1}) * (mx - mn) / {N_BUCKETS} AS bucket_lo
+       FROM lineitem CROSS JOIN b
+       GROUP BY bucket, bucket_lo
+       ORDER BY bucket""",
+)
+def stats_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf)
+    bounds = li.agg(
+        F.min("l_extendedprice").alias("mn"), F.max("l_extendedprice").alias("mx")
+    )
+    width = F.nullif((F.col("mx") - F.col("mn")) / N_BUCKETS, F.lit(0.0))
+    bucket = F.least(
+        F.floor((F.col("l_extendedprice") - F.col("mn")) / width).cast("bigint"),
+        F.lit(N_BUCKETS - 1),
+    )
+    return (
+        li.crossJoin(F.broadcast(bounds))
+        .select(
+            bucket.alias("bucket"),
+            (
+                F.col("mn")
+                + bucket * (F.col("mx") - F.col("mn")) / N_BUCKETS
+            ).alias("bucket_lo"),
+        )
+        .groupBy("bucket", "bucket_lo")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select("bucket", "cnt", "bucket_lo")
+        .orderBy("bucket")
+    )

@@ -53,6 +53,7 @@ def all_queries() -> dict[str, RegisteredQuery]:
         similarity,
         skew,
         spatial,
+        stats,
         temporal,
         text,
         windows,

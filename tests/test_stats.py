@@ -1,0 +1,70 @@
+"""Z-score and histogram arithmetic on hand-checked fixtures."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+
+from geostore_spark.operators.stats import stats_histogram, stats_zscore
+
+
+def test_zscore_profile(spark, tmp_path):
+    vals = [10.0] * 98 + [10.0 + 5.0, 10.0 - 5.0]  # symmetric spikes
+    pd.DataFrame(
+        {
+            "event_id": range(100),
+            "ts": pd.to_datetime(["2024-01-01"] * 100),
+            "user_id": [1] * 100,
+            "event_type": ["a"] * 100,
+            "value": vals,
+            "props": ["{}"] * 100,
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+    row = stats_zscore(spark, str(tmp_path)).collect()[0]
+    assert row["n"] == 100 and row["mean"] == 10.0
+    # std = sqrt(50/100); spikes sit at |z| = 5/std ≈ 7.07 -> both outliers
+    assert math.isclose(row["std"], math.sqrt(0.5), rel_tol=1e-12)
+    assert row["n_outliers"] == 2
+    assert math.isclose(row["z_max"], 5 / math.sqrt(0.5), rel_tol=1e-12)
+    assert math.isclose(row["z_min"], -row["z_max"], rel_tol=1e-12)
+
+
+def test_zscore_constant_group_has_no_outliers(spark, tmp_path):
+    pd.DataFrame(
+        {
+            "event_id": range(10),
+            "ts": pd.to_datetime(["2024-01-01"] * 10),
+            "user_id": [1] * 10,
+            "event_type": ["c"] * 10,
+            "value": [7.0] * 10,
+            "props": ["{}"] * 10,
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+    row = stats_zscore(spark, str(tmp_path)).collect()[0]
+    assert row["std"] == 0.0 and row["n_outliers"] == 0
+    assert row["z_min"] is None and row["z_max"] is None  # z undefined, not inf
+
+
+def test_histogram_buckets(spark, tmp_path):
+    # values 0..99 over 20 buckets of width 4.95: 5 per bucket, max clamps
+    pd.DataFrame(
+        {
+            "l_orderkey": range(100),
+            "l_partkey": [1] * 100,
+            "l_suppkey": [1] * 100,
+            "l_linenumber": [1] * 100,
+            "l_quantity": [1.0] * 100,
+            "l_extendedprice": [float(i) for i in range(100)],
+            "l_discount": [0.0] * 100,
+            "l_tax": [0.0] * 100,
+            "l_returnflag": ["N"] * 100,
+            "l_linestatus": ["O"] * 100,
+            "l_shipdate": pd.to_datetime(["2024-01-01"] * 100),
+        }
+    ).to_parquet(tmp_path / "lineitem.parquet")
+    rows = stats_histogram(spark, str(tmp_path)).collect()
+    assert [r["bucket"] for r in rows] == list(range(20))
+    assert sum(r["cnt"] for r in rows) == 100
+    assert rows[0]["bucket_lo"] == 0.0
+    assert all(r["cnt"] == 5 for r in rows)
