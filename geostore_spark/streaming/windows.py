@@ -110,3 +110,72 @@ def drain_collect(
     )
     query.awaitTermination()
     return rows
+
+
+ANOMALY_SCHEMA = "event_id long, event_type string, value double, z double"
+_ANOM_STATE_SCHEMA = "n long, mean double, m2 double"
+ANOMALY_MIN_N = 10
+ANOMALY_Z = 3.0
+
+
+def _update_anomalies(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Online z-score anomaly detection per event_type: Welford running
+    (n, mean, M2) state; an event is scored against the statistics of
+    everything BEFORE it (so a level shift flags immediately rather than
+    polluting its own baseline), then folded in. Emits only events with
+    |z| > ANOMALY_Z once at least ANOMALY_MIN_N values have been seen —
+    the streaming twin of the batch x_stats_zscore profile."""
+    n, mean, m2 = state.get if state.exists else (0, 0.0, 0.0)
+    out: list[pd.DataFrame] = []
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        pdf = pdf.sort_values("event_id")  # deterministic intra-batch order
+        flag_ids, flag_vals, flag_z = [], [], []
+        for eid, v in zip(pdf["event_id"], pdf["value"]):
+            v = float(v)
+            if n >= ANOMALY_MIN_N:
+                var = m2 / n
+                if var > 0:
+                    z = (v - mean) / var**0.5
+                    if abs(z) > ANOMALY_Z:
+                        flag_ids.append(int(eid))
+                        flag_vals.append(v)
+                        flag_z.append(z)
+            n += 1
+            delta = v - mean
+            mean += delta / n
+            m2 += delta * (v - mean)
+        if flag_ids:
+            out.append(
+                pd.DataFrame(
+                    {
+                        "event_id": flag_ids,
+                        "event_type": key[0],
+                        "value": flag_vals,
+                        "z": flag_z,
+                    }
+                )
+            )
+    state.update((n, mean, m2))
+    yield from out or [
+        pd.DataFrame({"event_id": [], "event_type": [], "value": [], "z": []}).astype(
+            {"event_id": "int64", "event_type": "object", "value": "float64", "z": "float64"}
+        )
+    ]
+
+
+def streaming_anomalies(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-event_type online outlier stream
+    (applyInPandasWithState; append mode — each anomaly emits once)."""
+    return stream.groupBy("event_type").applyInPandasWithState(
+        _update_anomalies,
+        outputStructType=ANOMALY_SCHEMA,
+        stateStructType=_ANOM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -99,3 +99,32 @@ def test_apply_in_pandas_with_state_accumulates_across_batches(spark, tmp_path):
     assert t2[7] == (3, 15.0)  # state (2, 5.0) carried across the restart
     last = [r["last_ts"] for r in t2_rows if r["user_id"] == 7][0]
     assert last.day == 2
+
+
+def test_streaming_anomalies_flag_against_prior_state(spark, tmp_path):
+    from geostore_spark.streaming.windows import streaming_anomalies
+
+    events = str(tmp_path / "events")
+    ckpt = str(tmp_path / "ckpt_anom")
+
+    # batch 1: a stable baseline (values 10 ± 1) — nothing can flag while
+    # n < ANOMALY_MIN_N, and nothing here is extreme anyway
+    base = [
+        _event(i, 1, _ts(1, i % 24), value=10.0 + (1.0 if i % 2 else -1.0))
+        for i in range(12)
+    ]
+    _write_events(events, "b1.json", base)
+    first = drain_collect(streaming_anomalies(event_stream(spark, events)), ckpt)
+    assert first == []
+
+    # batch 2: a spike far outside the baseline flags against the STORED
+    # state from batch 1 (the state survived the restart), a normal value
+    # does not
+    _write_events(
+        events,
+        "b2.json",
+        [_event(100, 1, _ts(2), value=50.0), _event(101, 1, _ts(2), value=10.0)],
+    )
+    second = drain_collect(streaming_anomalies(event_stream(spark, events)), ckpt)
+    assert [r["event_id"] for r in second] == [100]
+    assert second[0]["z"] > 3 and second[0]["value"] == 50.0
