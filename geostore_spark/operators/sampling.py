@@ -90,3 +90,86 @@ def q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# -- token-budget fill -------------------------------------------------------
+
+TOKEN_BUDGET = 2000  # per language
+
+
+def token_budget_sample(
+    docs: DataFrame, budget: int = TOKEN_BUDGET
+) -> DataFrame:
+    """Fill a per-language token budget in deterministic pseudo-random
+    order (md5 of the doc id): keep each language's docs, hash-ordered,
+    while the running token total stays ≤ budget — the "mix a training
+    set to N tokens per language" primitive.
+
+    Scale shape: the naive form is one cumulative-sum window per
+    language — a 5-way parallelism ceiling at 100 TB. Instead the hash
+    order is split into 256 buckets (first md5 byte); a tiny
+    (lang, bucket) token-sum aggregate comes to the driver, a prefix
+    scan there finds each language's boundary bucket, and the window
+    runs only INSIDE kept buckets (≤ 1/256 of the corpus per language,
+    window key = (lang, bucket)) with the bucket's base offset added
+    back. Buckets wholly past the budget are filtered before the
+    window — at the scan, once the broadcast rules join prunes them.
+    Results are identical to the naive window by construction (bucket =
+    hash prefix, so bucket order == hash order).
+    """
+    spark = docs.sparkSession
+    toks = F.size(F.split(F.trim("text"), " "))
+    okey = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    base = docs.select(
+        "doc_id",
+        "lang",
+        toks.alias("toks"),
+        okey.alias("okey"),
+        F.conv(F.substring(okey, 1, 2), 16, 10).cast("int").alias("bucket"),
+    ).localCheckpoint(eager=False)
+
+    bucket_sums = base.groupBy("lang", "bucket").agg(F.sum("toks").alias("btoks"))
+    rules = []  # (lang, bucket, base_acc) for buckets that can contribute
+    acc: dict[str, int] = {}
+    for r in sorted(bucket_sums.collect(), key=lambda r: (r["lang"], r["bucket"])):
+        prior = acc.get(r["lang"], 0)
+        if prior < budget:
+            rules.append((r["lang"], r["bucket"], prior))
+        acc[r["lang"]] = prior + r["btoks"]
+    rules_df = spark.createDataFrame(rules, "lang string, bucket int, base_acc long")
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang", "bucket").orderBy("okey", "doc_id")
+    return (
+        base.join(F.broadcast(rules_df), ["lang", "bucket"])
+        .withColumn("cum", F.col("base_acc") + F.sum("toks").over(w))
+        .filter(F.col("cum") <= budget)
+        .select("doc_id", "lang", "toks", "cum")
+    )
+
+
+@register(
+    "x_sample_token_budget",
+    "Per-language token-budget fill in deterministic hash order: bucketed "
+    "prefix-scan (256 hash buckets, driver-side boundary search) so the "
+    "cumulative window runs only inside kept buckets — never a per-language "
+    "global window. Identical to the naive window by construction.",
+    f"""WITH t AS (
+         SELECT doc_id, lang,
+                len(string_split(trim(text), ' ')) AS toks,
+                md5(CAST(doc_id AS VARCHAR)) AS okey
+         FROM documents
+       ),
+       c AS (
+         SELECT doc_id, lang, toks,
+                SUM(toks) OVER (PARTITION BY lang ORDER BY okey, doc_id) AS cum
+         FROM t
+       )
+       SELECT doc_id, lang, toks, CAST(cum AS BIGINT) AS cum
+       FROM c WHERE cum <= {TOKEN_BUDGET}
+       ORDER BY lang, cum""",
+)
+def q_token_budget(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf)
+    return token_budget_sample(docs).orderBy("lang", "cum")

@@ -75,3 +75,43 @@ def test_repetition_flags_degenerate_doc(spark, tmp_path):
     out = {r["doc_id"]: r.asDict() for r in text_repetition(spark, str(tmp_path)).collect()}
     assert out[1]["low_quality"] and out[1]["dup_word_frac"] > 0.9
     assert not out[2]["low_quality"] and out[2]["dup_word_frac"] == 0.0
+
+
+def test_token_budget_fill_matches_naive_prefix_scan(spark, tmp_path):
+    import hashlib
+
+    import pandas as pd
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(60),
+            "text": [" ".join(["w"] * (5 + i % 7)) for i in range(60)],
+            "lang": ["en" if i % 2 else "zh" for i in range(60)],
+            "source": ["s"] * 60,
+            "n_chars": [0] * 60,
+        }
+    )
+    docs.to_parquet(tmp_path / "documents.parquet")
+    from geostore_spark.operators.sampling import token_budget_sample
+
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in token_budget_sample(
+            spark.read.parquet(str(tmp_path / "documents.parquet")), budget=100
+        ).collect()
+    }
+    # naive reference: per-lang md5-ordered prefix scan
+    docs["toks"] = docs["text"].str.split(" ").map(len)
+    docs["okey"] = docs["doc_id"].map(lambda d: hashlib.md5(str(d).encode()).hexdigest())
+    expect = {}
+    for _lang, grp in docs.groupby("lang"):
+        cum = 0
+        for _, row in grp.sort_values(["okey", "doc_id"]).iterrows():
+            cum += row["toks"]
+            if cum > 100:
+                break
+            expect[row["doc_id"]] = cum
+    assert {k: v["cum"] for k, v in got.items()} == expect
+    # the budget binds per language
+    for lang in ("en", "zh"):
+        assert sum(v["toks"] for v in got.values() if v["lang"] == lang) <= 100
