@@ -725,3 +725,84 @@ def q_embed_cosine(spark: SparkSession, sf: str) -> DataFrame:
 def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, "documents", sf)
     return ngram_jaccard_pairs(docs, "doc_id", "text").orderBy("doc_a", "doc_b")
+
+
+# -- URL canonicalization dedup ---------------------------------------------
+
+_URL_HEAD = "^[a-zA-Z]+://[^/]+"
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonicalize a URL for dedup: lowercase the scheme+authority (path
+    stays case-sensitive), strip a default :443 port, drop trailing
+    utm_* tracking parameters. Pure codegen expressions — at corpus
+    scale this is a scan-project ahead of one groupBy on the canonical
+    key."""
+    head = F.regexp_extract(url, _URL_HEAD, 0)
+    canon_head = F.replace(F.lower(head), F.lit(":443"), F.lit(""))
+    tail = F.substring(url, F.length(head) + 1, F.lit(1 << 30))
+    canon_tail = F.regexp_replace(tail, r"\?utm_[^#]*$", "")
+    return F.concat(canon_head, canon_tail)
+
+
+@register(
+    "x_dedup_url",
+    "URL canonicalization dedup: lowercase scheme+host, strip default "
+    "port and utm_* tracking params, then group by the canonical form. "
+    "The fixtures carry no URLs, so the query synthesizes four "
+    "deterministic variants per user (case/port/tracking noise) and the "
+    "canonicalizer — the thing under test — must collapse them.",
+    """WITH raw AS (
+         SELECT event_id,
+                CASE event_id % 4
+                  WHEN 0 THEN 'https://www.example.com/items/' || user_id
+                  WHEN 1 THEN 'HTTPS://WWW.EXAMPLE.COM/items/' || user_id
+                  WHEN 2 THEN 'https://www.example.com:443/items/' || user_id
+                  ELSE 'https://www.example.com/items/' || user_id
+                       || '?utm_source=feed'
+                END AS url
+         FROM events
+       ),
+       canon AS (
+         SELECT url,
+                replace(lower(regexp_extract(url, '^[a-zA-Z]+://[^/]+')), ':443', '')
+                  || regexp_replace(substring(url,
+                       length(regexp_extract(url, '^[a-zA-Z]+://[^/]+')) + 1),
+                       '\\?utm_[^#]*$', '') AS curl
+         FROM raw
+       )
+       SELECT curl, COUNT(*) AS n_events, COUNT(DISTINCT url) AS n_variants
+       FROM canon GROUP BY curl ORDER BY curl LIMIT 200""",
+)
+def q_url_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, "events", sf)
+    variant = F.col("event_id") % 4
+    base = F.concat(F.lit("https://www.example.com/items/"), F.col("user_id").cast("string"))
+    url = (
+        F.when(variant == 0, base)
+        .when(
+            variant == 1,
+            F.concat(
+                F.lit("HTTPS://WWW.EXAMPLE.COM/items/"), F.col("user_id").cast("string")
+            ),
+        )
+        .when(
+            variant == 2,
+            F.concat(
+                F.lit("https://www.example.com:443/items/"),
+                F.col("user_id").cast("string"),
+            ),
+        )
+        .otherwise(F.concat(base, F.lit("?utm_source=feed")))
+    )
+    return (
+        ev.select(url.alias("url"))
+        .select("url", canonical_url(F.col("url")).alias("curl"))
+        .groupBy("curl")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("url").alias("n_variants"),
+        )
+        .orderBy("curl")
+        .limit(200)
+    )

@@ -109,3 +109,19 @@ def test_emb_quantize_digests(spark, tmp_path):
     assert rows[1]["sum_q2"] == 127 * 127 + 64 * 64
     # zero vector: scale 0 -> NULL digests, never a division crash
     assert rows[2]["max_abs"] == 0.0 and rows[2]["sum_q"] is None
+
+
+def test_canonical_url_cases(spark):
+    from geostore_spark.operators.dedup import canonical_url
+
+    cases = [
+        ("HTTPS://WWW.Example.COM/Items/7", "https://www.example.com/Items/7"),
+        ("https://www.example.com:443/a", "https://www.example.com/a"),
+        ("https://x.org/a?utm_source=feed", "https://x.org/a"),
+        ("https://x.org/a?id=3", "https://x.org/a?id=3"),  # real params survive
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    from pyspark.sql import functions as F
+
+    got = [r["c"] for r in df.select(canonical_url(F.col("url")).alias("c")).collect()]
+    assert got == [want for _, want in cases]
