@@ -806,3 +806,71 @@ def q_url_dedup(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("curl")
         .limit(200)
     )
+
+
+# -- corpus-wide duplicated-chunk removal (line-dedup analog) ---------------
+
+CHUNK_W = 16  # words per chunk
+
+
+@register(
+    "x_dedup_chunks",
+    "Corpus-wide duplicated-chunk removal — the C4/Dolma line-dedup "
+    "primitive (every line that re-occurs anywhere in the corpus is "
+    "dropped except its first occurrence), expressed over deterministic "
+    "16-word chunks because the fixture corpus has no newlines. One "
+    "chunking projection (no shuffle), one row_number window keyed on the "
+    "chunk hash (uniform keys — chunks are near-unique, so no skew), one "
+    "per-doc re-aggregation. First occurrence = lowest (doc_id, pos), so "
+    "the result is deterministic under any partitioning.",
+    f"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       c AS (
+         SELECT doc_id,
+                unnest(range(0, CAST(ceil(len(ws) / {CHUNK_W}.0) AS INT))) AS pos,
+                unnest(list_transform(
+                  range(0, CAST(ceil(len(ws) / {CHUNK_W}.0) AS INT)),
+                  i -> array_to_string(ws[i*{CHUNK_W}+1 : i*{CHUNK_W}+{CHUNK_W}], ' '))) AS chunk
+         FROM w
+       ),
+       r AS (
+         SELECT doc_id, pos,
+                ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn
+         FROM c
+       )
+       SELECT doc_id, COUNT(*) AS n_chunks,
+              CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks
+       FROM r GROUP BY doc_id ORDER BY doc_id""",
+)
+def q_chunk_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc chunk counts after corpus-level first-occurrence dedup.
+
+    At 100 TB the window shuffle partitions by chunk hash — uniformly
+    distributed 64-bit keys, so AQE never sees skew; the groupBy(doc_id)
+    re-aggregation gets map-side partial aggregation. No Python in the
+    path: chunking is a higher-order projection over ≤ dozens of elements
+    per row (cheap even interpreted), hashing and the window are codegen.
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, "documents", sf)
+    ws = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(F.size(ws) / F.lit(float(CHUNK_W)))
+    chunks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), (n_chunks - 1).cast("int")),
+                lambda i: F.concat_ws(" ", F.slice(ws, i * CHUNK_W + 1, CHUNK_W)),
+            )
+        ).alias("pos", "chunk"),
+    )
+    w = Window.partitionBy(F.xxhash64("chunk")).orderBy("doc_id", "pos")
+    ranked = chunks.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).alias("n_dup_chunks"),
+        )
+        .orderBy("doc_id")
+    )

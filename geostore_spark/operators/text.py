@@ -552,3 +552,62 @@ def text_bigram_lm(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), "bigram")
         .limit(50)
     )
+
+
+# -- benchmark decontamination (n-gram overlap) -----------------------------
+
+DECON_N = 8  # word n-gram width (GPT-3/Lee-et-al-style 8-13 gram overlap)
+
+
+@register(
+    "x_text_decontaminate",
+    "Test-set decontamination: flag every training document sharing at "
+    "least one word 8-gram with the held-out benchmark slice "
+    "(doc_id % 10 == 0 stands in for the eval set). Returns per "
+    "contaminated doc the distinct shared grams and distinct benchmark "
+    "docs hit. The benchmark gram set is broadcast — real eval suites "
+    "are millions of grams, far under the broadcast threshold — so the "
+    "100 TB training side never shuffles: scan → hash → broadcast-join "
+    "→ partially-aggregated groupBy(doc_id).",
+    f"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       g AS (
+         SELECT DISTINCT doc_id,
+                unnest(list_transform(range(1, len(ws) - {DECON_N - 2}),
+                                      i -> array_to_string(ws[i : i + {DECON_N - 1}], ' '))) AS s
+         FROM w WHERE len(ws) >= {DECON_N}
+       ),
+       t AS (SELECT doc_id, s FROM g WHERE doc_id % 10 != 0),
+       b AS (SELECT doc_id AS bench_id, s FROM g WHERE doc_id % 10 = 0)
+       SELECT t.doc_id, COUNT(DISTINCT t.s) AS n_shared_grams,
+              COUNT(DISTINCT b.bench_id) AS n_bench_docs
+       FROM t JOIN b ON t.s = b.s
+       GROUP BY t.doc_id ORDER BY t.doc_id""",
+)
+def text_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Training-corpus decontamination against a benchmark slice.
+
+    Spark shape: both sides shingle via the vectorized Arrow pass
+    (dedup.shingle_rows), grams reduce to 64-bit hashes, the benchmark
+    side broadcasts, and the join output aggregates straight to per-doc
+    counts (two distinct-counts over one expand — no second shuffle).
+    Counting distinct hashes equals counting distinct grams absent
+    xxhash64 collisions, which the corpus sizes here make negligible.
+    """
+    from geostore_spark.operators.dedup import shingle_rows
+
+    docs = load_table(spark, "documents", sf)
+    bench_grams = shingle_rows(
+        docs.filter(F.col("doc_id") % 10 == 0), "doc_id", "text", DECON_N
+    ).select(F.col("doc_id").alias("bench_id"), F.xxhash64("s").alias("h"))
+    train_grams = shingle_rows(
+        docs.filter(F.col("doc_id") % 10 != 0), "doc_id", "text", DECON_N
+    ).select("doc_id", F.xxhash64("s").alias("h"))
+    return (
+        train_grams.join(F.broadcast(bench_grams), "h")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("h").alias("n_shared_grams"),
+            F.countDistinct("bench_id").alias("n_bench_docs"),
+        )
+        .orderBy("doc_id")
+    )

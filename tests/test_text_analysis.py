@@ -125,3 +125,60 @@ def test_canonical_url_cases(spark):
 
     got = [r["c"] for r in df.select(canonical_url(F.col("url")).alias("c")).collect()]
     assert got == [want for _, want in cases]
+
+
+def test_decontaminate_flags_overlapping_train_docs(spark, tmp_path):
+    # doc 10 is "benchmark" (doc_id % 10 == 0); docs 1 and 3 copy an
+    # 8-gram from it, doc 2 shares nothing.
+    bench = "w1 w2 w3 w4 w5 w6 w7 w8 tail words here"
+    _write_docs_ids(
+        tmp_path,
+        {
+            10: bench,
+            1: "prefix w1 w2 w3 w4 w5 w6 w7 w8 suffix",
+            2: "totally different content with no overlap at all whatsoever",
+            3: "w1 w2 w3 w4 w5 w6 w7 w8",
+        },
+    )
+    from geostore_spark.operators.text import text_decontaminate
+
+    rows = {
+        r["doc_id"]: r.asDict()
+        for r in text_decontaminate(spark, str(tmp_path)).collect()
+    }
+    assert set(rows) == {1, 3}
+    assert rows[1]["n_shared_grams"] == 1 and rows[1]["n_bench_docs"] == 1
+    assert rows[3]["n_shared_grams"] == 1
+
+
+def _write_docs_ids(tmp_path, by_id):
+    pd.DataFrame(
+        {
+            "doc_id": list(by_id),
+            "text": list(by_id.values()),
+            "lang": ["en"] * len(by_id),
+            "source": ["s"] * len(by_id),
+            "n_chars": [len(t) for t in by_id.values()],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+
+
+def test_chunk_dedup_first_occurrence_wins(spark, tmp_path):
+    # 16-word chunk A appears in docs 1, 2 and twice in doc 3; first
+    # occurrence is (doc 1, pos 0), every other copy counts as dup.
+    chunk_a = " ".join(f"a{i}" for i in range(16))
+    chunk_b = " ".join(f"b{i}" for i in range(16))
+    _write_docs_ids(
+        tmp_path,
+        {
+            1: chunk_a + " " + chunk_b,
+            2: chunk_a,
+            3: chunk_a + " " + chunk_a,
+        },
+    )
+    from geostore_spark.operators.dedup import q_chunk_dedup
+
+    rows = {r["doc_id"]: r.asDict() for r in q_chunk_dedup(spark, str(tmp_path)).collect()}
+    assert rows[1] == {"doc_id": 1, "n_chunks": 2, "n_dup_chunks": 0}
+    assert rows[2] == {"doc_id": 2, "n_chunks": 1, "n_dup_chunks": 1}
+    assert rows[3] == {"doc_id": 3, "n_chunks": 2, "n_dup_chunks": 2}
