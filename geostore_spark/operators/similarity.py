@@ -388,3 +388,149 @@ def q_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf)
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     return ann_lsh_topk(emb, queries).orderBy("q_id", "n_id")
+
+
+# -- product quantization (PQ) with ADC scoring -----------------------------
+
+PQ_M = 8  # subspaces (DIM/PQ_M dims each)
+PQ_SUB = DIM // PQ_M
+PQ_K = 16  # codewords per subspace
+PQ_SCALE = 1000  # integer quantization: round(x * PQ_SCALE)
+
+
+def _pq_codebook(embeddings: DataFrame):
+    """Deterministic codebook: subvectors of the first PQ_K vectors stand
+    in for trained per-subspace k-means centroids (swapping trained ones
+    in changes no plan shape). Returns an int64 ndarray (M, K, SUB)."""
+    import numpy as np
+
+    rows = (
+        embeddings.filter(F.col("vec_id") < PQ_K)
+        .select("vec_id", _as_double("embedding").alias("emb"))
+        .collect()
+    )
+    rows.sort(key=lambda r: r["vec_id"])
+    mat = np.rint(np.vstack([np.asarray(r["emb"]) for r in rows]) * PQ_SCALE).astype(
+        np.int64
+    )  # (K, DIM)
+    return np.stack([mat[:, m * PQ_SUB : (m + 1) * PQ_SUB] for m in range(PQ_M)])
+
+
+def pq_adc_topk(embeddings: DataFrame, queries: DataFrame, k: int = TOP_K) -> DataFrame:
+    """PQ-compressed ANN scan with asymmetric distance computation.
+
+    Every vector is stored as PQ_M 4-bit-ish codes (nearest codeword per
+    subspace, integer L2); a query precomputes one (M, K) lookup table of
+    integer dot products and scores any candidate with M table lookups —
+    never touching the original floats. This is the compression axis of
+    ANN (codes are ~32× smaller than the raw vectors), orthogonal to the
+    IVF/LSH partition-pruning axis: composing them = run this scan inside
+    the probed cells only.
+
+    All arithmetic is integer (inputs quantized at PQ_SCALE), so scores
+    are bit-exact reproducible in any engine and ordering never floats.
+    Per partition the whole block scores as numpy gathers + sums; the
+    shuffle carries only partition-local top-k survivors.
+    """
+    import numpy as np
+    import pandas as pd
+
+    codebook = _pq_codebook(embeddings)  # (M, K, SUB)
+    q_rows = queries.select("vec_id", _as_double("embedding").alias("emb")).collect()
+    q_ids = np.array([r["vec_id"] for r in q_rows])
+    q_int = np.rint(
+        np.vstack([np.asarray(r["emb"]) for r in q_rows]) * PQ_SCALE
+    ).astype(np.int64)
+    # LUT[j, m, k] = q_j's subvector m · codeword (m, k)
+    lut = np.einsum("jms,mks->jmk", q_int.reshape(len(q_ids), PQ_M, PQ_SUB), codebook)
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            mat = np.rint(np.vstack(pdf["emb"].to_numpy()) * PQ_SCALE).astype(np.int64)
+            sub = mat.reshape(len(ids), PQ_M, PQ_SUB)  # (n, M, SUB)
+            # codes: nearest codeword per subspace, integer L2, ties → lowest k
+            d2 = ((sub[:, :, None, :] - codebook[None, :, :, :]) ** 2).sum(-1)
+            codes = d2.argmin(-1)  # (n, M)
+            m_idx = np.arange(PQ_M)[None, :]
+            for j in range(len(q_ids)):
+                adc = lut[j][m_idx, codes].sum(-1)  # (n,): Σ_m LUT[m, code_m]
+                keep = np.nonzero(ids != q_ids[j])[0]
+                order = keep[np.lexsort((ids[keep], -adc[keep]))[: min(k, len(keep))]]
+                yield pd.DataFrame(
+                    {
+                        "q_id": np.repeat(q_ids[j], len(order)),
+                        "n_id": ids[order],
+                        "score": adc[order],
+                    }
+                )
+
+    scored = rebalance_for_python(
+        embeddings.select("vec_id", _as_double("embedding").alias("emb"))
+    ).mapInPandas(score, "q_id long, n_id long, score long")
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), "n_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "n_id", "score")
+    )
+
+
+_PQ_ORACLE = f"""
+       WITH e AS (
+         SELECT vec_id,
+                list_transform(embedding::DOUBLE[],
+                               v -> CAST(round(v * {PQ_SCALE}) AS BIGINT)) AS xi
+         FROM embeddings
+       ),
+       ms AS (SELECT unnest(range(0, {PQ_M})) AS m),
+       cb AS (
+         SELECT m, vec_id AS k, xi[m*{PQ_SUB}+1 : m*{PQ_SUB}+{PQ_SUB}] AS cv
+         FROM e CROSS JOIN ms WHERE vec_id < {PQ_K}
+       ),
+       sub AS (
+         SELECT vec_id, m, xi[m*{PQ_SUB}+1 : m*{PQ_SUB}+{PQ_SUB}] AS sv
+         FROM e CROSS JOIN ms
+       ),
+       codes AS (
+         SELECT vec_id, m, cv FROM (
+           SELECT s.vec_id, s.m, c.cv,
+                  ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+                    list_sum(list_transform(range(1, {PQ_SUB + 1}),
+                      i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))), c.k) AS rn
+           FROM sub s JOIN cb c ON s.m = c.m)
+         WHERE rn = 1
+       ),
+       q AS (
+         SELECT vec_id AS q_id, m, xi[m*{PQ_SUB}+1 : m*{PQ_SUB}+{PQ_SUB}] AS qv
+         FROM e CROSS JOIN ms WHERE vec_id < {N_QUERIES}
+       ),
+       s AS (
+         SELECT q.q_id, c.vec_id AS n_id,
+                CAST(SUM(list_sum(list_transform(range(1, {PQ_SUB + 1}),
+                  i -> q.qv[i] * c.cv[i]))) AS BIGINT) AS score
+         FROM q JOIN codes c ON q.m = c.m
+         WHERE c.vec_id != q.q_id
+         GROUP BY q.q_id, c.vec_id
+       )
+       SELECT q_id, n_id, score
+       FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                       ORDER BY score DESC, n_id) AS rn FROM s)
+       WHERE rn <= {TOP_K} ORDER BY q_id, n_id"""
+
+
+@register(
+    "x_sim_pq_adc",
+    "Product-quantization ANN with asymmetric-distance scoring: vectors "
+    "compress to PQ_M nearest-codeword codes, queries score candidates "
+    "via one (M,K) integer lookup table — the compression axis of ANN, "
+    "composable with IVF/LSH cell pruning. Integer arithmetic end to end "
+    "so the oracle matches bit-for-bit.",
+    _PQ_ORACLE,
+)
+def q_pq_adc(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return pq_adc_topk(emb, queries).orderBy("q_id", "n_id")

@@ -110,3 +110,31 @@ def test_simhash_identical_texts_identical_fingerprints(spark):
     for r in fps:
         by_text.setdefault(rows[r["doc_id"]][1], set()).add(r["simhash32"])
     assert all(len(v) == 1 for v in by_text.values())  # deterministic per text
+
+
+def test_pq_adc_recall_against_bruteforce(spark):
+    """PQ is lossy but must rank true near-neighbors highly: every query's
+    PQ top-5 should share members with the exact top-5 on the fixture
+    corpus (deterministic — fixed codebook, fixed data)."""
+    from pyspark.sql import functions as F
+
+    from geostore_spark.operators.similarity import (
+        N_QUERIES,
+        cosine_topk,
+        pq_adc_topk,
+    )
+    from geostore_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, "embeddings", sf)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    exact = {
+        (r["q_id"], r["n_id"]) for r in cosine_topk(emb, queries).collect()
+    }
+    approx = {
+        (r["q_id"], r["n_id"]) for r in pq_adc_topk(emb, queries).collect()
+    }
+    qs = {q for q, _ in exact}
+    assert qs == {q for q, _ in approx}
+    # overall overlap: at least a third of exact neighbors recovered
+    assert len(exact & approx) >= len(exact) // 3

@@ -135,3 +135,11 @@ def test_pii_redact_is_single_pass_and_prunes_schema(spark):
     plan = _plan(spark, "x_text_pii_redact")
     assert "Exchange" not in plan
     assert "ReadSchema: struct<c_custkey:bigint,c_name:string>" in plan
+
+
+def test_pq_adc_scan_is_partition_local(spark):
+    # PQ codes + ADC lookup tables live in the task closure; the only
+    # shuffle is the partition-local top-k winner merge
+    plan = _plan(spark, "x_sim_pq_adc")
+    assert "MapInPandas" in plan
+    assert "Join" not in plan
