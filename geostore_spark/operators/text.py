@@ -611,3 +611,82 @@ def text_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# -- LM-based quality filtering (CCNet-style) --------------------------------
+
+
+@register(
+    "x_text_perplexity",
+    "LM quality filter: score every document by its average negative "
+    "bigram log-likelihood under the corpus bigram LM (the CCNet-style "
+    "perplexity filter that buckets a crawl into head/middle/tail). The "
+    "LM table is vocab^2-bounded — tiny next to the corpus — so scoring "
+    "is a broadcast join; per-bigram log terms are integer-quantized at "
+    "1e-6 so the per-doc sum is associative-exact across engines.",
+    """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+       bg AS (
+         SELECT doc_id,
+                unnest(list_transform(range(1, len(ws)), i -> ws[i])) AS w1,
+                unnest(list_transform(range(1, len(ws)),
+                                      i -> ws[i] || ' ' || ws[i+1])) AS g
+         FROM w WHERE len(ws) >= 2
+       ),
+       bgc AS (SELECT w1, g, COUNT(*) AS c FROM bg GROUP BY w1, g),
+       ctx AS (SELECT w1, SUM(c) AS cw1 FROM bgc GROUP BY w1),
+       lm AS (
+         SELECT g, CAST(round(ln(CAST(c AS DOUBLE) / cw1) * 1000000) AS BIGINT) AS t
+         FROM bgc JOIN ctx USING (w1)
+       ),
+       d AS (
+         SELECT doc_id, COUNT(*) AS n_bigrams, SUM(t) AS s
+         FROM bg JOIN lm USING (g) GROUP BY doc_id
+       )
+       SELECT doc_id, n_bigrams, -CAST(s AS DOUBLE) / (1e6 * n_bigrams) AS nll
+       FROM d ORDER BY doc_id LIMIT 200""",
+)
+def text_perplexity(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc avg negative log-likelihood under the corpus bigram LM.
+
+    In production the LM is prebuilt from a reference corpus and only the
+    broadcast-join scoring pass touches the 100 TB side; here the LM
+    derives from the same fixture corpus (two partially-aggregated
+    shuffles over the vocab — the fact side never shuffles)."""
+    docs = load_table(spark, "documents", sf)
+    ws = F.split(F.trim("text"), " ")
+    pairs = (
+        docs.filter(F.size(ws) >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    F.slice(ws, 1, F.size(ws) - 1),
+                    F.slice(ws, 2, F.size(ws) - 1),
+                    lambda a, b: F.struct(a.alias("w1"), F.concat_ws(" ", a, b).alias("g")),
+                )
+            ).alias("z"),
+        )
+        .select("doc_id", "z.w1", "z.g")
+    )
+    bgc = pairs.groupBy("w1", "g").agg(F.count(F.lit(1)).alias("c"))
+    ctx = bgc.groupBy("w1").agg(F.sum("c").alias("cw1"))
+    lm = (
+        bgc.join(F.broadcast(ctx), "w1")
+        .select(
+            "g",
+            F.round(F.log(F.col("c").cast("double") / F.col("cw1")) * 1e6, 0)
+            .cast("bigint")
+            .alias("t"),
+        )
+    )
+    agg = (
+        pairs.join(F.broadcast(lm), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_bigrams"), F.sum("t").alias("s"))
+    )
+    nll = -F.col("s").cast("double") / (1e6 * F.col("n_bigrams"))
+    return (
+        agg.select("doc_id", "n_bigrams", nll.alias("nll"))
+        .orderBy("doc_id")
+        .limit(200)
+    )

@@ -179,3 +179,33 @@ def streaming_anomalies(stream: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+DOC_STREAM_SCHEMA = "doc_id long, text string, ts timestamp"
+
+
+def doc_stream(
+    spark: SparkSession, docs_dir: str, watermark: str = "1 hour"
+) -> DataFrame:
+    """File-source stream of document JSON with an event-time watermark."""
+    return (
+        spark.readStream.schema(DOC_STREAM_SCHEMA)
+        .json(docs_dir)
+        .withWatermark("ts", watermark)
+    )
+
+
+def streaming_exact_dedup(stream: DataFrame) -> DataFrame:
+    """Streaming twin of ``operators.dedup.exact_dedup``: the first
+    document seen per content digest survives; later copies are dropped.
+
+    ``dropDuplicatesWithinWatermark`` keys the state store on the digest
+    and — unlike plain ``dropDuplicates`` — evicts entries once they age
+    past the watermark, so state is bounded by the dedup horizon rather
+    than growing with the corpus: the only formulation that survives an
+    unbounded 100 TB/day ingest. Batch and streaming agree on the digest
+    (md5 of the text), so a backfill and the live path dedup identically.
+    """
+    return stream.withColumn("digest", F.md5("text")).dropDuplicatesWithinWatermark(
+        ["digest"]
+    )

@@ -128,3 +128,29 @@ def test_streaming_anomalies_flag_against_prior_state(spark, tmp_path):
     second = drain_collect(streaming_anomalies(event_stream(spark, events)), ckpt)
     assert [r["event_id"] for r in second] == [100]
     assert second[0]["z"] > 3 and second[0]["value"] == 50.0
+
+
+def test_streaming_exact_dedup_keeps_one_per_digest(spark, tmp_path):
+    import json as _json
+
+    from geostore_spark.streaming.windows import doc_stream, streaming_exact_dedup
+
+    docs_dir = tmp_path / "docs"
+    docs_dir.mkdir()
+    rows = [
+        {"doc_id": 1, "text": "alpha beta", "ts": "2024-01-01T00:00:00Z"},
+        {"doc_id": 2, "text": "alpha beta", "ts": "2024-01-01T00:05:00Z"},
+        {"doc_id": 3, "text": "gamma delta", "ts": "2024-01-01T00:10:00Z"},
+        {"doc_id": 4, "text": "gamma delta", "ts": "2024-01-01T00:11:00Z"},
+        {"doc_id": 5, "text": "unique text", "ts": "2024-01-01T00:12:00Z"},
+    ]
+    (docs_dir / "batch0.json").write_text(
+        "\n".join(_json.dumps(r) for r in rows)
+    )
+    out = drain_collect(
+        streaming_exact_dedup(doc_stream(spark, str(docs_dir))),
+        str(tmp_path / "ckpt"),
+    )
+    texts = sorted(r["text"] for r in out)
+    assert texts == ["alpha beta", "gamma delta", "unique text"]
+    assert len({r["digest"] for r in out}) == 3

@@ -182,3 +182,14 @@ def test_chunk_dedup_first_occurrence_wins(spark, tmp_path):
     assert rows[1] == {"doc_id": 1, "n_chunks": 2, "n_dup_chunks": 0}
     assert rows[2] == {"doc_id": 2, "n_chunks": 1, "n_dup_chunks": 1}
     assert rows[3] == {"doc_id": 3, "n_chunks": 2, "n_dup_chunks": 2}
+
+
+def test_perplexity_known_lm(spark, tmp_path):
+    # corpus bigrams from 'a': 3x 'a b', 1x 'a c' -> P(b|a)=3/4, P(c|a)=1/4
+    _write_docs_ids(tmp_path, {1: "a b", 2: "a b", 3: "a b", 4: "a c"})
+    from geostore_spark.operators.text import text_perplexity
+
+    rows = {r["doc_id"]: r.asDict() for r in text_perplexity(spark, str(tmp_path)).collect()}
+    assert math.isclose(rows[1]["nll"], -math.log(0.75), abs_tol=1e-5)
+    assert math.isclose(rows[4]["nll"], -math.log(0.25), abs_tol=1e-5)
+    assert rows[1]["n_bigrams"] == 1
