@@ -173,3 +173,35 @@ def token_budget_sample(
 def q_token_budget(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, "documents", sf)
     return token_budget_sample(docs).orderBy("lang", "cum")
+
+
+# -- exact-size deterministic sample ----------------------------------------
+
+TOPK_SAMPLE_K = 100
+
+
+@register(
+    "x_sample_topk_hash",
+    "Exact-size uniform sample without replacement: rank every row by "
+    "md5(seed || key) and take the k smallest — reproducible across "
+    "engines/retries/partitionings like the rate-based sampler, but with "
+    "a guaranteed sample size (rate-based sampling only hits k in "
+    "expectation). Physically a TakeOrdered: per-partition top-k then a "
+    "k-row merge on the driver side of the exchange — never a global "
+    "sort, never a count() pre-pass.",
+    f"""SELECT doc_id, lang FROM (
+         SELECT doc_id, lang FROM documents
+         ORDER BY md5('{SEED}:' || CAST(doc_id AS VARCHAR)), doc_id
+         LIMIT {TOPK_SAMPLE_K})
+       ORDER BY doc_id""",
+)
+def q_topk_hash_sample(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf)
+    h = F.md5(F.concat(F.lit(SEED + ":"), F.col("doc_id").cast("string")))
+    return (
+        docs.select("doc_id", "lang", h.alias("h"))
+        .orderBy("h", "doc_id")
+        .limit(TOPK_SAMPLE_K)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )

@@ -12,7 +12,7 @@ shuffling a 100 TB fact side.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from geostore_spark.registry import register
@@ -75,15 +75,24 @@ def text_tokens(spark: SparkSession, sf: str) -> DataFrame:
 )
 def text_quality(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, "documents", sf)
+    return (
+        docs.select("doc_id", quality_expr().alias("quality"))
+        .orderBy("doc_id")
+        .limit(200)
+    )
+
+
+def quality_expr() -> Column:
+    """The composite [0,1] quality score over a ``text`` column — shared
+    by the standalone scoring query and the pipeline composition."""
     n_tok = F.size(F.split(F.trim("text"), r"\s+"))
     awl = F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) / n_tok
     pr = F.size(F.regexp_extract_all("text", F.lit("[^a-z0-9 ]"), 0)) / F.length("text")
-    quality = (
+    return (
         F.least(n_tok / 50.0, F.lit(1.0)) * 0.6
         + F.least(awl / 8.0, F.lit(1.0)) * 0.3
         + (F.lit(1.0) - pr) * 0.1
     )
-    return docs.select("doc_id", quality.alias("quality")).orderBy("doc_id").limit(200)
 
 
 WINNOW_B = 1000003
@@ -593,17 +602,9 @@ def text_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     Counting distinct hashes equals counting distinct grams absent
     xxhash64 collisions, which the corpus sizes here make negligible.
     """
-    from geostore_spark.operators.dedup import shingle_rows
-
     docs = load_table(spark, "documents", sf)
-    bench_grams = shingle_rows(
-        docs.filter(F.col("doc_id") % 10 == 0), "doc_id", "text", DECON_N
-    ).select(F.col("doc_id").alias("bench_id"), F.xxhash64("s").alias("h"))
-    train_grams = shingle_rows(
-        docs.filter(F.col("doc_id") % 10 != 0), "doc_id", "text", DECON_N
-    ).select("doc_id", F.xxhash64("s").alias("h"))
     return (
-        train_grams.join(F.broadcast(bench_grams), "h")
+        decontamination_hits(docs)
         .groupBy("doc_id")
         .agg(
             F.countDistinct("h").alias("n_shared_grams"),
@@ -611,6 +612,21 @@ def text_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def decontamination_hits(docs: DataFrame) -> DataFrame:
+    """(doc_id, h, bench_id) rows: training doc × shared-8-gram-hash ×
+    benchmark doc. The benchmark gram set broadcasts; the training side
+    never shuffles."""
+    from geostore_spark.operators.dedup import shingle_rows
+
+    bench_grams = shingle_rows(
+        docs.filter(F.col("doc_id") % 10 == 0), "doc_id", "text", DECON_N
+    ).select(F.col("doc_id").alias("bench_id"), F.xxhash64("s").alias("h"))
+    train_grams = shingle_rows(
+        docs.filter(F.col("doc_id") % 10 != 0), "doc_id", "text", DECON_N
+    ).select("doc_id", F.xxhash64("s").alias("h"))
+    return train_grams.join(F.broadcast(bench_grams), "h")
 
 
 # -- LM-based quality filtering (CCNet-style) --------------------------------
@@ -689,4 +705,76 @@ def text_perplexity(spark: SparkSession, sf: str) -> DataFrame:
         agg.select("doc_id", "n_bigrams", nll.alias("nll"))
         .orderBy("doc_id")
         .limit(200)
+    )
+
+
+# -- composed training-set materialization ----------------------------------
+
+QUALITY_THRESHOLD = 0.85
+
+
+@register(
+    "x_pipeline_training_set",
+    "The end-to-end training-set materialization a data pipeline actually "
+    "runs, composed as ONE declarative plan: keep training-slice docs "
+    "(benchmark slice excluded) that pass the quality threshold, survive "
+    "corpus-level exact dedup (first doc per content digest), and share "
+    "no 8-gram with the benchmark — then report the per-(lang, source) "
+    "training mix with token counts. Catalyst fuses the quality filter "
+    "into the scan; the digest window shuffles on uniform md5 keys; "
+    "decontamination is a broadcast anti-join; the mix rollup gets "
+    "map-side partials. One composed plan, no materialization barriers.",
+    f"""WITH train AS (
+         SELECT doc_id, lang, source, text,
+                len(string_split_regex(trim(text), '\\s+')) AS n_tok
+         FROM documents
+         WHERE doc_id % 10 != 0
+           AND LEAST(len(string_split_regex(trim(text), '\\s+'))/50.0, 1.0)*0.6
+             + LEAST(length(replace(text, ' ', ''))
+                     / len(string_split_regex(trim(text), '\\s+'))/8.0, 1.0)*0.3
+             + (1.0 - len(regexp_extract_all(text, '[^a-z0-9 ]'))/length(text))*0.1
+             >= {QUALITY_THRESHOLD}
+       ),
+       deduped AS (
+         SELECT doc_id, lang, source, text, n_tok FROM (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+           FROM train)
+         WHERE rn = 1
+       ),
+       w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       g AS (
+         SELECT DISTINCT doc_id,
+                unnest(list_transform(range(1, len(ws) - {DECON_N - 2}),
+                                      i -> array_to_string(ws[i : i + {DECON_N - 1}], ' '))) AS s
+         FROM w WHERE len(ws) >= {DECON_N}
+       ),
+       contaminated AS (
+         SELECT DISTINCT t.doc_id
+         FROM (SELECT doc_id, s FROM g WHERE doc_id % 10 != 0) t
+         JOIN (SELECT s FROM g WHERE doc_id % 10 = 0) b ON t.s = b.s
+       )
+       SELECT lang, source, COUNT(*) AS n_docs,
+              CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+       FROM deduped d
+       WHERE NOT EXISTS (SELECT 1 FROM contaminated c WHERE c.doc_id = d.doc_id)
+       GROUP BY lang, source ORDER BY lang, source""",
+)
+def pipeline_training_set(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf)
+    n_tok = F.size(F.split(F.trim("text"), r"\s+"))
+    train = docs.filter(
+        (F.col("doc_id") % 10 != 0) & (quality_expr() >= QUALITY_THRESHOLD)
+    ).select("doc_id", "lang", "source", "text", n_tok.alias("n_tok"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = (
+        train.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    )
+    contaminated = decontamination_hits(docs).select("doc_id").distinct()
+    return (
+        deduped.join(F.broadcast(contaminated), "doc_id", "left_anti")
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("n_tokens"))
+        .orderBy("lang", "source")
     )

@@ -143,3 +143,15 @@ def test_pq_adc_scan_is_partition_local(spark):
     plan = _plan(spark, "x_sim_pq_adc")
     assert "MapInPandas" in plan
     assert "Join" not in plan
+
+
+def test_topk_hash_sample_is_take_ordered(spark):
+    plan = _plan(spark, "x_sample_topk_hash")
+    assert "TakeOrderedAndProject" in plan  # never a global Sort+Exchange
+
+
+def test_training_set_compose_is_single_plan(spark):
+    # quality filter reaches the scan; decontamination side is a
+    # broadcast anti-join, not a shuffled one
+    plan = _plan(spark, "x_pipeline_training_set")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan

