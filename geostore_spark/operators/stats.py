@@ -121,3 +121,67 @@ def stats_histogram(spark: SparkSession, sf: str) -> DataFrame:
         .select("bucket", "cnt", "bucket_lo")
         .orderBy("bucket")
     )
+
+
+# -- integer-exact correlation / regression profiling -----------------------
+
+CORR_SCALE = 1000  # value quantization for exact integer moments
+
+
+@register(
+    "x_stats_corr",
+    "Pearson correlation + OLS slope of events.value against hour-of-day "
+    "per event_type, from integer-exact second moments: value quantizes "
+    "to round(v*1000), all six sums (n, Sx, Sy, Sxx, Syy, Sxy) aggregate "
+    "as exact BIGINTs (associative — shuffle order can't change them), "
+    "and the float r/beta math happens per group row on those exact "
+    "inputs. One map-side-partial shuffle; no second pass over the data "
+    "(vs the naive mean-then-residual two-pass formulation).",
+    f"""WITH q AS (
+         SELECT event_type,
+                CAST(round(value * {CORR_SCALE}) AS BIGINT) AS x,
+                CAST(hour(ts) AS BIGINT) AS y
+         FROM events
+       ),
+       s AS (
+         SELECT event_type, COUNT(*) AS n,
+                CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                CAST(SUM(x*x) AS BIGINT) AS sxx, CAST(SUM(y*y) AS BIGINT) AS syy,
+                CAST(SUM(x*y) AS BIGINT) AS sxy
+         FROM q GROUP BY event_type
+       )
+       SELECT event_type, n,
+              (CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy)
+                / (sqrt(CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx)
+                   * sqrt(CAST(n AS DOUBLE)*syy - CAST(sy AS DOUBLE)*sy)) AS r,
+              (CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy)
+                / (CAST(n AS DOUBLE)*syy - CAST(sy AS DOUBLE)*sy) AS beta_vs_hour
+       FROM s ORDER BY event_type""",
+)
+def stats_corr(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, "events", sf)
+    x = F.round(F.col("value") * CORR_SCALE, 0).cast("bigint")
+    y = F.hour("ts").cast("bigint")
+    q = ev.select("event_type", x.alias("x"), y.alias("y"))
+    s = q.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n_d = F.col("n").cast("double")
+    sx_d, sy_d = F.col("sx").cast("double"), F.col("sy").cast("double")
+    cov_n = n_d * F.col("sxy") - sx_d * F.col("sy")
+    var_x = n_d * F.col("sxx") - sx_d * F.col("sx")
+    var_y = n_d * F.col("syy") - sy_d * F.col("sy")
+    return (
+        s.select(
+            "event_type",
+            "n",
+            (cov_n / (F.sqrt(var_x) * F.sqrt(var_y))).alias("r"),
+            (cov_n / var_y).alias("beta_vs_hour"),
+        )
+        .orderBy("event_type")
+    )

@@ -97,3 +97,49 @@ def win_session(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("user_id", "s_start")
         .limit(200)
     )
+
+
+@register(
+    "x_win_event_gap",
+    "Inter-event gap analytics (LAG): per-user time between consecutive "
+    "events, rolled up per event_type of the later event — the "
+    "session-depth / engagement-cadence primitive. The window shuffles "
+    "once on user_id (the natural ingest partition key at scale); gaps "
+    "are exact integer microseconds so every aggregate is "
+    "associative-exact, and the float mean divides two exact integers "
+    "per group.",
+    """WITH g AS (
+         SELECT event_type,
+                epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+         FROM events
+       )
+       SELECT event_type, COUNT(*) AS n_gaps,
+              CAST(SUM(gap_us) AS BIGINT) AS sum_gap_us,
+              MAX(gap_us) AS max_gap_us,
+              CAST(SUM(gap_us) AS DOUBLE) / COUNT(*) / 1e6 AS avg_gap_s
+       FROM g WHERE gap_us IS NOT NULL
+       GROUP BY event_type ORDER BY event_type""",
+)
+def win_event_gap(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, "events", sf)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    gaps = ev.select("event_type", gap.alias("gap_us")).filter(
+        F.col("gap_us").isNotNull()
+    )
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.sum("gap_us").alias("sum_gap_us"),
+            F.max("gap_us").alias("max_gap_us"),
+        )
+        .withColumn(
+            "avg_gap_s",
+            F.col("sum_gap_us").cast("double") / F.col("n_gaps") / F.lit(1e6),
+        )
+        .orderBy("event_type")
+    )

@@ -68,3 +68,44 @@ def test_histogram_buckets(spark, tmp_path):
     assert sum(r["cnt"] for r in rows) == 100
     assert rows[0]["bucket_lo"] == 0.0
     assert all(r["cnt"] == 5 for r in rows)
+
+
+def test_corr_perfectly_linear(spark, tmp_path):
+    # value == hour-of-day -> quantized x = 1000*y: r = 1, slope = 1000
+    hours = list(range(24)) * 3
+    pd.DataFrame(
+        {
+            "event_id": range(len(hours)),
+            "ts": pd.to_datetime([f"2024-01-01 {h:02d}:00:00" for h in hours]),
+            "user_id": [1] * len(hours),
+            "event_type": ["a"] * len(hours),
+            "value": [float(h) for h in hours],
+            "props": ["{}"] * len(hours),
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+    from geostore_spark.operators.stats import stats_corr
+
+    row = stats_corr(spark, str(tmp_path)).collect()[0]
+    assert math.isclose(row["r"], 1.0, rel_tol=1e-12)
+    assert math.isclose(row["beta_vs_hour"], 1000.0, rel_tol=1e-12)
+
+
+def test_event_gap_hand_computed(spark, tmp_path):
+    pd.DataFrame(
+        {
+            "event_id": [1, 2, 3],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00:00", "2024-01-01 00:00:10", "2024-01-01 00:00:30"]
+            ),
+            "user_id": [1, 1, 1],
+            "event_type": ["a", "a", "a"],
+            "value": [0.0, 0.0, 0.0],
+            "props": ["{}"] * 3,
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+    from geostore_spark.operators.windows import win_event_gap
+
+    row = win_event_gap(spark, str(tmp_path)).collect()[0]
+    assert row["n_gaps"] == 2
+    assert row["max_gap_us"] == 20_000_000
+    assert math.isclose(row["avg_gap_s"], 15.0, rel_tol=1e-12)
