@@ -135,6 +135,173 @@ def connected_components(
     return labels
 
 
+# -- PageRank (integer-exact) ------------------------------------------------
+
+PR_SCALE = 10**12  # rank mass quantum: ranks sum to ~PR_SCALE
+PR_ITERS = 3
+PR_TOP = 100
+
+
+def pagerank(
+    edges: DataFrame, src: str, dst: str, iters: int = PR_ITERS
+) -> DataFrame:
+    """Damped PageRank (d=0.85) over a directed edge list, integer-exact.
+
+    The web-graph centrality signal corpus-curation pipelines use for
+    document quality weighting (the reference has no graph surface; its
+    nearest analog is the link traversal of
+    geostore/check_stac_metadata/utils.py:191-258, which walks edges but
+    ranks nothing). All iterative arithmetic is exact 64-bit integer math
+    plus one IEEE-double floor-division per step — ``floor(r/deg)`` for
+    the contribution split and ``floor(85*s/100)`` for damping — so an
+    unrolled SQL oracle reproduces every iteration bit-for-bit
+    (magnitudes ≤ 8.5e13 < 2^53, so the double ops are exact and
+    identical everywhere).
+
+    Scale notes: the edge list is hash-partitioned on ``src`` ONCE and
+    lazily checkpointed — every iteration's contribution join reuses that
+    partitioning instead of re-shuffling the (at 100 TB, dominant) edge
+    side. Per iteration the data moved is one |V|-row shuffle for the
+    ``groupBy(dst)`` partial-aggregated sum and one |V|-row id-keyed join
+    back onto the node set; ranks are checkpointed per round to truncate
+    lineage (iteration i must not replay 0..i-1).
+    """
+    import math
+
+    ed = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .repartition("src")
+        .localCheckpoint(eager=False)
+    )
+    nodes = (
+        ed.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .select(F.col("src").alias("id"), "deg")
+        .localCheckpoint(eager=False)
+    )
+    n = nodes.count()
+    # same IEEE ops as the oracle's FLOOR(CAST(SCALE AS DOUBLE)/cnt) etc.
+    r0 = int(math.floor(PR_SCALE / n))
+    base = int(math.floor((15.0 * PR_SCALE) / (100.0 * n)))
+    ranks = nodes.select("id", F.lit(r0).cast("bigint").alias("r"))
+    for _ in range(iters):
+        send = ranks.join(nodes, "id").select(
+            F.col("id").alias("src"),
+            F.floor(F.col("r").cast("double") / F.col("deg"))
+            .cast("bigint")
+            .alias("c"),
+        )
+        recv = (
+            ed.join(send, "src")
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+            .select(F.col("dst").alias("id"), "s")
+        )
+        ranks = (
+            nodes.select("id")
+            .join(recv, "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit(base)
+                    + F.floor(
+                        (F.coalesce(F.col("s"), F.lit(0)) * 85).cast("double")
+                        / F.lit(100.0)
+                    ).cast("bigint")
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks
+
+
+def supply_edges(lineitem: DataFrame) -> DataFrame:
+    """Symmetric part↔supplier supply graph from lineitem.
+
+    Node ids are namespaced into one integer space (part p → 2p,
+    supplier s → 2s+1) so the two key domains never collide; each
+    distinct (part, supplier) pair contributes both directed edges.
+    """
+    pairs = lineitem.select(
+        (F.col("l_partkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    ).distinct()
+    return pairs.union(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
+def _pagerank_oracle(iters: int = PR_ITERS) -> str:
+    parts = [
+        """pairs AS (
+         SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+         FROM lineitem
+       )""",
+        "edges AS (SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs)",
+        "deg AS (SELECT src AS id, COUNT(*) AS deg FROM edges GROUP BY src)",
+        "nn AS (SELECT COUNT(*) AS cnt FROM deg)",
+        f"""r0 AS (
+         SELECT id, deg,
+                CAST(FLOOR(CAST({PR_SCALE} AS DOUBLE) / cnt) AS BIGINT) AS r
+         FROM deg CROSS JOIN nn
+       )""",
+    ]
+    for it in range(iters):
+        parts.append(
+            f"""s{it} AS (
+         SELECT e.dst AS id,
+                CAST(SUM(CAST(FLOOR(CAST(r.r AS DOUBLE) / r.deg) AS BIGINT))
+                     AS BIGINT) AS s
+         FROM edges e JOIN r{it} r ON e.src = r.id GROUP BY e.dst
+       )"""
+        )
+        parts.append(
+            f"""r{it + 1} AS (
+         SELECT d.id, d.deg,
+                CAST(FLOOR((15.0 * {PR_SCALE}) / (100.0 * cnt)) AS BIGINT)
+                + CAST(FLOOR(CAST(COALESCE(s.s, 0) * 85 AS DOUBLE) / 100.0)
+                       AS BIGINT) AS r
+         FROM deg d CROSS JOIN nn LEFT JOIN s{it} s ON d.id = s.id
+       )"""
+        )
+    body = ",\n       ".join(parts)
+    return f"""
+       WITH {body}
+       SELECT id AS node_id,
+              CASE WHEN id % 2 = 0 THEN 'part' ELSE 'supplier' END AS kind,
+              CAST(FLOOR(CAST(id AS DOUBLE) / 2) AS BIGINT) AS key,
+              r AS rank_q
+       FROM r{iters}
+       ORDER BY rank_q DESC, node_id LIMIT {PR_TOP}"""
+
+
+@register(
+    "x_graph_pagerank",
+    "Damped PageRank (d=0.85, 3 iterations) over the part<->supplier "
+    "supply graph, integer-exact: contribution splits and damping are "
+    "exact BIGINT sums plus one IEEE-double floor-division each, so the "
+    "unrolled DuckDB oracle matches the ITERATIVE ranking bit-for-bit. "
+    "Edge list partitioned on src once and reused every round; each "
+    "iteration moves only |V|-row shuffles.",
+    _pagerank_oracle(),
+)
+def q_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf)
+    ranks = pagerank(supply_edges(li), "src", "dst")
+    return (
+        ranks.select(
+            F.col("id").alias("node_id"),
+            F.when(F.col("id") % 2 == 0, F.lit("part"))
+            .otherwise(F.lit("supplier"))
+            .alias("kind"),
+            F.floor(F.col("id").cast("double") / 2).cast("bigint").alias("key"),
+            F.col("r").alias("rank_q"),
+        )
+        .orderBy(F.col("rank_q").desc(), "node_id")
+        .limit(PR_TOP)
+    )
+
+
 def _clusters_oracle() -> str:
     return f"""
        WITH RECURSIVE {simhash_pairs_ctes()},

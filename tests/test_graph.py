@@ -70,6 +70,40 @@ def test_connected_components_converges_on_single_edge(spark, threshold):
     assert [(r["v"], r["label"]) for r in rows] == [(5, 5), (7, 5)]
 
 
+def _pagerank_reference(edges, iters: int) -> dict[int, int]:
+    """Pure-Python twin of the operator's integer arithmetic."""
+    import math
+
+    from geostore_spark.operators.graph import PR_SCALE
+
+    out: dict[int, list[int]] = {}
+    for a, b in edges:
+        out.setdefault(a, []).append(b)
+    n = len(out)
+    r = {v: int(math.floor(PR_SCALE / n)) for v in out}
+    base = int(math.floor((15.0 * PR_SCALE) / (100.0 * n)))
+    for _ in range(iters):
+        s: dict[int, int] = {v: 0 for v in out}
+        for u, nbrs in out.items():
+            c = int(math.floor(r[u] / len(nbrs)))
+            for v in nbrs:
+                s[v] += c
+        r = {v: base + int(math.floor((s[v] * 85) / 100.0)) for v in out}
+    return r
+
+
+def test_pagerank_matches_python_reference(spark):
+    from geostore_spark.operators.graph import pagerank
+
+    # symmetric star (hub 1) + chain tail: hub must out-rank leaves
+    raw = [(1, 2), (1, 3), (1, 4), (4, 5)]
+    edges = [(a, b) for a, b in raw] + [(b, a) for a, b in raw]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["id"]: r["r"] for r in pagerank(df, "src", "dst", iters=3).collect()}
+    assert got == _pagerank_reference(edges, 3)
+    assert got[1] == max(got.values())
+
+
 def test_strategies_agree_on_random_graph(spark):
     rng = random.Random(17)
     edges = [(rng.randrange(200), rng.randrange(200)) for _ in range(150)]
