@@ -521,6 +521,172 @@ _PQ_ORACLE = f"""
        WHERE rn <= {TOP_K} ORDER BY q_id, n_id"""
 
 
+def ivf_pq_topk(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = TOP_K,
+    nprobe: int = NPROBE,
+) -> DataFrame:
+    """IVF-PQ ANN (the FAISS IVFPQ composition): the coarse quantizer
+    restricts each query to its ``nprobe`` nearest cells — at scale, cell
+    id is the partition key and this is partition pruning — and inside
+    the probed cells candidates are scored from PQ codes via the (M, K)
+    integer ADC lookup table, never touching the raw floats. One
+    mapInPandas pass does cell assignment (BLAS), code computation and
+    LUT scoring per block; the shuffle carries only partition-local
+    top-k survivors. Scores are exact integers, so the composed oracle
+    reproduces the ranking bit-for-bit.
+    """
+    import numpy as np
+    import pandas as pd
+
+    c_rows = centroids.select("cell_id", _as_double("embedding").alias("emb")).collect()
+    c_rows.sort(key=lambda r: r["cell_id"])
+    cell_ids = np.array([r["cell_id"] for r in c_rows])
+    c_mat = np.vstack([np.asarray(r["emb"]) for r in c_rows])
+    c_unit = c_mat / np.linalg.norm(c_mat, axis=1, keepdims=True)
+    codebook = _pq_codebook(embeddings)  # (M, K, SUB)
+
+    q_rows = queries.select("vec_id", _as_double("embedding").alias("emb")).collect()
+    q_ids = np.array([r["vec_id"] for r in q_rows])
+    q_mat = np.vstack([np.asarray(r["emb"]) for r in q_rows])
+    q_int = np.rint(q_mat * PQ_SCALE).astype(np.int64)
+    lut = np.einsum("jms,mks->jmk", q_int.reshape(len(q_ids), PQ_M, PQ_SUB), codebook)
+
+    def cell_order(mat):
+        # same stable (cos desc, cell_id asc) rule as ivf_topk
+        cos = (mat / np.linalg.norm(mat, axis=1, keepdims=True)) @ c_unit.T
+        return np.argsort(-cos, axis=1, kind="stable")
+
+    q_cells = [
+        set(int(c) for c in cell_ids[row])
+        for row in cell_order(q_mat)[:, :nprobe]
+    ]
+
+    def score(batches):
+        m_idx = np.arange(PQ_M)[None, :]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            mat = np.vstack(pdf["emb"].to_numpy())
+            cells = cell_ids[cell_order(mat)[:, 0]]
+            sub = np.rint(mat * PQ_SCALE).astype(np.int64).reshape(
+                len(ids), PQ_M, PQ_SUB
+            )
+            d2 = ((sub[:, :, None, :] - codebook[None, :, :, :]) ** 2).sum(-1)
+            codes = d2.argmin(-1)  # (n, M)
+            for j in range(len(q_ids)):
+                in_probe = np.isin(cells, list(q_cells[j]))
+                cand = np.nonzero(in_probe & (ids != q_ids[j]))[0]
+                if not len(cand):
+                    continue
+                adc = lut[j][m_idx, codes[cand]].sum(-1)
+                order = np.lexsort((ids[cand], -adc))[: min(k, len(cand))]
+                yield pd.DataFrame(
+                    {
+                        "q_id": np.repeat(q_ids[j], len(order)),
+                        "n_id": ids[cand][order],
+                        "score": adc[order],
+                    }
+                )
+
+    scored = rebalance_for_python(
+        embeddings.select("vec_id", _as_double("embedding").alias("emb"))
+    ).mapInPandas(score, "q_id long, n_id long, score long")
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), "n_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "n_id", "score")
+    )
+
+
+_IVFPQ_ORACLE = f"""
+       WITH e AS (
+         SELECT vec_id, embedding::DOUBLE[] AS emb,
+                sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm,
+                list_transform(embedding::DOUBLE[],
+                               v -> CAST(round(v * {PQ_SCALE}) AS BIGINT)) AS xi
+         FROM embeddings
+       ),
+       c AS (SELECT vec_id AS cell_id, emb AS c_emb, nrm AS c_nrm FROM e
+             WHERE vec_id < {NUM_CELLS}),
+       cells AS (
+         SELECT vec_id, cell_id FROM (
+           SELECT e.vec_id, c.cell_id,
+                  ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                    list_dot_product(e.emb, c.c_emb) / (e.nrm * c.c_nrm) DESC,
+                    c.cell_id) AS rn
+           FROM e CROSS JOIN c)
+         WHERE rn = 1
+       ),
+       probes AS (
+         SELECT q_id, cell_id FROM (
+           SELECT e.vec_id AS q_id, c.cell_id,
+                  ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                    list_dot_product(e.emb, c.c_emb) / (e.nrm * c.c_nrm) DESC,
+                    c.cell_id) AS rn
+           FROM e CROSS JOIN c WHERE e.vec_id < {N_QUERIES})
+         WHERE rn <= {NPROBE}
+       ),
+       ms AS (SELECT unnest(range(0, {PQ_M})) AS m),
+       cb AS (
+         SELECT m, vec_id AS k, xi[m*{PQ_SUB}+1 : m*{PQ_SUB}+{PQ_SUB}] AS cv
+         FROM e CROSS JOIN ms WHERE vec_id < {PQ_K}
+       ),
+       sub AS (
+         SELECT vec_id, m, xi[m*{PQ_SUB}+1 : m*{PQ_SUB}+{PQ_SUB}] AS sv
+         FROM e CROSS JOIN ms
+       ),
+       codes AS (
+         SELECT vec_id, m, cv FROM (
+           SELECT s.vec_id, s.m, c.cv,
+                  ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+                    list_sum(list_transform(range(1, {PQ_SUB + 1}),
+                      i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))), c.k) AS rn
+           FROM sub s JOIN cb c ON s.m = c.m)
+         WHERE rn = 1
+       ),
+       q AS (
+         SELECT vec_id AS q_id, m, xi[m*{PQ_SUB}+1 : m*{PQ_SUB}+{PQ_SUB}] AS qv
+         FROM e CROSS JOIN ms WHERE vec_id < {N_QUERIES}
+       ),
+       s AS (
+         SELECT q.q_id, co.vec_id AS n_id,
+                CAST(SUM(list_sum(list_transform(range(1, {PQ_SUB + 1}),
+                  i -> q.qv[i] * co.cv[i]))) AS BIGINT) AS score
+         FROM q JOIN codes co ON q.m = co.m
+         JOIN cells ce ON ce.vec_id = co.vec_id
+         JOIN probes p ON p.q_id = q.q_id AND p.cell_id = ce.cell_id
+         WHERE co.vec_id != q.q_id
+         GROUP BY q.q_id, co.vec_id
+       )
+       SELECT q_id, n_id, score
+       FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                       ORDER BY score DESC, n_id) AS rn FROM s)
+       WHERE rn <= {TOP_K} ORDER BY q_id, n_id"""
+
+
+@register(
+    "x_sim_ivfpq",
+    "IVF-PQ composed ANN (the FAISS IVFPQ architecture): coarse-quantizer "
+    "cells prune the search to nprobe cells per query (partition pruning "
+    "at scale), PQ codes + integer ADC lookup tables score inside the "
+    "probed cells without touching raw floats. One mapInPandas pass; "
+    "shuffle carries only partition-local top-k survivors.",
+    _IVFPQ_ORACLE,
+)
+def q_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf)
+    centroids = emb.filter(F.col("vec_id") < NUM_CELLS).select(
+        F.col("vec_id").alias("cell_id"), "embedding"
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return ivf_pq_topk(emb, centroids, queries).orderBy("q_id", "n_id")
+
+
 @register(
     "x_sim_pq_adc",
     "Product-quantization ANN with asymmetric-distance scoring: vectors "

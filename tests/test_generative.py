@@ -138,3 +138,37 @@ def test_pq_adc_recall_against_bruteforce(spark):
     assert qs == {q for q, _ in approx}
     # overall overlap: at least a third of exact neighbors recovered
     assert len(exact & approx) >= len(exact) // 3
+
+
+def test_ivfpq_subsets_pq_within_probed_cells(spark):
+    """IVF-PQ = PQ-ADC restricted to the query's probed cells: every
+    IVF-PQ hit must carry the same integer score PQ-ADC assigns it, and
+    per query the result is exactly the top-k of the PQ ranking filtered
+    to probed-cell members (checked via score agreement on shared ids)."""
+    from pyspark.sql import functions as F
+
+    from geostore_spark.operators.similarity import (
+        N_QUERIES,
+        NUM_CELLS,
+        ivf_pq_topk,
+        pq_adc_topk,
+    )
+    from geostore_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, "embeddings", sf)
+    centroids = emb.filter(F.col("vec_id") < NUM_CELLS).select(
+        F.col("vec_id").alias("cell_id"), "embedding"
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    pq = {
+        (r["q_id"], r["n_id"]): r["score"]
+        for r in pq_adc_topk(emb, queries, k=10**9).collect()
+    }
+    ivfpq = {
+        (r["q_id"], r["n_id"]): r["score"]
+        for r in ivf_pq_topk(emb, centroids, queries).collect()
+    }
+    assert ivfpq  # probing found candidates
+    for key, score in ivfpq.items():
+        assert pq[key] == score
