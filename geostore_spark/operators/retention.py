@@ -1,0 +1,123 @@
+"""Cohort retention and conversion-funnel analytics over ``events``.
+
+The reference's event surface is orchestration-status notification
+(geostore/notify_status_update/task.py:77-135 — per-event fan-out, no
+longitudinal analysis); these are the two longitudinal operators every
+event warehouse runs at scale, expressed so the heavy work rides ONE
+shuffle keyed on ``user_id`` (the natural ingest partition key):
+
+- retention: per-user state (first-event cohort + active-month set)
+  collapses in a single user-keyed aggregation — map-side partial
+  aggregation dedups months before the shuffle — then a tiny
+  (cohort, offset) rollup. No second full-data shuffle on a
+  different key, which is what the naive DISTINCT-months-then-join
+  formulation costs.
+- funnel: first-signup per user and first-qualifying-purchase are both
+  user-keyed aggregations; the conditional "purchase at-or-after the
+  user's first signup" rides the same co-partitioned join, so Catalyst
+  reuses the exchange instead of re-shuffling either side.
+
+All output columns are exact integers (month indexes, day buckets,
+counts), so the DuckDB oracles hash-match without float normalization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from geostore_spark.registry import register
+from geostore_spark.sources.tables import load_table
+
+US_PER_DAY = 86_400_000_000
+
+
+def _month_idx(ts_col: Column) -> Column:
+    return (F.year(ts_col) * 12 + F.month(ts_col)).cast("bigint")
+
+
+@register(
+    "x_events_retention",
+    "Cohort retention triangle: users bucketed by first-event month, "
+    "active-user counts per (cohort, months-since). One user_id-keyed "
+    "shuffle computes per-user state (min ts + month set, dedup'd "
+    "map-side); the rollup shuffle is cohort-sized, not data-sized.",
+    """WITH per_user AS (
+         SELECT user_id,
+                CAST(year(MIN(ts)) * 12 + month(MIN(ts)) AS BIGINT) AS cohort_m
+         FROM events GROUP BY user_id
+       ),
+       act AS (
+         SELECT DISTINCT user_id,
+                CAST(year(ts) * 12 + month(ts) AS BIGINT) AS m
+         FROM events
+       )
+       SELECT p.cohort_m, a.m - p.cohort_m AS months_since,
+              COUNT(DISTINCT a.user_id) AS active_users
+       FROM act a JOIN per_user p ON a.user_id = p.user_id
+       GROUP BY p.cohort_m, months_since
+       ORDER BY p.cohort_m, months_since""",
+)
+def q_retention(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, "events", sf)
+    # one user-keyed aggregation carries all per-user state; collect_set
+    # dedups months map-side so the shuffle moves |users| rows
+    per_user = ev.groupBy("user_id").agg(
+        _month_idx(F.min("ts")).alias("cohort_m"),
+        F.collect_set(_month_idx(F.col("ts"))).alias("months"),
+    )
+    return (
+        per_user.select(
+            "user_id", "cohort_m", F.explode("months").alias("m")
+        )
+        .groupBy("cohort_m", (F.col("m") - F.col("cohort_m")).alias("months_since"))
+        .agg(F.count_distinct("user_id").alias("active_users"))
+        .orderBy("cohort_m", "months_since")
+    )
+
+
+@register(
+    "x_events_funnel",
+    "Signup->purchase conversion funnel: first purchase at-or-after each "
+    "user's first signup, conversion-latency histogram in whole days. "
+    "Both stages are user_id-keyed aggregations joined co-partitioned "
+    "(one exchange reused); day bucket = exact integer microsecond "
+    "difference through one IEEE floor-division.",
+    f"""WITH s AS (
+         SELECT user_id, MIN(CASE WHEN event_type = 'signup' THEN ts END) AS s_ts
+         FROM events GROUP BY user_id
+       ),
+       p AS (
+         SELECT e.user_id, MIN(e.ts) AS p_ts, MIN(s.s_ts) AS s_ts
+         FROM events e JOIN s ON e.user_id = s.user_id
+         WHERE e.event_type = 'purchase' AND s.s_ts IS NOT NULL
+           AND e.ts >= s.s_ts
+         GROUP BY e.user_id
+       )
+       SELECT CAST(FLOOR(CAST(epoch_us(p_ts) - epoch_us(s_ts) AS DOUBLE)
+                         / {US_PER_DAY}.0) AS BIGINT) AS days_to_convert,
+              COUNT(*) AS conversions
+       FROM p GROUP BY days_to_convert ORDER BY days_to_convert""",
+)
+def q_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, "events", sf)
+    s = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("s_ts")
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s.filter(F.col("s_ts").isNotNull()), "user_id")
+        .filter(F.col("ts") >= F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"), F.min("s_ts").alias("s_ts"))
+    )
+    days = F.floor(
+        (F.unix_micros(F.col("p_ts")) - F.unix_micros(F.col("s_ts"))).cast("double")
+        / F.lit(float(US_PER_DAY))
+    ).cast("bigint")
+    return (
+        p.select(days.alias("days_to_convert"))
+        .groupBy("days_to_convert")
+        .agg(F.count(F.lit(1)).alias("conversions"))
+        .orderBy("days_to_convert")
+    )

@@ -49,6 +49,7 @@ def all_queries() -> dict[str, RegisteredQuery]:
         graph,
         ml,
         multimodal,
+        retention,
         sampling,
         similarity,
         skew,
