@@ -12,10 +12,12 @@ shuffle keyed on ``user_id`` (the natural ingest partition key):
   (cohort, offset) rollup. No second full-data shuffle on a
   different key, which is what the naive DISTINCT-months-then-join
   formulation costs.
-- funnel: first-signup per user and first-qualifying-purchase are both
-  user-keyed aggregations; the conditional "purchase at-or-after the
-  user's first signup" rides the same co-partitioned join, so Catalyst
-  reuses the exchange instead of re-shuffling either side.
+- funnel: first-signup per user collapses to a |users|-row dimension
+  that Catalyst broadcasts onto the filtered purchase stream (the
+  verified plan at sf0.1: BroadcastExchange, zero purchase-side
+  shuffle before the per-user aggregate); past broadcast size the same
+  plan degrades gracefully to a sort-merge join where both sides
+  shuffle once on the shared user_id key.
 
 All output columns are exact integers (month indexes, day buckets,
 counts), so the DuckDB oracles hash-match without float normalization.
@@ -80,9 +82,10 @@ def q_retention(spark: SparkSession, sf: str) -> DataFrame:
     "x_events_funnel",
     "Signup->purchase conversion funnel: first purchase at-or-after each "
     "user's first signup, conversion-latency histogram in whole days. "
-    "Both stages are user_id-keyed aggregations joined co-partitioned "
-    "(one exchange reused); day bucket = exact integer microsecond "
-    "difference through one IEEE floor-division.",
+    "The per-user signup dimension broadcasts onto the filtered purchase "
+    "stream (sort-merge on user_id past broadcast size); day bucket = "
+    "exact integer microsecond difference through one IEEE "
+    "floor-division.",
     f"""WITH s AS (
          SELECT user_id, MIN(CASE WHEN event_type = 'signup' THEN ts END) AS s_ts
          FROM events GROUP BY user_id

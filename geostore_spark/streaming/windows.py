@@ -181,6 +181,65 @@ def streaming_anomalies(stream: DataFrame) -> DataFrame:
     )
 
 
+FUNNEL_SCHEMA = "user_id long, days_to_convert long"
+_FUNNEL_STATE_SCHEMA = "s_ts_epoch long, converted boolean"
+_US_PER_DAY = 86_400_000_000
+
+
+def _update_funnel(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-user signup->purchase state machine: remember the first signup,
+    emit exactly one conversion row at the first purchase at-or-after it.
+    State is two scalars per user regardless of event volume."""
+    s_epoch, converted = state.get if state.exists else (0, False)
+    days: list[int] = []
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        pdf = pdf.sort_values(["ts", "event_id"])  # deterministic in-batch order
+        for et, ts in zip(pdf["event_type"], pdf["ts"]):
+            epoch = int(pd.Timestamp(ts).value) // 1_000  # ns -> us
+            if et == "signup" and s_epoch == 0:
+                s_epoch = epoch
+            elif (
+                et == "purchase"
+                and s_epoch
+                and not converted
+                and epoch >= s_epoch
+            ):
+                converted = True
+                days.append((epoch - s_epoch) // _US_PER_DAY)
+    state.update((s_epoch, converted))
+    yield pd.DataFrame(
+        {"user_id": [key[0]] * len(days), "days_to_convert": days}
+    ).astype({"user_id": "int64", "days_to_convert": "int64"})
+
+
+def streaming_funnel(stream: DataFrame) -> DataFrame:
+    """Streaming twin of ``operators.retention.q_funnel``: per-user
+    conversion detection via ``applyInPandasWithState`` (append mode —
+    each conversion emits exactly once, across any micro-batch split).
+
+    Agrees with the batch funnel whenever each user's events arrive in
+    event-time order across batches (in-batch disorder is sorted away);
+    a purchase arriving in an earlier batch than an older signup is
+    scored against the signups seen so far — the inherent one-pass
+    relaxation of the batch "first purchase at-or-after first signup".
+    State per user is two scalars, so 10^9 users is a bounded,
+    key-partitioned state store — never a driver structure.
+    """
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _update_funnel,
+        outputStructType=FUNNEL_SCHEMA,
+        stateStructType=_FUNNEL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 DOC_STREAM_SCHEMA = "doc_id long, text string, ts timestamp"
 
 

@@ -101,6 +101,40 @@ def test_apply_in_pandas_with_state_accumulates_across_batches(spark, tmp_path):
     assert last.day == 2
 
 
+def test_streaming_funnel_emits_conversion_exactly_once(spark, tmp_path):
+    from geostore_spark.streaming.windows import streaming_funnel
+
+    events = str(tmp_path / "events")
+    ckpt = str(tmp_path / "ckpt")
+
+    def typed(event_id, user_id, ts, etype):
+        return {**_event(event_id, user_id, ts), "event_type": etype}
+
+    # batch 1: u1 signs up; u2 purchases with no signup (never converts)
+    _write_events(
+        events,
+        "b1.json",
+        [typed(1, 1, _ts(1, 0), "signup"), typed(2, 2, _ts(1, 1), "purchase")],
+    )
+    first = drain_collect(streaming_funnel(event_stream(spark, events)), ckpt)
+    assert first == []
+
+    # batch 2: u1's first qualifying purchase (2 days later) + a second
+    # purchase that must NOT re-emit; u2 still unconverted
+    _write_events(
+        events,
+        "b2.json",
+        [typed(3, 1, _ts(3, 0), "purchase"), typed(4, 1, _ts(4, 0), "purchase")],
+    )
+    second = drain_collect(streaming_funnel(event_stream(spark, events)), ckpt)
+    assert [(r["user_id"], r["days_to_convert"]) for r in second] == [(1, 2)]
+
+    # batch 3: nothing new for u1 → no duplicate emission across restart
+    _write_events(events, "b3.json", [typed(5, 2, _ts(5, 0), "purchase")])
+    third = drain_collect(streaming_funnel(event_stream(spark, events)), ckpt)
+    assert third == []  # u1 already converted, u2 never signed up
+
+
 def test_streaming_anomalies_flag_against_prior_state(spark, tmp_path):
     from geostore_spark.streaming.windows import streaming_anomalies
 
