@@ -142,8 +142,48 @@ PR_ITERS = 3
 PR_TOP = 100
 
 
+def _local_pagerank(ed: DataFrame, iters: int) -> DataFrame:
+    """Single-task numpy PageRank for edge lists under the local
+    threshold: all iterations run in one vectorized kernel, zero shuffle
+    rounds. Identical arithmetic to the distributed loop — int64 sums
+    plus the same two IEEE-double floor-divisions (all magnitudes
+    ≤ 8.5e13 < 2^53, so every float op is exact and order-free)."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    def run(batches):
+        srcs, dsts = [], []
+        for pdf in batches:
+            srcs.append(pdf["src"].to_numpy(dtype=np.int64))
+            dsts.append(pdf["dst"].to_numpy(dtype=np.int64))
+        src = np.concatenate(srcs) if srcs else np.array([], dtype=np.int64)
+        dst = np.concatenate(dsts) if dsts else np.array([], dtype=np.int64)
+        ids, inv_src = np.unique(src, return_inverse=True)
+        n = len(ids)
+        if not n:
+            yield pd.DataFrame({"id": ids, "r": ids})
+            return
+        inv_dst = np.searchsorted(ids, dst)
+        deg = np.bincount(inv_src, minlength=n)
+        r = np.full(n, int(math.floor(PR_SCALE / n)), dtype=np.int64)
+        base = int(math.floor((15.0 * PR_SCALE) / (100.0 * n)))
+        for _ in range(iters):
+            c = np.floor(r / deg).astype(np.int64)
+            s = np.bincount(inv_dst, weights=c[inv_src], minlength=n)
+            r = base + np.floor(s * 85 / 100.0).astype(np.int64)
+        yield pd.DataFrame({"id": ids, "r": r})
+
+    return ed.coalesce(1).mapInPandas(run, "id long, r long")
+
+
 def pagerank(
-    edges: DataFrame, src: str, dst: str, iters: int = PR_ITERS
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    iters: int = PR_ITERS,
+    local_threshold: int = 10_000_000,
 ) -> DataFrame:
     """Damped PageRank (d=0.85) over a directed edge list, integer-exact.
 
@@ -158,21 +198,33 @@ def pagerank(
     (magnitudes ≤ 8.5e13 < 2^53, so the double ops are exact and
     identical everywhere).
 
-    Scale notes: the edge list is hash-partitioned on ``src`` ONCE and
-    lazily checkpointed — every iteration's contribution join reuses that
-    partitioning instead of re-shuffling the (at 100 TB, dominant) edge
-    side. Per iteration the data moved is one |V|-row shuffle for the
-    ``groupBy(dst)`` partial-aggregated sum and one |V|-row id-keyed join
-    back onto the node set; ranks are checkpointed per round to truncate
-    lineage (iteration i must not replay 0..i-1).
+    Scale notes: runtime strategy dispatch (the pattern proven on
+    ``connected_components``) — an edge list under ``local_threshold``
+    rows runs all iterations in one vectorized single-task kernel (zero
+    shuffle rounds; cluster choreography is pure overhead there). Above
+    it, the distributed loop: the edge list is hash-partitioned on
+    ``src`` ONCE and lazily checkpointed — every iteration's
+    contribution join reuses that partitioning instead of re-shuffling
+    the (at 100 TB, dominant) edge side. Rank state carries (id, deg, r)
+    so contribution splits need no extra join; per iteration the data
+    moved is one |V|-row shuffle for the ``groupBy(dst)``
+    partial-aggregated sum and one |V|-row id-keyed join back onto the
+    node set; ranks are checkpointed per round to truncate lineage
+    (iteration i must not replay 0..i-1).
     """
     import math
 
-    ed = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .repartition("src")
-        .localCheckpoint(eager=False)
-    )
+    # checkpoint BEFORE the dispatch decision: the count materializes the
+    # (possibly expensive) edge-mining plan once, and the local path then
+    # coalesces checkpointed blocks into one task without any shuffle —
+    # the src repartition is paid only on the distributed path that
+    # actually reuses it every round
+    ed0 = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).localCheckpoint(eager=False)
+    if ed0.count() <= local_threshold:
+        return _local_pagerank(ed0, iters)
+    ed = ed0.repartition("src").localCheckpoint(eager=False)
     nodes = (
         ed.groupBy("src")
         .agg(F.count(F.lit(1)).alias("deg"))
@@ -183,9 +235,9 @@ def pagerank(
     # same IEEE ops as the oracle's FLOOR(CAST(SCALE AS DOUBLE)/cnt) etc.
     r0 = int(math.floor(PR_SCALE / n))
     base = int(math.floor((15.0 * PR_SCALE) / (100.0 * n)))
-    ranks = nodes.select("id", F.lit(r0).cast("bigint").alias("r"))
+    ranks = nodes.select("id", "deg", F.lit(r0).cast("bigint").alias("r"))
     for _ in range(iters):
-        send = ranks.join(nodes, "id").select(
+        send = ranks.select(
             F.col("id").alias("src"),
             F.floor(F.col("r").cast("double") / F.col("deg"))
             .cast("bigint")
@@ -198,10 +250,10 @@ def pagerank(
             .select(F.col("dst").alias("id"), "s")
         )
         ranks = (
-            nodes.select("id")
-            .join(recv, "id", "left")
+            nodes.join(recv, "id", "left")
             .select(
                 "id",
+                "deg",
                 (
                     F.lit(base)
                     + F.floor(
@@ -212,7 +264,7 @@ def pagerank(
             )
             .localCheckpoint(eager=False)
         )
-    return ranks
+    return ranks.select("id", "r")
 
 
 def supply_edges(lineitem: DataFrame) -> DataFrame:
@@ -226,9 +278,19 @@ def supply_edges(lineitem: DataFrame) -> DataFrame:
         (F.col("l_partkey") * 2).alias("src"),
         (F.col("l_suppkey") * 2 + 1).alias("dst"),
     ).distinct()
-    return pairs.union(
-        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    # symmetrize with one generator pass over the distinct pairs — a
+    # UNION of two selects would duplicate the distinct subplan into
+    # both branches (Catalyst does not CSE it)
+    return pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src"), F.col("dst")),
+                F.struct(
+                    F.col("dst").alias("src"), F.col("src").alias("dst")
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
 
 
 def _pagerank_oracle(iters: int = PR_ITERS) -> str:

@@ -92,14 +92,20 @@ def _pagerank_reference(edges, iters: int) -> dict[int, int]:
     return r
 
 
-def test_pagerank_matches_python_reference(spark):
+@pytest.mark.parametrize("threshold", [10_000_000, 0], ids=["local", "distributed"])
+def test_pagerank_matches_python_reference(spark, threshold):
     from geostore_spark.operators.graph import pagerank
 
     # symmetric star (hub 1) + chain tail: hub must out-rank leaves
     raw = [(1, 2), (1, 3), (1, 4), (4, 5)]
     edges = [(a, b) for a, b in raw] + [(b, a) for a, b in raw]
     df = spark.createDataFrame(edges, "src long, dst long")
-    got = {r["id"]: r["r"] for r in pagerank(df, "src", "dst", iters=3).collect()}
+    got = {
+        r["id"]: r["r"]
+        for r in pagerank(
+            df, "src", "dst", iters=3, local_threshold=threshold
+        ).collect()
+    }
     assert got == _pagerank_reference(edges, 3)
     assert got[1] == max(got.values())
 
