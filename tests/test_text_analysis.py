@@ -184,6 +184,22 @@ def test_chunk_dedup_first_occurrence_wins(spark, tmp_path):
     assert rows[3] == {"doc_id": 3, "n_chunks": 2, "n_dup_chunks": 2}
 
 
+def test_containment_detects_doc_in_doc(spark, tmp_path):
+    # doc 1 (8 words, 6 trigrams) fully inside doc 2 (28 words): A->B
+    # containment = 1.0 while Jaccard ≈ 6/26 is far below any dup bar;
+    # doc 3 shares nothing.
+    small = " ".join(f"a{i}" for i in range(8))
+    big = small + " " + " ".join(f"b{i}" for i in range(20))
+    _write_docs_ids(tmp_path, {1: small, 2: big, 3: "x y z w v u"})
+    from geostore_spark.operators.dedup import q_containment
+
+    rows = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in q_containment(spark, str(tmp_path)).collect()
+    }
+    assert rows == {(1, 2): 1.0}
+
+
 def test_perplexity_known_lm(spark, tmp_path):
     # corpus bigrams from 'a': 3x 'a b', 1x 'a c' -> P(b|a)=3/4, P(c|a)=1/4
     _write_docs_ids(tmp_path, {1: "a b", 2: "a b", 3: "a b", 4: "a c"})
