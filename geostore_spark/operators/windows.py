@@ -143,3 +143,73 @@ def win_event_gap(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "x_win_attribution",
+    "Last-touch attribution: each purchase credits the most recent "
+    "preceding click/view of the same user (conversion-path primitive). "
+    "One running-MAX-over-CASE window — a single user_id shuffle, fully "
+    "codegen'd, no self-join — then an exact-integer recency-bucket "
+    "rollup. The naive per-purchase correlated lookup is a nested-loop "
+    "disaster at 100 TB; the window form is the as-of-join trick "
+    "applied within one table.",
+    """WITH w AS (
+         SELECT event_type,
+                epoch_us(ts) AS ts_us,
+                MAX(CASE WHEN event_type IN ('click', 'view')
+                         THEN epoch_us(ts) END) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                ) AS touch_us
+         FROM events
+       )
+       SELECT CASE
+                WHEN touch_us IS NULL THEN 'none'
+                WHEN ts_us - touch_us <= 3600000000 THEN 'within_1h'
+                WHEN ts_us - touch_us <= 86400000000 THEN 'within_1d'
+                ELSE 'older'
+              END AS touch_bucket,
+              COUNT(*) AS purchases,
+              CAST(SUM(CASE WHEN touch_us IS NOT NULL
+                            THEN ts_us - touch_us ELSE 0 END) AS BIGINT)
+                AS sum_latency_us
+       FROM w WHERE event_type = 'purchase'
+       GROUP BY touch_bucket ORDER BY touch_bucket""",
+)
+def win_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, "events", sf)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.max(
+        F.when(
+            F.col("event_type").isin("click", "view"), F.unix_micros(F.col("ts"))
+        )
+    ).over(w)
+    lat = F.unix_micros(F.col("ts")) - F.col("touch_us")
+    bucket = (
+        F.when(F.col("touch_us").isNull(), F.lit("none"))
+        .when(lat <= 3_600_000_000, F.lit("within_1h"))
+        .when(lat <= 86_400_000_000, F.lit("within_1d"))
+        .otherwise(F.lit("older"))
+    )
+    return (
+        ev.select("event_type", "ts", "event_id", "user_id")
+        .withColumn("touch_us", touch)
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(bucket.alias("touch_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("purchases"),
+            F.sum(
+                F.when(F.col("touch_us").isNotNull(), lat).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("sum_latency_us"),
+        )
+        .orderBy("touch_bucket")
+    )

@@ -90,6 +90,42 @@ def test_corr_perfectly_linear(spark, tmp_path):
     assert math.isclose(row["beta_vs_hour"], 1000.0, rel_tol=1e-12)
 
 
+def test_attribution_buckets(spark, tmp_path):
+    # u1: click 30min before purchase (within_1h); u2: view 2h before
+    # purchase (within_1d); u3: purchase with no prior touch (none);
+    # u4's error event must not count as a touch
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "click"),
+        (2, "2024-01-01 10:30:00", 1, "purchase"),
+        (3, "2024-01-01 08:00:00", 2, "view"),
+        (4, "2024-01-01 10:00:00", 2, "purchase"),
+        (5, "2024-01-01 09:00:00", 3, "purchase"),
+        (6, "2024-01-01 09:00:00", 4, "error"),
+        (7, "2024-01-01 09:30:00", 4, "purchase"),
+    ]
+    pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": pd.to_datetime([r[1] for r in rows]),
+            "user_id": [r[2] for r in rows],
+            "event_type": [r[3] for r in rows],
+            "value": [0.0] * len(rows),
+            "props": ["{}"] * len(rows),
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+    from geostore_spark.operators.windows import win_attribution
+
+    got = {
+        r["touch_bucket"]: (r["purchases"], r["sum_latency_us"])
+        for r in win_attribution(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        "within_1h": (1, 1_800_000_000),
+        "within_1d": (1, 7_200_000_000),
+        "none": (2, 0),
+    }
+
+
 def test_event_gap_hand_computed(spark, tmp_path):
     pd.DataFrame(
         {
