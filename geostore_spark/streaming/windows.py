@@ -240,6 +240,77 @@ def streaming_funnel(stream: DataFrame) -> DataFrame:
     )
 
 
+ATTRIBUTION_SCHEMA = "user_id long, event_id long, touch_bucket string, latency_us long"
+_ATTR_STATE_SCHEMA = "touch_epoch long"
+
+
+def _update_attribution(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-user last-touch pointer: clicks/views update one epoch scalar;
+    each purchase emits its attribution row immediately, bucketed by
+    recency — the streaming twin of the batch running-MAX window."""
+    (touch,) = state.get if state.exists else (0,)
+    ids: list[int] = []
+    buckets: list[str] = []
+    lats: list[int] = []
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for eid, et, ts in zip(pdf["event_id"], pdf["event_type"], pdf["ts"]):
+            epoch = int(pd.Timestamp(ts).value) // 1_000  # ns -> us
+            if et in ("click", "view"):
+                touch = max(touch, epoch)
+            elif et == "purchase":
+                if touch == 0:
+                    buckets.append("none")
+                    lats.append(0)
+                else:
+                    lat = epoch - touch
+                    lats.append(lat)
+                    if lat <= 3_600_000_000:
+                        buckets.append("within_1h")
+                    elif lat <= 86_400_000_000:
+                        buckets.append("within_1d")
+                    else:
+                        buckets.append("older")
+                ids.append(int(eid))
+    state.update((touch,))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]] * len(ids),
+            "event_id": ids,
+            "touch_bucket": buckets,
+            "latency_us": lats,
+        }
+    ).astype(
+        {
+            "user_id": "int64",
+            "event_id": "int64",
+            "touch_bucket": "object",
+            "latency_us": "int64",
+        }
+    )
+
+
+def streaming_attribution(stream: DataFrame) -> DataFrame:
+    """Streaming twin of ``operators.windows.win_attribution``: per-user
+    last-touch attribution via ``applyInPandasWithState`` (append mode —
+    one row per purchase as it arrives). State is one epoch scalar per
+    user; agrees with the batch window whenever each user's events
+    arrive in event-time order across micro-batches."""
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _update_attribution,
+        outputStructType=ATTRIBUTION_SCHEMA,
+        stateStructType=_ATTR_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 DOC_STREAM_SCHEMA = "doc_id long, text string, ts timestamp"
 
 

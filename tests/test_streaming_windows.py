@@ -135,6 +135,39 @@ def test_streaming_funnel_emits_conversion_exactly_once(spark, tmp_path):
     assert third == []  # u1 already converted, u2 never signed up
 
 
+def test_streaming_attribution_tracks_last_touch(spark, tmp_path):
+    from geostore_spark.streaming.windows import streaming_attribution
+
+    events = str(tmp_path / "events")
+    ckpt = str(tmp_path / "ckpt")
+
+    def typed(event_id, user_id, ts, etype):
+        return {**_event(event_id, user_id, ts), "event_type": etype}
+
+    # batch 1: u1 clicks then purchases 30 min later (within_1h);
+    # u2 purchases with no touch
+    _write_events(
+        events,
+        "b1.json",
+        [
+            typed(1, 1, _ts(1, 10), "click"),
+            {**typed(2, 1, _ts(1, 10), "purchase"),
+             "ts": datetime(2026, 3, 1, 10, 30, tzinfo=timezone.utc).isoformat()},
+            typed(3, 2, _ts(1, 9), "purchase"),
+        ],
+    )
+    first = drain_collect(streaming_attribution(event_stream(spark, events)), ckpt)
+    got = {r["event_id"]: (r["touch_bucket"], r["latency_us"]) for r in first}
+    assert got == {2: ("within_1h", 1_800_000_000), 3: ("none", 0)}
+
+    # batch 2: u1's touch state carries across the restart — a purchase
+    # 2 days after the batch-1 click lands in 'older'
+    _write_events(events, "b2.json", [typed(4, 1, _ts(3, 10), "purchase")])
+    second = drain_collect(streaming_attribution(event_stream(spark, events)), ckpt)
+    got2 = {r["event_id"]: r["touch_bucket"] for r in second}
+    assert got2 == {4: "older"}
+
+
 def test_streaming_anomalies_flag_against_prior_state(spark, tmp_path):
     from geostore_spark.streaming.windows import streaming_anomalies
 
