@@ -245,3 +245,88 @@ def q_zorder(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("zkey", "item_id")
         .limit(200)
     )
+
+
+# -- grid-bounded k-nearest-neighbor ----------------------------------------
+
+KNN_K = 5
+KNN_QUERIES = 3
+KNN_CELL = 2000  # hundredths of a degree (20°) — ring density >> k
+
+
+@register(
+    "x_geo_knn",
+    "Grid-bounded spatial KNN: each query point probes its 3x3 cell "
+    "neighborhood and exact-reranks candidates by integer squared "
+    "euclidean distance (the spatial twin of the ANN cell-probe "
+    "contract). The tiny query ring broadcasts; the point table joins "
+    "on its ingest-time (cell_x, cell_y) partition key and NEVER "
+    "shuffles — at scale the probe is partition pruning. All-integer "
+    "coordinates and distances, so the oracle matches bit-for-bit.",
+    f"""WITH p AS (
+         SELECT c_custkey AS n_id,
+                (c_custkey * 7919) % 36000 AS xi,
+                (c_custkey * 104729) % 18000 AS yi
+         FROM customer
+       ),
+       pc AS (
+         SELECT n_id, xi, yi,
+                CAST(FLOOR(CAST(xi AS DOUBLE) / {KNN_CELL}) AS BIGINT) AS cx,
+                CAST(FLOOR(CAST(yi AS DOUBLE) / {KNN_CELL}) AS BIGINT) AS cy
+         FROM p
+       ),
+       q AS (SELECT n_id AS q_id, xi AS qx, yi AS qy, cx AS qcx, qcy FROM
+             (SELECT *, cy AS qcy FROM pc) WHERE n_id <= {KNN_QUERIES}),
+       cand AS (
+         SELECT q.q_id, p.n_id,
+                (p.xi - q.qx) * (p.xi - q.qx)
+                + (p.yi - q.qy) * (p.yi - q.qy) AS dist_q
+         FROM q JOIN pc p
+           ON p.cx BETWEEN q.qcx - 1 AND q.qcx + 1
+          AND p.cy BETWEEN q.qcy - 1 AND q.qcy + 1
+          AND p.n_id != q.q_id
+       )
+       SELECT q_id, n_id, dist_q
+       FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                       ORDER BY dist_q, n_id) AS rn FROM cand)
+       WHERE rn <= {KNN_K} ORDER BY q_id, n_id""",
+)
+def q_geo_knn(spark: SparkSession, sf: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf)
+    pc = cust.select(
+        F.col("c_custkey").alias("n_id"),
+        ((F.col("c_custkey") * 7919) % 36000).alias("xi"),
+        ((F.col("c_custkey") * 104729) % 18000).alias("yi"),
+    ).select(
+        "n_id",
+        "xi",
+        "yi",
+        F.floor(F.col("xi").cast("double") / KNN_CELL).cast("bigint").alias("cx"),
+        F.floor(F.col("yi").cast("double") / KNN_CELL).cast("bigint").alias("cy"),
+    )
+    q = pc.filter(F.col("n_id") <= KNN_QUERIES).select(
+        F.col("n_id").alias("q_id"),
+        F.col("xi").alias("qx"),
+        F.col("yi").alias("qy"),
+        F.col("cx").alias("qcx"),
+        F.col("cy").alias("qcy"),
+    )
+    cand = F.broadcast(q).join(
+        pc,
+        (F.col("cx").between(F.col("qcx") - 1, F.col("qcx") + 1))
+        & (F.col("cy").between(F.col("qcy") - 1, F.col("qcy") + 1))
+        & (F.col("n_id") != F.col("q_id")),
+    )
+    dist = (F.col("xi") - F.col("qx")) * (F.col("xi") - F.col("qx")) + (
+        F.col("yi") - F.col("qy")
+    ) * (F.col("yi") - F.col("qy"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("q_id").orderBy("dist_q", "n_id")
+    return (
+        cand.select("q_id", "n_id", dist.alias("dist_q"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KNN_K)
+        .select("q_id", "n_id", "dist_q")
+        .orderBy("q_id", "n_id")
+    )
