@@ -185,3 +185,40 @@ def stats_corr(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "x_stats_profile",
+    "One-pass table profile of lineitem — the scan-statistics collection "
+    "that feeds cost-based optimization (row count, per-column null "
+    "counts, extrema, exact NDVs, exact decimal sum). Multiple exact "
+    "COUNT(DISTINCT)s compile to one Expand-based aggregate: a single "
+    "shuffle carries all distinct streams, partially aggregated "
+    "map-side — not one pass per column.",
+    """SELECT COUNT(*) AS n_rows,
+              COUNT(*) - COUNT(l_returnflag) AS nulls_returnflag,
+              COUNT(DISTINCT l_returnflag) AS ndv_returnflag,
+              COUNT(DISTINCT l_linestatus) AS ndv_linestatus,
+              COUNT(DISTINCT l_suppkey) AS ndv_suppkey,
+              MIN(l_shipdate) AS min_shipdate, MAX(l_shipdate) AS max_shipdate,
+              MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(28, 6))) AS DOUBLE)
+                AS sum_price
+       FROM lineitem""",
+)
+def stats_profile(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf)
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("l_returnflag")).alias("nulls_returnflag"),
+        F.count_distinct("l_returnflag").alias("ndv_returnflag"),
+        F.count_distinct("l_linestatus").alias("ndv_linestatus"),
+        F.count_distinct("l_suppkey").alias("ndv_suppkey"),
+        F.min("l_shipdate").alias("min_shipdate"),
+        F.max("l_shipdate").alias("max_shipdate"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(28,6)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
