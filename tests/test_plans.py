@@ -155,3 +155,49 @@ def test_training_set_compose_is_single_plan(spark):
     # broadcast anti-join, not a shuffled one
     plan = _plan(spark, "x_pipeline_training_set")
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_ivfpq_scan_is_partition_local(spark):
+    # coarse quantizer + codebook + per-query ADC LUTs all live in the
+    # task closure; the only shuffle is the local-top-k winner merge
+    plan = _plan(spark, "x_sim_ivfpq")
+    assert "MapInPandas" in plan
+    assert "Join" not in plan
+
+
+def test_geo_knn_point_side_never_shuffles(spark):
+    # the query ring broadcasts (non-equi cell-range join); the point
+    # table reads, projects and joins without any Exchange before the
+    # top-k winner merge window
+    plan = _plan(spark, "x_geo_knn")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_attribution_is_one_window_no_join(spark):
+    # last-touch = running MAX-over-CASE window; a correlated per-purchase
+    # lookup join must never appear
+    plan = _plan(spark, "x_win_attribution")
+    assert "Window" in plan
+    assert "Join" not in plan
+
+
+def test_retention_single_user_shuffle_carries_state(spark):
+    # per-user state collapses in ONE user_id aggregation (collect_set is
+    # objhash-aggregated with map-side partials); no self-join of events
+    plan = _plan(spark, "x_events_retention")
+    assert "Join" not in plan
+
+
+def test_profile_multi_distinct_uses_expand(spark):
+    # three exact COUNT(DISTINCT)s must compile to one Expand-based
+    # aggregate (single shuffled pass), not one aggregation per column
+    plan = _plan(spark, "x_stats_profile")
+    assert "Expand" in plan
+    assert plan.count("Exchange") <= 2
+
+
+def test_funnel_signup_dim_broadcasts(spark):
+    plan = _plan(spark, "x_events_funnel")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
