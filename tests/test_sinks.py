@@ -53,6 +53,31 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS bk_b")
 
 
+def test_orc_roundtrip_preserves_schema_and_pushdown(spark, tmp_path):
+    """Format breadth: the engine reads/writes ORC natively (Spark's
+    second columnar format) with the same typed schema and scan-level
+    predicate pushdown parquet gets."""
+    df = spark.range(1000).select(
+        "id",
+        (F.col("id") % 5).cast("string").alias("lang"),
+        (F.col("id") * 37 % 997).cast("double").alias("score"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("ts"),
+    )
+    out = str(tmp_path / "docs_orc")
+    df.write.orc(out)
+    back = spark.read.orc(out)
+    # nullability is not round-tripped (readers assume nullable); names
+    # and types must be
+    assert [(f.name, f.dataType) for f in back.schema] == [
+        (f.name, f.dataType) for f in df.schema
+    ]
+    filtered = back.filter(F.col("id") == 7).select("id", "lang")
+    plan = _plan(filtered)
+    assert "PushedFilters: [IsNotNull(id), EqualTo(id,7)]" in plan
+    assert filtered.count() == 1
+    assert back.count() == 1000
+
+
 def test_compaction_bin_packs_small_files(spark, tmp_path):
     src = str(tmp_path / "small")
     spark.range(10_000).repartition(64).write.parquet(src)
