@@ -55,6 +55,30 @@ def streaming_tumbling_counts(
     )
 
 
+def streaming_session_counts(
+    stream: DataFrame, gap: str = "30 minutes"
+) -> DataFrame:
+    """Watermarked session-window aggregate per user: Spark merges
+    events closer than ``gap`` into one session whose window grows until
+    a quiet period; a session emits once the watermark passes its end.
+    Same ``session_window`` expression as the batch
+    operators/windows.py:win_session, so backfill and live sessions
+    agree — the streaming twin of the gaps-and-islands batch op, with
+    the state store doing the island merging incrementally."""
+    return (
+        stream.groupBy(
+            F.session_window("ts", gap).alias("w"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("s_start"),
+            F.col("w.end").alias("s_end"),
+            "n_events",
+        )
+    )
+
+
 def _update_running_totals(
     key: tuple[Any, ...],
     batches: Iterator[pd.DataFrame],

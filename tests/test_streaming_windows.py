@@ -101,6 +101,38 @@ def test_apply_in_pandas_with_state_accumulates_across_batches(spark, tmp_path):
     assert last.day == 2
 
 
+def test_streaming_session_window_merges_and_closes(spark, tmp_path):
+    from geostore_spark.streaming.windows import streaming_session_counts
+
+    events = str(tmp_path / "events")
+    ckpt = str(tmp_path / "ckpt")
+
+    # u7: three events 10 min apart (one session), then 2 days of silence
+    # via u8's late event that advances the watermark past the session end
+    _write_events(
+        events,
+        "b1.json",
+        [
+            _event(1, 7, _ts(1, 1)),
+            {**_event(2, 7, _ts(1, 1)),
+             "ts": datetime(2026, 3, 1, 1, 10, tzinfo=timezone.utc).isoformat()},
+            {**_event(3, 7, _ts(1, 1)),
+             "ts": datetime(2026, 3, 1, 1, 20, tzinfo=timezone.utc).isoformat()},
+            _event(4, 8, _ts(3, 12)),
+        ],
+    )
+    rows = drain_collect(
+        streaming_session_counts(event_stream(spark, events)), ckpt
+    )
+    by_user = {r["user_id"]: r for r in rows}
+    # u7's merged session: 3 events, [01:00, 01:50) (last event + 30 min gap)
+    assert by_user[7]["n_events"] == 3
+    assert by_user[7]["s_start"].hour == 1 and by_user[7]["s_start"].minute == 0
+    assert by_user[7]["s_end"].minute == 50
+    # u8's session stays open (watermark has not passed its end) → not emitted
+    assert 8 not in by_user
+
+
 def test_streaming_funnel_emits_conversion_exactly_once(spark, tmp_path):
     from geostore_spark.streaming.windows import streaming_funnel
 
