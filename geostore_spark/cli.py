@@ -66,11 +66,26 @@ def _build_parser() -> argparse.ArgumentParser:
     vc.add_argument("--metadata-url", required=True)
     vs = ver.add_parser("status")
     vs.add_argument("--execution-id", required=True)
+
+    q = sub.add_parser("query").add_subparsers(dest="cmd", required=True)
+    q.add_parser("list")
+    qr = q.add_parser("run")
+    qr.add_argument("name", help="registered query key (see `query list`)")
+    qr.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    qr.add_argument("--limit", type=int, default=20, help="rows to print")
     return p
 
 
 def main(argv: list[str] | None = None) -> int:
     args = _build_parser().parse_args(argv)
+
+    if args.group == "query" and args.cmd == "list":
+        # no SparkSession needed to enumerate the registry
+        from geostore_spark.registry import all_queries
+
+        for key, rq in sorted(all_queries().items()):
+            print(f"{key}\t{rq.doc.splitlines()[0]}")
+        return EXIT_SUCCESS
 
     from geostore_spark.api import datasets as ds_api
     from geostore_spark.session import build_session
@@ -78,6 +93,17 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = build_session(app_name="geostore-spark-cli")
     spark.sparkContext.setLogLevel("ERROR")
+
+    if args.group == "query":  # cmd == "run"
+        from geostore_spark.registry import all_queries
+
+        reg = all_queries()
+        if args.name not in reg:
+            print(f"unknown query: {args.name} (see `query list`)", file=sys.stderr)
+            return EXIT_UNKNOWN
+        reg[args.name].spark(spark, args.sf_dir).show(args.limit, truncate=False)
+        return EXIT_SUCCESS
+
     store = MetadataStore(spark, args.store)
 
     if args.group == "dataset":

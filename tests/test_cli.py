@@ -62,3 +62,19 @@ def test_cli_full_lifecycle(spark, capsys, roots):
     # unknown id → 404 → unknown exit code 1
     code, _, _ = _run(capsys, roots, "dataset", "get", "--id", "nope")
     assert code == 1
+
+
+def test_cli_query_list_and_run(spark, capsys, roots, tmp_path):
+    code, out, _ = _run(capsys, roots, "query", "list")
+    assert code == 0
+    keys = {line.split("\t")[0] for line in out.strip().splitlines()}
+    assert {"a5_status_rollup", "x_graph_pagerank", "x_stats_profile"} <= keys
+
+    code, out, _ = _run(
+        capsys, roots, "query", "run", "a1_filtered_count",
+        "--sf-dir", "/root/testdata/sf0.001", "--limit", "5",
+    )
+    assert code == 0 and "n" in out  # a show() table rendered
+
+    code, _, err = _run(capsys, roots, "query", "run", "no_such_query")
+    assert code == 1 and "unknown query" in err
