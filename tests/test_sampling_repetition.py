@@ -56,6 +56,27 @@ def test_sample_bucket_range(spark):
     assert all(0 <= r["b"] < 10_000 for r in rows)
 
 
+def test_sample_membership_independent_of_partitioning(spark):
+    # the property a retried/re-shuffled 1000-executor job depends on:
+    # a row's fate is a pure function of its key, never of task layout
+    df = spark.createDataFrame(ROWS, "doc_id long, lang string")
+    rates = {"en": 0.3, "zh": 0.4}
+
+    def kept(frame):
+        return {
+            r["doc_id"]
+            for r in stratified_sample(
+                frame, F.col("doc_id"), F.col("lang"), rates
+            ).collect()
+        }
+
+    assert (
+        kept(df.coalesce(1))
+        == kept(df.repartition(13))
+        == kept(df.repartition(32, "lang"))
+    )
+
+
 def test_repetition_flags_degenerate_doc(spark, tmp_path):
     import pandas as pd
 
