@@ -104,7 +104,9 @@ def _bigrams(text_col: str) -> Column:
     )
 
 
-def shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+def shingle_rows(
+    df: DataFrame, id_col: str, text_col: str, n: int, rebalance: bool = True
+) -> DataFrame:
     """Distinct word n-gram shingles as an exploded (id, s) stream.
 
     Arrow-batched Python instead of nested zip_with/array_distinct
@@ -112,7 +114,12 @@ def shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame
     (CodegenFallback), so the expression form costs ~2 s per pass over
     the sf0.1 corpus while this pass is ~0.3 s. Emits the shingle
     STRING; hashing stays a codegen'd JVM projection downstream, so
-    oracle-reproducible hash arithmetic is unchanged."""
+    oracle-reproducible hash arithmetic is unchanged.
+
+    ``rebalance=False`` skips the small-input round-robin repartition —
+    required for streaming inputs (the partition probe touches ``.rdd``,
+    illegal on a streaming DataFrame, and micro-batches arrive already
+    split)."""
     import pandas as pd
 
     def gen(batches):
@@ -130,9 +137,10 @@ def shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame
                 outs.extend(grams)
             yield pd.DataFrame({id_col: ids, "s": outs})
 
-    return rebalance_for_python(df.select(id_col, text_col)).mapInPandas(
-        gen, f"{id_col} long, s string"
-    )
+    src = df.select(id_col, text_col)
+    if rebalance:
+        src = rebalance_for_python(src)
+    return src.mapInPandas(gen, f"{id_col} long, s string")
 
 
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -349,6 +349,33 @@ def doc_stream(
     )
 
 
+def streaming_decontaminate(
+    stream: DataFrame, bench_docs: DataFrame, n: int = 8
+) -> DataFrame:
+    """Streaming twin of ``operators.text.text_decontaminate``: incoming
+    documents are shingled per micro-batch (stateless Arrow pass) and
+    checked against the STATIC benchmark gram set via a stream-static
+    broadcast join — the live-ingest contamination tap.
+
+    Emits raw hit rows (doc_id, h, bench_id); per-doc distinct-gram
+    rollups are a ``foreachBatch`` concern because streaming aggregation
+    does not support exact COUNT(DISTINCT) — summed over batches the
+    hits equal the batch operator's join output. The benchmark side
+    broadcasts once and the 100 TB/day ingest side never shuffles,
+    exactly the batch plan's shape."""
+    from geostore_spark.operators.dedup import shingle_rows
+
+    bench_grams = shingle_rows(bench_docs, "doc_id", "text", n).select(
+        F.col("doc_id").alias("bench_id"), F.xxhash64("s").alias("h")
+    )
+    grams = shingle_rows(stream, "doc_id", "text", n, rebalance=False).select(
+        "doc_id", F.xxhash64("s").alias("h")
+    )
+    return grams.join(F.broadcast(bench_grams), "h").select(
+        "doc_id", "h", "bench_id"
+    )
+
+
 def streaming_exact_dedup(stream: DataFrame) -> DataFrame:
     """Streaming twin of ``operators.dedup.exact_dedup``: the first
     document seen per content digest survives; later copies are dropped.

@@ -101,6 +101,46 @@ def test_apply_in_pandas_with_state_accumulates_across_batches(spark, tmp_path):
     assert last.day == 2
 
 
+def test_streaming_decontaminate_flags_benchmark_overlap(spark, tmp_path):
+    import json as _json
+
+    from geostore_spark.streaming.windows import (
+        doc_stream,
+        streaming_decontaminate,
+    )
+
+    docs_dir = tmp_path / "docs"
+    docs_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    bench = spark.createDataFrame(
+        [(100, "w1 w2 w3 w4 tail")], "doc_id long, text string"
+    )
+
+    def doc(doc_id, text):
+        return {"doc_id": doc_id, "text": text, "ts": _ts(1, doc_id % 12)}
+
+    # batch 1: doc 1 shares the 4-gram 'w1 w2 w3 w4'; doc 2 is clean
+    (docs_dir / "b1.json").write_text(
+        "\n".join(
+            _json.dumps(r)
+            for r in [doc(1, "x w1 w2 w3 w4 y"), doc(2, "a b c d e")]
+        )
+    )
+    stream = streaming_decontaminate(
+        doc_stream(spark, str(docs_dir)), bench, n=4
+    )
+    first = drain_collect(stream, ckpt)
+    assert {(r["doc_id"], r["bench_id"]) for r in first} == {(1, 100)}
+
+    # batch 2: another contaminated doc arrives; doc 1 does not re-emit
+    (docs_dir / "b2.json").write_text(_json.dumps(doc(3, "w1 w2 w3 w4")))
+    second = drain_collect(
+        streaming_decontaminate(doc_stream(spark, str(docs_dir)), bench, n=4),
+        ckpt,
+    )
+    assert {(r["doc_id"], r["bench_id"]) for r in second} == {(3, 100)}
+
+
 def test_streaming_session_window_merges_and_closes(spark, tmp_path):
     from geostore_spark.streaming.windows import streaming_session_counts
 
