@@ -69,10 +69,12 @@ def _build_parser() -> argparse.ArgumentParser:
 
     q = sub.add_parser("query").add_subparsers(dest="cmd", required=True)
     q.add_parser("list")
-    qr = q.add_parser("run")
-    qr.add_argument("name", help="registered query key (see `query list`)")
-    qr.add_argument("--sf-dir", default="/root/testdata/sf0.01")
-    qr.add_argument("--limit", type=int, default=20, help="rows to print")
+    for cmd in ("run", "explain"):
+        qc = q.add_parser(cmd)
+        qc.add_argument("name", help="registered query key (see `query list`)")
+        qc.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+        if cmd == "run":
+            qc.add_argument("--limit", type=int, default=20, help="rows to print")
     return p
 
 
@@ -94,14 +96,18 @@ def main(argv: list[str] | None = None) -> int:
     spark = build_session(app_name="geostore-spark-cli")
     spark.sparkContext.setLogLevel("ERROR")
 
-    if args.group == "query":  # cmd == "run"
+    if args.group == "query":  # cmd in {"run", "explain"}
         from geostore_spark.registry import all_queries
 
         reg = all_queries()
         if args.name not in reg:
             print(f"unknown query: {args.name} (see `query list`)", file=sys.stderr)
             return EXIT_UNKNOWN
-        reg[args.name].spark(spark, args.sf_dir).show(args.limit, truncate=False)
+        df = reg[args.name].spark(spark, args.sf_dir)
+        if args.cmd == "explain":
+            df.explain("formatted")
+        else:
+            df.show(args.limit, truncate=False)
         return EXIT_SUCCESS
 
     store = MetadataStore(spark, args.store)

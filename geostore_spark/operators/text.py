@@ -778,3 +778,52 @@ def pipeline_training_set(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("n_tokens"))
         .orderBy("lang", "source")
     )
+
+
+HH_TOP = 20
+
+
+@register(
+    "x_text_heavy_hitters",
+    "Corpus vocabulary head: exact top-20 tokens by total occurrences "
+    "with document frequencies — the distributed word-count shape done "
+    "right: explode -> ONE (token, doc) partial-aggregated shuffle that "
+    "feeds both the occurrence sum and the doc-frequency count, then "
+    "TakeOrdered merges per-partition winners (never a global sort). "
+    "The per-token state is two counters, so a hot token (every corpus "
+    "has 'the') costs map-side combining, not a hot reducer.",
+    f"""WITH tok AS (
+         SELECT doc_id, unnest(string_split(text, ' ')) AS token
+         FROM documents
+       ),
+       per_doc AS (
+         SELECT token, doc_id, COUNT(*) AS n
+         FROM tok WHERE token != '' GROUP BY token, doc_id
+       ),
+       agg AS (
+         SELECT token, CAST(SUM(n) AS BIGINT) AS occurrences,
+                COUNT(*) AS doc_freq
+         FROM per_doc GROUP BY token
+       )
+       SELECT token, occurrences, doc_freq
+       FROM agg ORDER BY occurrences DESC, token LIMIT {HH_TOP}""",
+)
+def text_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf)
+    per_doc = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .groupBy("token", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        per_doc.groupBy("token")
+        .agg(
+            F.sum("n").cast("bigint").alias("occurrences"),
+            F.count(F.lit(1)).alias("doc_freq"),
+        )
+        .orderBy(F.col("occurrences").desc(), "token")
+        .limit(HH_TOP)
+    )
