@@ -53,6 +53,14 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     cached = _PLAN_CACHE.get(key)
     if cached is not None:
         return cached
+    if name == "events":
+        # events.parquet carries TIMESTAMP(NANOS) which Spark 4.x refuses to
+        # read unless nanosAsLong is on.  It's a runtime SQLConf, so set it
+        # here instead of relying on the caller's session having been built by
+        # geostore_spark.session — the engine must work on ANY SparkSession
+        # (reference keeps table-access settings inside the model layer too:
+        # /root/reference/geostore/models.py).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # nanos-as-long → real timestamp (micros); keeps the column usable by
