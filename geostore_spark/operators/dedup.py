@@ -487,6 +487,31 @@ def _trigrams(text_col: str) -> Column:
     )
 
 
+# Verify-side join dispatch: a doc→sorted-hash-array table up to this many
+# total hash entries (~64 MB of packed longs) broadcasts; past it the verify
+# runs as two id-keyed shuffle joins of the identical plan shape. Measured
+# cheaply off the checkpointed docs_arr (one partial-agg job over ≤|docs|
+# rows) — same runtime-dispatch idea as graph.py's edge-budget strategy pick.
+VERIFY_BROADCAST_MAX_HASHES = 8_000_000
+
+
+def _verify_join(cand: DataFrame, docs_arr: DataFrame, id_col: str) -> DataFrame:
+    """Attach both sides' shingle arrays to candidate pairs for an exact
+    codegen verify. ``docs_arr`` must have columns (id_col, hs, n).
+    Dispatches broadcast vs shuffle join on the measured corpus size — no
+    driver-side materialization of corpus state in either path."""
+    total = docs_arr.agg(F.sum("n")).first()[0] or 0
+    arr_a = docs_arr.select(
+        F.col(id_col).alias("doc_a"), F.col("hs").alias("hs_a"), F.col("n").alias("n_a")
+    )
+    arr_b = docs_arr.select(
+        F.col(id_col).alias("doc_b"), F.col("hs").alias("hs_b"), F.col("n").alias("n_b")
+    )
+    if total <= VERIFY_BROADCAST_MAX_HASHES:
+        arr_a, arr_b = F.broadcast(arr_a), F.broadcast(arr_b)
+    return cand.join(arr_a, "doc_a").join(arr_b, "doc_b")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str, threshold: float = JACCARD_THRESHOLD
 ) -> DataFrame:
@@ -496,13 +521,11 @@ def ngram_jaccard_pairs(
     A plain shared-shingle self-join admits every pair sharing even ONE
     trigram — measured 1.13 M candidate pairs on the sf0.1 corpus, ~90 %
     of them sharing exactly one. The prefix filter kills those cheaply:
-    order each document's shingle-hash set by global document frequency
-    ascending (rarest first, ties by hash); any pair with Jaccard ≥ t
-    must share a token among the first ``n - ceil(t·n) + 1`` tokens of
-    each side, so only that prefix is indexed. A length filter
+    order each document's shingle-hash set ascending; any pair with
+    Jaccard ≥ t must share a token among the first ``n - ceil(t·n) + 1``
+    tokens of each side, so only that prefix is indexed. A length filter
     (``t·na ≤ nb ≤ na/t``) rides the same join. Measured 1.13 M → 310 k
-    candidates; the exact verify is then a broadcast join against the
-    per-doc sorted-hash arrays with a codegen'd ``array_intersect``.
+    candidates.
 
     The global token order is hash-ascending — ordering by document
     frequency (rarest-first, the PPJoin default) is ~30 % more selective
@@ -512,14 +535,12 @@ def ngram_jaccard_pairs(
     the sort key if a 100 TB corpus justifies the extra pass.
 
     Scale shape: one shuffle to group shingles per doc, a prefix-only
-    self-join (~half the index), then a verify pass whose doc→shingle-set
-    table ships task-side (Spark broadcast var) and intersects Python
-    sets per candidate — O(candidates · n̄) with no join at all. For
-    corpora whose shingle-set table outgrows a broadcast, the verify
-    becomes two shuffle joins on the id against the same ``docs_arr``
-    frame — plan-shape swap, no recompute of the index."""
+    self-join (~half the index), then an exact verify as a codegen'd
+    ``array_intersect`` join against the same ``docs_arr`` frame —
+    broadcast when the corpus table is small, two id-keyed shuffle joins
+    past the broadcast budget (``_verify_join`` dispatches at runtime).
+    No corpus state ever touches the driver."""
     t = threshold
-    spark = df.sparkSession
     sh = shingle_rows(df, id_col, text_col, 3).select(
         F.col(id_col), F.xxhash64("s").alias("sh")
     )
@@ -528,14 +549,9 @@ def ngram_jaccard_pairs(
         sh.groupBy(id_col)
         .agg(F.sort_array(F.collect_set("sh")).alias("hs"))
         .withColumn("n", F.size("hs"))
-        # two consumers (prefix index + verify broadcast) — materialize once
+        # two consumers (prefix index + verify join) — materialize once
         .localCheckpoint(eager=False)
     )
-    sets = {
-        r[id_col]: (frozenset(r["hs"]), r["n"]) for r in docs_arr.collect()
-    }
-    bc = spark.sparkContext.broadcast(sets)
-
     prefix = docs_arr.select(
         F.col(id_col),
         F.col("n"),
@@ -544,46 +560,29 @@ def ngram_jaccard_pairs(
         ).alias("sh"),
     )
     a, b = prefix.alias("a"), prefix.alias("b")
-    cand = a.join(
-        b,
-        (F.col("a.sh") == F.col("b.sh"))
-        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        & (F.col("b.n") >= F.ceil(t * F.col("a.n")))
-        & (F.col("b.n") <= F.floor(F.col("a.n") / t)),
-    ).select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
-
-    def verify(batches):
-        import pandas as pd
-
-        table = bc.value
-        for pdf in batches:
-            out_a: list = []
-            out_b: list = []
-            out_j: list = []
-            seen: set = set()
-            for x, y in zip(pdf["doc_a"], pdf["doc_b"]):
-                if (x, y) in seen:  # pair shared several prefix tokens
-                    continue
-                seen.add((x, y))
-                sx, nx = table[x]
-                sy, ny = table[y]
-                i = len(sx & sy)
-                j = i / (nx + ny - i)
-                if j >= t:
-                    out_a.append(x)
-                    out_b.append(y)
-                    out_j.append(j)
-            yield pd.DataFrame({"doc_a": out_a, "doc_b": out_b, "j": out_j})
-
-    # raw jaccard from Python; ROUND stays JVM-side (HALF_UP, matching the
-    # oracle's away-from-zero — Python's round() is banker's and diverges
-    # on exact-tie rationals like 17/32). Cross-partition duplicate pairs
-    # (same pair via different prefix tokens in different partitions)
-    # collapse in the final tiny distinct.
-    return (
-        cand.mapInPandas(verify, "doc_a long, doc_b long, j double")
-        .select("doc_a", "doc_b", F.round("j", 4).alias("jaccard"))
+    cand = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & (F.col("b.n") >= F.ceil(t * F.col("a.n")))
+            & (F.col("b.n") <= F.floor(F.col("a.n") / t)),
+        )
+        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        # pairs sharing several prefix tokens emerge multiple times; collapse
+        # before the verify joins so each pair is intersected exactly once
         .distinct()
+    )
+    # exact intersect JVM-side; ROUND is HALF_UP, matching the oracle's
+    # away-from-zero (Python's round() is banker's and diverges on
+    # exact-tie rationals like 17/32)
+    i = F.size(F.array_intersect("hs_a", "hs_b"))
+    j = i / (F.col("n_a") + F.col("n_b") - i)
+    return (
+        _verify_join(cand, docs_arr, id_col)
+        .withColumn("j", j)
+        .filter(F.col("j") >= t)
+        .select("doc_a", "doc_b", F.round("j", 4).alias("jaccard"))
     )
 
 
@@ -650,14 +649,9 @@ def ngram_containment_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    arr_a = docs_arr.select(
-        F.col(id_col).alias("doc_a"), F.col("hs").alias("hs_a"), F.col("n").alias("n_a")
-    )
-    arr_b = docs_arr.select(F.col(id_col).alias("doc_b"), F.col("hs").alias("hs_b"))
     c = F.size(F.array_intersect("hs_a", "hs_b")) / F.col("n_a")
     return (
-        cand.join(F.broadcast(arr_a), "doc_a")
-        .join(F.broadcast(arr_b), "doc_b")
+        _verify_join(cand, docs_arr, id_col)
         .withColumn("c", c)
         .filter(F.col("c") >= t)
         .select("doc_a", "doc_b", F.round("c", 4).alias("containment"))

@@ -35,6 +35,31 @@ FRAME_SCHEMA = "doc_id long, frame_index int, frame_bytes long, frame_hash strin
 FEATURE_DIM = 8
 
 
+def _pil_decode(payload: bytes) -> tuple[int, int]:
+    """Real codec path: PIL header decode. Falls back to the stub for
+    payloads PIL can't parse (the fixture payloads are text bytes, not
+    real images) so a codec error never kills the batch."""
+    import io
+
+    from PIL import Image
+
+    try:
+        with Image.open(io.BytesIO(payload)) as im:
+            return im.width, im.height
+    except Exception:
+        return _stub_decode(payload)
+
+
+def _select_decoder():
+    """Pick the codec by importability — never raises. PIL present →
+    header decode with per-payload stub fallback; absent → stub."""
+    import importlib.util
+
+    if importlib.util.find_spec("PIL") is not None:
+        return _pil_decode
+    return _stub_decode
+
+
 def _stub_decode(payload: bytes) -> tuple[int, int]:
     """STUB codec: deterministic fake dimensions derived from the content
     hash. A real deployment replaces this with PIL/libvips — see
@@ -72,12 +97,7 @@ def decode_media(df: DataFrame) -> DataFrame:
     partition size; partitioning of the input carries through unchanged."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        try:  # real codec when available; STUB otherwise
-            from PIL import Image  # noqa: F401  (not in this container)
-
-            raise NotImplementedError("real image decode path not wired yet")
-        except ImportError:
-            decode = _stub_decode
+        decode = _select_decoder()  # real codec when available; STUB otherwise
         for pdf in it:
             rows = []
             for doc_id, content, media_type in zip(
@@ -159,9 +179,21 @@ def sample_frames(df: DataFrame, frame_size: int = 4096, every_n: int = 2) -> Da
 )
 def q_mm_decode(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, "documents", sf)
+    decoded = decode_media(attach_binary(docs))
+    # The raw feature array<float> stays internal: the driver canonicalizer
+    # sorts/hashes columns via pandas, which cannot hash list cells. Expose
+    # scalar projections instead — a digest of the vector (exact equality
+    # check) and its dimensionality.
     return (
-        decode_media(attach_binary(docs))
-        .select("doc_id", "media_type", "width", "height", "n_bytes", "feature")
+        decoded.select(
+            "doc_id",
+            "media_type",
+            "width",
+            "height",
+            "n_bytes",
+            F.md5(F.to_json(F.col("feature"))).alias("feature_digest"),
+            F.size("feature").alias("n_features"),
+        )
         .orderBy("doc_id")
         .limit(200)
     )

@@ -62,11 +62,21 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
         # /root/reference/geostore/models.py).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if name == "events" and ts_type == "bigint":
         # nanos-as-long → real timestamp (micros); keeps the column usable by
         # every built-in date/time function JVM-side.
         # integer div: float division loses precision at ~1e18 ns epochs
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif name == "events" and ts_type == "timestamp_ntz":
+        # Fixtures written with micros + isAdjustedToUTC=false read as
+        # TIMESTAMP_NTZ; normalize to TIMESTAMP so unix_micros/date funcs
+        # resolve. Engine convention (matching the DuckDB oracle): event
+        # wall-clocks ARE UTC instants, so pin the session zone before the
+        # cast — on a UTC host this is a no-op, elsewhere it keeps the
+        # NTZ→LTZ cast value-preserving instead of shifting by host offset.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     _PLAN_CACHE[key] = df
     return df
 
