@@ -335,6 +335,131 @@ def streaming_attribution(stream: DataFrame) -> DataFrame:
     )
 
 
+RETENTION_SCHEMA = "user_id long, cohort_m long, months_since long"
+# cohort month index + bitmask of months-seen relative to the cohort; 64
+# bits bound the horizon (5+ years of offsets) so state per user is two
+# scalars regardless of event volume
+_RETENTION_STATE_SCHEMA = "cohort_m long, months_mask long"
+_RETENTION_HORIZON = 64
+
+
+def _update_retention(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-user cohort state: the first event pins the cohort month; each
+    event's month sets a bit in the months-seen mask, and a freshly-set
+    bit emits exactly one (user, cohort_m, months_since) increment row.
+    The streaming twin of the batch x_events_retention per-user state —
+    the (cohort, offset)->COUNT DISTINCT rollup is a foreachBatch
+    concern (streaming aggregation has no exact count-distinct); summed
+    increments equal the batch triangle whenever each user's events
+    arrive in event-time order across micro-batches (in-batch disorder
+    is sorted away)."""
+    cohort_m, mask = state.get if state.exists else (0, 0)
+    offs: list[int] = []
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for ts in pdf["ts"]:
+            t = pd.Timestamp(ts)
+            m = t.year * 12 + t.month
+            if cohort_m == 0:
+                cohort_m = m
+            off = m - cohort_m
+            if 0 <= off < _RETENTION_HORIZON and not (mask >> off) & 1:
+                mask |= 1 << off
+                offs.append(off)
+    state.update((cohort_m, mask))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]] * len(offs),
+            "cohort_m": [cohort_m] * len(offs),
+            "months_since": offs,
+        }
+    ).astype({"user_id": "int64", "cohort_m": "int64", "months_since": "int64"})
+
+
+def streaming_retention(stream: DataFrame) -> DataFrame:
+    """Streaming twin of ``operators.retention.q_retention``: per-user
+    cohort + months-active increments via ``applyInPandasWithState``
+    (append mode — each (user, month-offset) emits exactly once across
+    any micro-batch split). State is two longs per user — a 10^9-user
+    store stays key-partitioned and bounded; nothing driver-resident."""
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _update_retention,
+        outputStructType=RETENTION_SCHEMA,
+        stateStructType=_RETENTION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+EVENT_GAP_SCHEMA = "user_id long, event_id long, event_type string, gap_us long"
+_EVENT_GAP_STATE_SCHEMA = "last_epoch long"
+
+
+def _update_event_gap(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-user LAG pointer: one epoch scalar of state; every event after
+    the first emits its gap to the previous event, tagged with the LATER
+    event's type — the streaming twin of the batch x_win_event_gap
+    window. Agrees with batch LAG whenever each user's events arrive in
+    event-time order across micro-batches."""
+    (last,) = state.get if state.exists else (0,)
+    ids: list[int] = []
+    types: list[str] = []
+    gaps: list[int] = []
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for eid, et, ts in zip(pdf["event_id"], pdf["event_type"], pdf["ts"]):
+            epoch = int(pd.Timestamp(ts).value) // 1_000  # ns -> us
+            if last:
+                ids.append(int(eid))
+                types.append(et)
+                gaps.append(epoch - last)
+            last = epoch
+    state.update((last,))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]] * len(ids),
+            "event_id": ids,
+            "event_type": types,
+            "gap_us": gaps,
+        }
+    ).astype(
+        {
+            "user_id": "int64",
+            "event_id": "int64",
+            "event_type": "object",
+            "gap_us": "int64",
+        }
+    )
+
+
+def streaming_event_gap(stream: DataFrame) -> DataFrame:
+    """Streaming twin of ``operators.windows.win_event_gap``: per-user
+    inter-event gaps via ``applyInPandasWithState`` (append mode — one
+    row per consecutive pair, as the later event arrives). The
+    per-event_type rollup (n/sum/max/avg) is a downstream foreachBatch
+    aggregate; summed over batches the gap rows equal the batch window's
+    LAG output."""
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _update_event_gap,
+        outputStructType=EVENT_GAP_SCHEMA,
+        stateStructType=_EVENT_GAP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 DOC_STREAM_SCHEMA = "doc_id long, text string, ts timestamp"
 
 

@@ -269,6 +269,70 @@ def test_streaming_anomalies_flag_against_prior_state(spark, tmp_path):
     assert second[0]["z"] > 3 and second[0]["value"] == 50.0
 
 
+def test_streaming_retention_emits_month_increments_once(spark, tmp_path):
+    from geostore_spark.streaming.windows import streaming_retention
+
+    events = str(tmp_path / "events")
+    ckpt = str(tmp_path / "ckpt")
+
+    # batch 1: u1 active in March (cohort) twice — one increment only;
+    # u2's cohort starts in April
+    _write_events(
+        events,
+        "b1.json",
+        [
+            _event(1, 1, _ts(1)),
+            _event(2, 1, _ts(20)),
+            {**_event(3, 2, _ts(1)),
+             "ts": datetime(2026, 4, 2, tzinfo=timezone.utc).isoformat()},
+        ],
+    )
+    first = drain_collect(streaming_retention(event_stream(spark, events)), ckpt)
+    got = {(r["user_id"], r["cohort_m"], r["months_since"]) for r in first}
+    m_mar, m_apr = 2026 * 12 + 3, 2026 * 12 + 4
+    assert got == {(1, m_mar, 0), (2, m_apr, 0)}
+
+    # batch 2: u1 returns in April (new offset 1) and again in March (bit
+    # already set -> no re-emission); state carried across the restart
+    _write_events(
+        events,
+        "b2.json",
+        [
+            {**_event(4, 1, _ts(1)),
+             "ts": datetime(2026, 4, 15, tzinfo=timezone.utc).isoformat()},
+            _event(5, 1, _ts(25)),
+        ],
+    )
+    second = drain_collect(streaming_retention(event_stream(spark, events)), ckpt)
+    got2 = {(r["user_id"], r["cohort_m"], r["months_since"]) for r in second}
+    assert got2 == {(1, m_mar, 1)}
+
+
+def test_streaming_event_gap_matches_batch_lag(spark, tmp_path):
+    from geostore_spark.streaming.windows import streaming_event_gap
+
+    events = str(tmp_path / "events")
+    ckpt = str(tmp_path / "ckpt")
+
+    # batch 1: u1 has two events 1h apart -> one gap row (the first event
+    # of a user emits nothing); u2 has a single event -> nothing
+    _write_events(
+        events,
+        "b1.json",
+        [_event(1, 1, _ts(1, 5)), _event(2, 1, _ts(1, 6)), _event(3, 2, _ts(1, 7))],
+    )
+    first = drain_collect(streaming_event_gap(event_stream(spark, events)), ckpt)
+    assert [(r["event_id"], r["gap_us"]) for r in first] == [(2, 3_600_000_000)]
+
+    # batch 2: the LAG pointer survives the restart — u2's next event a
+    # day later emits exactly the cross-batch gap
+    _write_events(events, "b2.json", [_event(4, 2, _ts(2, 7))])
+    second = drain_collect(streaming_event_gap(event_stream(spark, events)), ckpt)
+    assert [(r["user_id"], r["event_id"], r["gap_us"]) for r in second] == [
+        (2, 4, 86_400_000_000)
+    ]
+
+
 def test_streaming_exact_dedup_keeps_one_per_digest(spark, tmp_path):
     import json as _json
 
