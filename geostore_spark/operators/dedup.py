@@ -991,3 +991,108 @@ def q_chunk_dedup(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# -- substring-level dedup (anchor-sampled, Lee-et-al-style) ----------------
+
+ANCHOR_MOD = 16  # keep grams whose rolling hash == 0 (mod 16): ~6% anchors
+ANCHOR_LEN = 24  # chars of context grouped per anchor
+SUBSTR_TOP = 50
+
+
+def anchor_substrings(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Anchor-sampled substring extraction, the bucketed alternative to a
+    corpus suffix array (Lee et al., "Deduplicating Training Data Makes
+    Language Models Better" find-repeated-substrings step): every char
+    position whose 4-gram rolling hash (same Horner-mod-2^31-1 scheme as
+    ``text.winnow_fingerprints``) is 0 mod ANCHOR_MOD becomes an anchor,
+    and the ANCHOR_LEN-char substring starting there is emitted. Content
+    determines anchor placement, so two documents sharing a duplicated
+    region place anchors at the SAME offsets inside it — grouping by the
+    literal substring then finds cross-doc repeats with exact-match
+    verification built into the key. Vectorized numpy per Arrow batch;
+    anchors without a full ANCHOR_LEN window are skipped (end-of-doc
+    truncations would otherwise alias)."""
+    import numpy as np
+    import pandas as pd
+
+    from geostore_spark.operators.text import WINNOW_B, WINNOW_K, WINNOW_P
+
+    def batches(it):
+        for pdf in it:
+            ids: list = []
+            subs: list = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                cps = np.frombuffer(
+                    text.encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.int64)
+                n_text = len(cps)
+                n = n_text - WINNOW_K + 1
+                if n <= 0:
+                    continue
+                h = cps[:n].copy()
+                for j in range(1, WINNOW_K):
+                    h = (h * WINNOW_B + cps[j : j + n]) % WINNOW_P
+                pos = np.nonzero(h % ANCHOR_MOD == 0)[0]
+                pos = pos[pos <= n_text - ANCHOR_LEN]
+                for p in pos:
+                    ids.append(doc_id)
+                    subs.append(text[p : p + ANCHOR_LEN])
+            yield pd.DataFrame({id_col: ids, "sub": subs})
+
+    return rebalance_for_python(df.select(id_col, text_col)).mapInPandas(
+        batches, f"{id_col} long, sub string"
+    )
+
+
+def _substring_oracle() -> str:
+    from geostore_spark.operators.text import WINNOW_B, WINNOW_P
+
+    b, p = WINNOW_B, WINNOW_P
+    return f"""
+       WITH g AS (
+         SELECT doc_id, text, length(text) AS n_text,
+                list_transform(range(1, length(text) - 2),
+                  i -> ((((CAST(unicode(substring(text, i, 1)) AS BIGINT) * {b}
+                         + unicode(substring(text, i+1, 1))) % {p})
+                         * {b} + unicode(substring(text, i+2, 1))) % {p}
+                         * {b} + unicode(substring(text, i+3, 1))) % {p}) AS hs
+         FROM documents
+       ),
+       anchors AS (
+         SELECT doc_id, substring(text, CAST(i AS INT), {ANCHOR_LEN}) AS sub
+         FROM g, unnest(list_filter(range(1, len(hs) + 1),
+                        i -> hs[i] % {ANCHOR_MOD} = 0
+                             AND i <= n_text - {ANCHOR_LEN} + 1)) AS t(i)
+       )
+       SELECT sub, COUNT(*) AS n_occ,
+              COUNT(DISTINCT doc_id) AS n_docs
+       FROM anchors GROUP BY sub HAVING COUNT(DISTINCT doc_id) >= 2
+       ORDER BY n_occ DESC, sub LIMIT {SUBSTR_TOP}"""
+
+
+@register(
+    "x_dedup_substring",
+    "Substring-level dedup: content-defined anchor sampling (rolling-hash "
+    "0 mod 16) + exact 24-char substring grouping — the bucketed, "
+    "shuffle-on-substring-key alternative to a corpus suffix array for "
+    "finding duplicated text regions ACROSS documents (Lee et al. 2022). "
+    "One (substring-key) shuffle with map-side partials; never all-pairs, "
+    "and verification is exact string equality in the group key itself.",
+    _substring_oracle(),
+)
+def q_substring_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf)
+    return (
+        anchor_substrings(docs)
+        .groupBy("sub")
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.col("n_occ").desc(), "sub")
+        .limit(SUBSTR_TOP)
+    )

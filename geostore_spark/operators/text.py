@@ -827,3 +827,69 @@ def text_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("occurrences").desc(), "token")
         .limit(HH_TOP)
     )
+
+
+# -- C4-style line-level quality rules --------------------------------------
+
+C4_LINE_WORDS = 10  # synthesized line width (words)
+C4_MIN_WORDS_PER_LINE = 5  # C4: drop lines with < 5 words
+C4_MIN_KEPT_LINES = 3  # C4: drop pages with < 3 surviving sentences
+
+
+@register(
+    "x_text_c4_lines",
+    "C4-style line-level quality filter (Raffel et al. C4 rules: min "
+    "words per line, terminal punctuation required, pages need >= 3 "
+    "surviving lines with a majority kept). The fixture corpus is "
+    "unpunctuated word soup, so line boundaries (every 10 words) and "
+    "terminal punctuation (3-in-4, keyed on (doc_id, line_idx)) are "
+    "synthesized deterministically — identical arithmetic both engines. "
+    "The whole operator is one zero-shuffle scan-projection: per-row "
+    "sequence/filter higher-order expressions, no explode, no Python.",
+    f"""WITH d AS (
+         SELECT doc_id, len(string_split(text, ' ')) AS n_words
+         FROM documents
+       ),
+       l AS (
+         SELECT doc_id, n_words, (n_words + {C4_LINE_WORDS - 1}) // {C4_LINE_WORDS} AS n_lines
+         FROM d
+       ),
+       k AS (
+         SELECT doc_id, n_lines,
+                len(list_filter(range(0, n_lines),
+                    i -> least({C4_LINE_WORDS}, n_words - i*{C4_LINE_WORDS})
+                           >= {C4_MIN_WORDS_PER_LINE}
+                         AND ((doc_id*7 + i) % 4) != 0)) AS n_kept
+         FROM l
+       )
+       SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+              CAST(n_kept AS BIGINT) AS n_kept,
+              CAST(CASE WHEN n_kept >= {C4_MIN_KEPT_LINES}
+                         AND 2*n_kept >= n_lines THEN 1 ELSE 0 END AS INT)
+                AS doc_kept
+       FROM k ORDER BY doc_id""",
+)
+def text_c4_lines(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf)
+    w, mw = C4_LINE_WORDS, C4_MIN_WORDS_PER_LINE
+    base = docs.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_words")
+    ).withColumn("n_lines", F.expr(f"(n_words + {w - 1}) div {w}"))
+    kept = base.withColumn(
+        "n_kept",
+        F.expr(
+            f"size(filter(sequence(0, n_lines - 1), "
+            f"i -> least({w}, n_words - i*{w}) >= {mw} "
+            f"and ((doc_id*7 + i) % 4) != 0))"
+        ).cast("bigint"),
+    )
+    doc_kept = (
+        (F.col("n_kept") >= C4_MIN_KEPT_LINES)
+        & (2 * F.col("n_kept") >= F.col("n_lines"))
+    ).cast("int")
+    return kept.select(
+        "doc_id",
+        F.col("n_lines").cast("bigint").alias("n_lines"),
+        "n_kept",
+        doc_kept.alias("doc_kept"),
+    ).orderBy("doc_id")
