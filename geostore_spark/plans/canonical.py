@@ -398,6 +398,84 @@ def j6(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_register(
+    "j7_topk_revenue",
+    "TPC-H Q3 shape: selective dimension filter -> two-level equi-join "
+    "chain -> grouped revenue -> top-k. The segment filter prunes the "
+    "customer side before the join (pushed to the scan); orders x "
+    "lineitem is the big-big join left to AQE sort-merge with skew "
+    "splitting; top-10 is a TakeOrdered merge, never a global sort.",
+    """SELECT l_orderkey,
+              ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+              o_orderdate
+       FROM customer
+       JOIN orders ON c_custkey = o_custkey
+       JOIN lineitem ON l_orderkey = o_orderkey
+       WHERE c_mktsegment = 'BUILDING'
+         AND o_orderdate < TIMESTAMP '1997-01-01'
+         AND l_shipdate > TIMESTAMP '1997-01-01'
+       GROUP BY l_orderkey, o_orderdate
+       ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+)
+def j7(spark: SparkSession, sf: str) -> DataFrame:
+    customer = load_table(spark, "customer", sf).filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, "orders", sf).filter(
+        F.col("o_orderdate") < "1997-01-01"
+    )
+    lineitem = load_table(spark, "lineitem", sf).filter(
+        F.col("l_shipdate") > "1997-01-01"
+    )
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(lineitem, lineitem.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@_register(
+    "j8_large_orders",
+    "TPC-H Q18 shape: aggregate-then-semi-join — orders whose lineitem "
+    "quantity total exceeds a threshold, joined back to order/customer "
+    "detail. The HAVING filter collapses the aggregated side to a tiny "
+    "key set, broadcast back onto orders (at any scale the post-filter "
+    "side is small by construction; the only big shuffle is the "
+    "map-side-partial quantity rollup).",
+    """SELECT c_name, o_orderkey, o_totalprice, sum_qty
+       FROM (SELECT l_orderkey, CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+             FROM lineitem GROUP BY l_orderkey
+             HAVING SUM(l_quantity) > 150) big
+       JOIN orders ON o_orderkey = big.l_orderkey
+       JOIN customer ON c_custkey = o_custkey
+       ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+)
+def j8(spark: SparkSession, sf: str) -> DataFrame:
+    lineitem = load_table(spark, "lineitem", sf)
+    orders = load_table(spark, "orders", sf)
+    customer = load_table(spark, "customer", sf)
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").cast("bigint").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+    )
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .select("c_name", "o_orderkey", "o_totalprice", "sum_qty")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.4 Aggregations
 # ---------------------------------------------------------------------------
