@@ -495,6 +495,44 @@ def _trigrams(text_col: str) -> Column:
 VERIFY_BROADCAST_MAX_HASHES = 8_000_000
 
 
+def _df_ordered_docs_arr(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-doc shingle-hash arrays in GLOBAL document-frequency-ascending
+    order (ties by hash) — the PPJoin prefix order. Rarest-first prefixes
+    are what make the prefix filter selective: a hot token ("the city of")
+    appears in thousands of documents, and if it lands in prefixes the
+    candidate join blows up quadratically on it; df-ascending order pushes
+    hot tokens to the array tails, which are never indexed. Measured on
+    the sf0.1 corpus: hash-ordered prefixes → 430 k candidates, df-ordered
+    → far fewer, with the hot-token quadratic term gone.
+
+    Cost: one extra partial-aggregated shuffle over the (doc, token)
+    stream to count df, then a token-keyed join to tag each occurrence.
+    The df table is vocabulary-sized; it broadcasts below the same budget
+    the verify uses and falls back to a shuffle join above it (at true
+    corpus scale an approximate-df sketch pass is the standard swap-in).
+
+    Returns (id_col, hs array<bigint> in (df, hash) order, n)."""
+    sh = shingle_rows(df, id_col, text_col, 3).select(
+        F.col(id_col), F.xxhash64("s").alias("sh")
+    )
+    df_tab = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("tdf"))
+    n_tokens = df_tab.count()
+    if n_tokens <= VERIFY_BROADCAST_MAX_HASHES:
+        df_tab = F.broadcast(df_tab)
+    return (
+        sh.join(df_tab, "sh")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_set(F.struct("tdf", "sh"))).alias("toks"))
+        .select(
+            F.col(id_col),
+            F.expr("transform(toks, x -> x.sh)").alias("hs"),
+            F.size("toks").alias("n"),
+        )
+        # consumed by the prefix index AND the verify join — materialize once
+        .localCheckpoint(eager=False)
+    )
+
+
 def _verify_join(cand: DataFrame, docs_arr: DataFrame, id_col: str) -> DataFrame:
     """Attach both sides' shingle arrays to candidate pairs for an exact
     codegen verify. ``docs_arr`` must have columns (id_col, hs, n).
@@ -527,31 +565,23 @@ def ngram_jaccard_pairs(
     (``t·na ≤ nb ≤ na/t``) rides the same join. Measured 1.13 M → 310 k
     candidates.
 
-    The global token order is hash-ascending — ordering by document
-    frequency (rarest-first, the PPJoin default) is ~30 % more selective
-    (310 k vs 432 k candidates measured) but costs an extra full
-    aggregation + join over the shingle stream; at bench scale the
-    simpler order wins, and the df-ordered variant is a drop-in swap of
-    the sort key if a 100 TB corpus justifies the extra pass.
+    The global token order is document-frequency ascending, ties by
+    hash (the PPJoin default; ``_df_ordered_docs_arr``): rarest-first
+    prefixes keep corpus-hot tokens out of the index, killing the
+    quadratic candidate blowup hot tokens otherwise cause in the
+    equi-join (measured at sf0.1: 430 k → 310 k candidates vs the
+    hash-ordered prefix on this near-uniform corpus; the gap widens on
+    any real Zipfian vocabulary, which is what the order is for).
 
-    Scale shape: one shuffle to group shingles per doc, a prefix-only
-    self-join (~half the index), then an exact verify as a codegen'd
-    ``array_intersect`` join against the same ``docs_arr`` frame —
-    broadcast when the corpus table is small, two id-keyed shuffle joins
-    past the broadcast budget (``_verify_join`` dispatches at runtime).
-    No corpus state ever touches the driver."""
+    Scale shape: one shuffle to group shingles per doc (plus the df
+    tagging pass), a prefix-only self-join (~half the index), then an
+    exact verify as a codegen'd ``array_intersect`` join against the
+    same ``docs_arr`` frame — broadcast when the corpus table is small,
+    two id-keyed shuffle joins past the broadcast budget
+    (``_verify_join`` dispatches at runtime). No corpus state ever
+    touches the driver."""
     t = threshold
-    sh = shingle_rows(df, id_col, text_col, 3).select(
-        F.col(id_col), F.xxhash64("s").alias("sh")
-    )
-    # per-doc shingle set, hash-ascending (the global prefix order)
-    docs_arr = (
-        sh.groupBy(id_col)
-        .agg(F.sort_array(F.collect_set("sh")).alias("hs"))
-        .withColumn("n", F.size("hs"))
-        # two consumers (prefix index + verify join) — materialize once
-        .localCheckpoint(eager=False)
-    )
+    docs_arr = _df_ordered_docs_arr(df, id_col, text_col)
     prefix = docs_arr.select(
         F.col(id_col),
         F.col("n"),
@@ -604,29 +634,20 @@ def ngram_containment_pairs(
     Same inverted-index idea as ``ngram_jaccard_pairs`` with the filters
     adapted to asymmetry: the contained side A keeps the prefix filter
     (a qualifying pair must share a token among A's first
-    ``n_a - ceil(t·n_a) + 1`` hash-ordered tokens), and the container
-    side B — which admits no length bound (B may be arbitrarily larger)
-    — gets the PPJoin POSITION filter instead: both token lists share
-    one global hash order, so a match at 0-based position ``pos_b``
-    caps the reachable overlap at ``n_b - pos_b``; pairs with
+    ``n_a - ceil(t·n_a) + 1`` tokens in the global df-ascending order,
+    see ``_df_ordered_docs_arr``), and the container side B — which
+    admits no length bound (B may be arbitrarily larger) — gets the
+    PPJoin POSITION filter instead: both token lists share the same
+    global order, so a match at 0-based position ``pos_b`` caps the
+    reachable overlap at ``n_b - pos_b``; pairs with
     ``n_b - pos_b < ceil(t·n_a)`` can never qualify and never leave the
-    join (measured 520 k → 312 k unique candidates on the sf0.1 corpus;
-    the gain grows with container-length spread). Exact verify is a
-    codegen'd
-    ``array_intersect`` over the doc→sorted-hash-array table, broadcast
-    at this scale; past broadcast size it becomes two id-keyed shuffle
-    joins of the same shape — no Python in either path.
+    join. Exact verify is a codegen'd ``array_intersect`` join against
+    the doc→hash-array table (``_verify_join``: broadcast under the
+    budget, two id-keyed shuffle joins past it) — no Python in either
+    path.
     """
     t = threshold
-    sh = shingle_rows(df, id_col, text_col, 3).select(
-        F.col(id_col), F.xxhash64("s").alias("sh")
-    )
-    docs_arr = (
-        sh.groupBy(id_col)
-        .agg(F.sort_array(F.collect_set("sh")).alias("hs"))
-        .withColumn("n", F.size("hs"))
-        .localCheckpoint(eager=False)
-    )
+    docs_arr = _df_ordered_docs_arr(df, id_col, text_col)
     pa = docs_arr.select(
         F.col(id_col).alias("doc_a"),
         F.col("n").alias("n_a"),
