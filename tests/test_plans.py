@@ -201,3 +201,43 @@ def test_funnel_signup_dim_broadcasts(spark):
     plan = _plan(spark, "x_events_funnel")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_c4_lines_is_zero_shuffle_scan_project(spark):
+    # line synthesis + rules are per-row higher-order expressions; no
+    # explode, no aggregation, no join — the single Exchange is the
+    # presentation orderBy (rangepartitioning), not a compute shuffle
+    plan = _plan(spark, "x_text_c4_lines")
+    assert plan.count("Exchange") == 1 and "rangepartitioning" in plan
+    for op in ("Generate", "Join", "HashAggregate"):
+        assert op not in plan, f"unexpected {op} in c4-lines plan"
+
+
+def test_substring_dedup_groups_never_pairs(spark):
+    # anchor extraction is an Arrow pass; duplicates are found by a
+    # substring-key groupBy (bucketed shuffle), never a pairwise join
+    plan = _plan(spark, "x_dedup_substring")
+    assert "MapInPandas" in plan
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2  # map-side partials
+
+
+def test_q3_shape_pushes_filters_and_takes_topk(spark):
+    plan = _plan(spark, "j7_topk_revenue")
+    # all three filters reach their scans; top-10 is a TakeOrdered merge
+    assert "PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q18_post_having_side_broadcasts(spark):
+    plan = _plan(spark, "j8_large_orders")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_ngram_verify_is_join_based_no_python(spark):
+    # the exact verify must be array_intersect joins (broadcast at this
+    # scale), with the only Python stage the shingle generator
+    for name in ("x_dedup_ngram_jaccard", "x_dedup_containment"):
+        plan = _plan(spark, name)
+        assert "BroadcastHashJoin" in plan
+        assert "array_intersect" in plan
