@@ -167,12 +167,11 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def lsh_pairs(sig: DataFrame, id_col: str) -> DataFrame:
-    """Candidate near-dup pairs from banded LSH over a signature frame
-    (one ``sig`` array column), with the estimated Jaccard (fraction of
-    agreeing minhashes). Only the 8-rows-per-doc band table shuffles; at
-    scale the bucket join is the standard corpus-dedup fan-in, never
-    O(N²)."""
+def band_table(sig: DataFrame, id_col: str) -> DataFrame:
+    """(id, band, bh) LSH band-bucket rows from a signature frame. Two
+    docs share a (band, bh) bucket iff their 4 row-mins in that band are
+    identical (the hash only compresses the tuple), so bucket joins are
+    engine-independent."""
     band_hashes = [
         F.xxhash64(
             F.concat_ws(
@@ -185,10 +184,19 @@ def lsh_pairs(sig: DataFrame, id_col: str) -> DataFrame:
         )
         for b in range(BANDS)
     ]
-    bands = sig.select(
+    return sig.select(
         F.col(id_col),
         F.posexplode(F.array(*band_hashes)).alias("band", "bh"),
     )
+
+
+def lsh_pairs(sig: DataFrame, id_col: str) -> DataFrame:
+    """Candidate near-dup pairs from banded LSH over a signature frame
+    (one ``sig`` array column), with the estimated Jaccard (fraction of
+    agreeing minhashes). Only the 8-rows-per-doc band table shuffles; at
+    scale the bucket join is the standard corpus-dedup fan-in, never
+    O(N²)."""
+    bands = band_table(sig, id_col)
     x, y = bands.alias("x"), bands.alias("y")
     pairs = (
         x.join(
@@ -1116,4 +1124,115 @@ def q_substring_dedup(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("n_docs") >= 2)
         .orderBy(F.col("n_occ").desc(), "sub")
         .limit(SUBSTR_TOP)
+    )
+
+
+# -- incremental (new-batch vs corpus) dedup --------------------------------
+
+BATCH_MOD = 5  # doc_id % 5 == 0 simulates the incoming ingest batch
+
+
+def _incremental_oracle() -> str:
+    perm_mins = ",\n              ".join(
+        f"MIN(({_A[i]} * b + {_B[i]}) % {P}) AS m{i}" for i in range(NUM_PERM)
+    )
+    band_rows = "\n         UNION ALL\n         ".join(
+        "SELECT doc_id, {b} AS band, md5(concat_ws(',', {cols})) AS bh FROM sig".format(
+            b=b,
+            cols=", ".join(f"m{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)),
+        )
+        for b in range(BANDS)
+    )
+    return f"""
+       WITH tok AS (
+         SELECT doc_id, unnest(list_distinct(list_transform(
+                  range(1, len(string_split(text, ' '))),
+                  i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+                ))) AS sh
+         FROM documents
+       ),
+       h AS (
+         SELECT doc_id, {_duck_md5_32("sh")} % {P} AS b FROM tok
+       ),
+       sig AS (
+         SELECT doc_id,
+              {perm_mins}
+         FROM h GROUP BY doc_id
+       ),
+       band AS (
+         {band_rows}
+       ),
+       near AS (
+         SELECT DISTINCT x.doc_id
+         FROM band x JOIN band y ON x.band = y.band AND x.bh = y.bh
+         WHERE x.doc_id % {BATCH_MOD} = 0 AND y.doc_id % {BATCH_MOD} != 0
+       ),
+       exact AS (
+         SELECT DISTINCT bdoc.doc_id
+         FROM documents bdoc JOIN documents cdoc
+           ON md5(bdoc.text) = md5(cdoc.text)
+         WHERE bdoc.doc_id % {BATCH_MOD} = 0 AND cdoc.doc_id % {BATCH_MOD} != 0
+       )
+       SELECT d.doc_id,
+              CAST(CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END AS INT)
+                AS exact_dup,
+              CAST(CASE WHEN n.doc_id IS NOT NULL THEN 1 ELSE 0 END AS INT)
+                AS near_dup,
+              CAST(CASE WHEN e.doc_id IS NULL AND n.doc_id IS NULL
+                   THEN 1 ELSE 0 END AS INT) AS keep
+       FROM documents d
+       LEFT JOIN exact e ON d.doc_id = e.doc_id
+       LEFT JOIN near n ON d.doc_id = n.doc_id
+       WHERE d.doc_id % {BATCH_MOD} = 0
+       ORDER BY d.doc_id"""
+
+
+@register(
+    "x_dedup_incremental",
+    "Incremental ingest dedup: an incoming batch is screened against the "
+    "standing corpus without ever re-deduping the corpus itself — exact "
+    "via digest semi-join, near via MinHash-LSH band buckets (batch "
+    "bands join corpus bands). The batch side is small by construction, "
+    "so Catalyst broadcasts it onto the corpus scans; at 100 TB the "
+    "corpus digest/band tables are precomputed once and the per-batch "
+    "cost is proportional to the BATCH, not the corpus.",
+    _incremental_oracle(),
+)
+def q_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf)
+    is_batch = F.col("doc_id") % BATCH_MOD == 0
+    batch = docs.filter(is_batch)
+    corpus = docs.filter(~is_batch)
+
+    bd = batch.select("doc_id", F.md5(F.col("text").cast("binary")).alias("dg"))
+    cd = corpus.select(F.md5(F.col("text").cast("binary")).alias("dg")).distinct()
+    exact = bd.join(cd, "dg", "left_semi").select("doc_id")
+
+    # signatures computed over the union once (identical values to
+    # per-side computation); band tables split after
+    sig = minhash_signatures(docs, "doc_id", "text")
+    bands = band_table(sig, "doc_id")
+    b_bands = bands.filter(F.col("doc_id") % BATCH_MOD == 0)
+    c_bands = bands.filter(F.col("doc_id") % BATCH_MOD != 0).select(
+        F.col("band").alias("band"), F.col("bh").alias("bh")
+    )
+    near = (
+        b_bands.join(c_bands, ["band", "bh"], "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+
+    e = exact.withColumn("e", F.lit(1))
+    n = near.withColumn("n", F.lit(1))
+    return (
+        batch.select("doc_id")
+        .join(F.broadcast(e), "doc_id", "left")
+        .join(F.broadcast(n), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("e"), F.lit(0)).cast("int").alias("exact_dup"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("int").alias("near_dup"),
+            (F.col("e").isNull() & F.col("n").isNull()).cast("int").alias("keep"),
+        )
+        .orderBy("doc_id")
     )

@@ -205,3 +205,66 @@ def q_topk_hash_sample(spark: SparkSession, sf: str) -> DataFrame:
         .select("doc_id", "lang")
         .orderBy("doc_id")
     )
+
+
+# -- sequence packing (LLM pretraining batch assembly) ----------------------
+
+PACK_BUDGET = 512  # tokens per packed sequence
+PACK_SHARDS = 16  # pack within hash shards — no global sort at scale
+
+
+@register(
+    "x_pipeline_pack_sequences",
+    "Sequence packing for LLM pretraining: greedy contiguous bin-packing "
+    "of documents into fixed token-budget sequences. Docs are sharded by "
+    "a deterministic hash (so packing is per-shard and needs NO global "
+    "sort — at 100 TB each shard packs independently on its own "
+    "partition), ordered within the shard, and assigned "
+    "seq = floor(running-pre-sum / budget). A doc longer than the budget "
+    "occupies its own sequence(s). One window over the shard key is the "
+    "only shuffle; the rollup reuses the same partitioning.",
+    f"""WITH d AS (
+         SELECT doc_id,
+                CAST(doc_id % {PACK_SHARDS} AS BIGINT) AS shard,
+                len(string_split(text, ' ')) AS n_tok
+         FROM documents
+       ),
+       c AS (
+         SELECT doc_id, shard, n_tok,
+                COALESCE(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+         FROM d
+       ),
+       a AS (
+         SELECT shard, pre // {PACK_BUDGET} AS seq_id, doc_id, n_tok FROM c
+       )
+       SELECT shard, CAST(seq_id AS BIGINT) AS seq_id,
+              COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+       FROM a GROUP BY shard, seq_id
+       ORDER BY shard, seq_id""",
+)
+def q_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, "documents", sf)
+    d = docs.select(
+        "doc_id",
+        (F.col("doc_id") % PACK_SHARDS).cast("bigint").alias("shard"),
+        F.size(F.split(F.col("text"), " ")).alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pre = F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+    return (
+        d.withColumn("pre", pre)
+        .withColumn("seq_id", F.expr(f"pre div {PACK_BUDGET}"))
+        .groupBy("shard", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        )
+        .orderBy("shard", "seq_id")
+    )

@@ -241,3 +241,20 @@ def test_ngram_verify_is_join_based_no_python(spark):
         plan = _plan(spark, name)
         assert "BroadcastHashJoin" in plan
         assert "array_intersect" in plan
+
+
+def test_incremental_dedup_batch_side_broadcasts(spark):
+    # the small batch verdict tables broadcast; the band-bucket probe is
+    # an equi semi-join, never a cartesian shape
+    plan = _plan(spark, "x_dedup_incremental")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pack_sequences_single_shard_window(spark):
+    # packing = ONE window over the shard key; the rollup must reuse the
+    # shard partitioning (no extra hash exchange beyond window + sort)
+    plan = _plan(spark, "x_pipeline_pack_sequences")
+    assert "Window" in plan
+    assert "Join" not in plan
