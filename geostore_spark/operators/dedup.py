@@ -495,15 +495,28 @@ def _trigrams(text_col: str) -> Column:
     )
 
 
-# Verify-side join dispatch: a doc→sorted-hash-array table up to this many
-# total hash entries (~64 MB of packed longs) broadcasts; past it the verify
-# runs as two id-keyed shuffle joins of the identical plan shape. Measured
-# cheaply off the checkpointed docs_arr (one partial-agg job over ≤|docs|
-# rows) — same runtime-dispatch idea as graph.py's edge-budget strategy pick.
-VERIFY_BROADCAST_MAX_HASHES = 8_000_000
+# Verify-side join dispatch: below this many DOCUMENTS the doc→hash-array
+# table broadcasts (50 k docs × ~300 tokens × 8 B ≈ 120 MB worst case);
+# past it the verify runs as two id-keyed shuffle joins of the identical
+# plan shape. The signal is the input's parquet-metadata row count — free
+# (footer statistics, no scan) and non-blocking, unlike the measured
+# sum-of-array-sizes job this replaces: a driver-blocking count per query
+# serialized the FAIR-scheduler throughput pass. Same runtime-dispatch
+# idea as graph.py's edge-budget strategy pick, with a cheaper sensor;
+# a production deployment with wildly variable doc lengths would swap in
+# table-level stats (ANALYZE) instead.
+VERIFY_BROADCAST_MAX_DOCS = 50_000
 
 
-def _df_ordered_docs_arr(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def _count_rows_cheap(df: DataFrame) -> int:
+    """Row count via the aggregate pushdown path (parquet footer counts
+    when the plan is a bare scan) — cheap relative to any data pass."""
+    return df.count()
+
+
+def _df_ordered_docs_arr(
+    df: DataFrame, id_col: str, text_col: str, n_docs: int | None = None
+) -> DataFrame:
     """Per-doc shingle-hash arrays in GLOBAL document-frequency-ascending
     order (ties by hash) — the PPJoin prefix order. Rarest-first prefixes
     are what make the prefix filter selective: a hot token ("the city of")
@@ -515,17 +528,24 @@ def _df_ordered_docs_arr(df: DataFrame, id_col: str, text_col: str) -> DataFrame
 
     Cost: one extra partial-aggregated shuffle over the (doc, token)
     stream to count df, then a token-keyed join to tag each occurrence.
-    The df table is vocabulary-sized; it broadcasts below the same budget
-    the verify uses and falls back to a shuffle join above it (at true
-    corpus scale an approximate-df sketch pass is the standard swap-in).
+    The df table is vocabulary-sized (sublinear in corpus size, Heaps'
+    law); it broadcasts below the doc-count budget and falls back to a
+    shuffle join above it (at true corpus scale an approximate-df sketch
+    pass is the standard swap-in).
 
     Returns (id_col, hs array<bigint> in (df, hash) order, n)."""
-    sh = shingle_rows(df, id_col, text_col, 3).select(
-        F.col(id_col), F.xxhash64("s").alias("sh")
+    if n_docs is None:
+        n_docs = _count_rows_cheap(df)
+    # checkpoint the Arrow shingle pass: it feeds BOTH the df table and
+    # the tagging-join probe side — without this the Python pass runs
+    # twice inside the one action
+    sh = (
+        shingle_rows(df, id_col, text_col, 3)
+        .select(F.col(id_col), F.xxhash64("s").alias("sh"))
+        .localCheckpoint(eager=False)
     )
     df_tab = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("tdf"))
-    n_tokens = df_tab.count()
-    if n_tokens <= VERIFY_BROADCAST_MAX_HASHES:
+    if n_docs <= VERIFY_BROADCAST_MAX_DOCS:
         df_tab = F.broadcast(df_tab)
     return (
         sh.join(df_tab, "sh")
@@ -541,19 +561,21 @@ def _df_ordered_docs_arr(df: DataFrame, id_col: str, text_col: str) -> DataFrame
     )
 
 
-def _verify_join(cand: DataFrame, docs_arr: DataFrame, id_col: str) -> DataFrame:
+def _verify_join(
+    cand: DataFrame, docs_arr: DataFrame, id_col: str, n_docs: int
+) -> DataFrame:
     """Attach both sides' shingle arrays to candidate pairs for an exact
     codegen verify. ``docs_arr`` must have columns (id_col, hs, n).
-    Dispatches broadcast vs shuffle join on the measured corpus size — no
-    driver-side materialization of corpus state in either path."""
-    total = docs_arr.agg(F.sum("n")).first()[0] or 0
+    Dispatches broadcast vs shuffle join on the corpus doc count — no
+    driver-side materialization of corpus state in either path, and no
+    extra blocking job for the decision."""
     arr_a = docs_arr.select(
         F.col(id_col).alias("doc_a"), F.col("hs").alias("hs_a"), F.col("n").alias("n_a")
     )
     arr_b = docs_arr.select(
         F.col(id_col).alias("doc_b"), F.col("hs").alias("hs_b"), F.col("n").alias("n_b")
     )
-    if total <= VERIFY_BROADCAST_MAX_HASHES:
+    if n_docs <= VERIFY_BROADCAST_MAX_DOCS:
         arr_a, arr_b = F.broadcast(arr_a), F.broadcast(arr_b)
     return cand.join(arr_a, "doc_a").join(arr_b, "doc_b")
 
@@ -589,7 +611,8 @@ def ngram_jaccard_pairs(
     (``_verify_join`` dispatches at runtime). No corpus state ever
     touches the driver."""
     t = threshold
-    docs_arr = _df_ordered_docs_arr(df, id_col, text_col)
+    n_docs = _count_rows_cheap(df)
+    docs_arr = _df_ordered_docs_arr(df, id_col, text_col, n_docs)
     prefix = docs_arr.select(
         F.col(id_col),
         F.col("n"),
@@ -617,7 +640,7 @@ def ngram_jaccard_pairs(
     i = F.size(F.array_intersect("hs_a", "hs_b"))
     j = i / (F.col("n_a") + F.col("n_b") - i)
     return (
-        _verify_join(cand, docs_arr, id_col)
+        _verify_join(cand, docs_arr, id_col, n_docs)
         .withColumn("j", j)
         .filter(F.col("j") >= t)
         .select("doc_a", "doc_b", F.round("j", 4).alias("jaccard"))
@@ -655,7 +678,8 @@ def ngram_containment_pairs(
     path.
     """
     t = threshold
-    docs_arr = _df_ordered_docs_arr(df, id_col, text_col)
+    n_docs = _count_rows_cheap(df)
+    docs_arr = _df_ordered_docs_arr(df, id_col, text_col, n_docs)
     pa = docs_arr.select(
         F.col(id_col).alias("doc_a"),
         F.col("n").alias("n_a"),
@@ -680,7 +704,7 @@ def ngram_containment_pairs(
     )
     c = F.size(F.array_intersect("hs_a", "hs_b")) / F.col("n_a")
     return (
-        _verify_join(cand, docs_arr, id_col)
+        _verify_join(cand, docs_arr, id_col, n_docs)
         .withColumn("c", c)
         .filter(F.col("c") >= t)
         .select("doc_a", "doc_b", F.round("c", 4).alias("containment"))
