@@ -12,7 +12,14 @@ version pointer:
 - every write produces a NEW immutable snapshot directory ``v{n}``;
 - ``_LATEST`` is swapped with ``os.replace`` (atomic on POSIX), so readers
   always see a complete snapshot — never a partial write;
-- snapshot lineage gives time travel for free (old snapshots remain);
+- racing writers: the loser's ``errorifexists`` snapshot write fails →
+  ``ConcurrentWriteError`` (Delta's optimistic-concurrency conflict);
+- ``read(table, version=…)`` time-travels any retained snapshot;
+  ``history`` lists them (DESCRIBE HISTORY shape);
+- ``compact`` rewrites the current snapshot into few files as a new
+  version (small-files fix); ``vacuum`` trims history to a retention;
+- ``add_column`` is additive schema evolution — old snapshots keep their
+  written schema, new reads see the new column (parquet self-describes);
 - ``merge`` is the Delta ``MERGE INTO`` shape (matched-update /
   not-matched-insert) expressed as a join + union rewrite.
 
@@ -27,11 +34,19 @@ rewrite-on-merge cost is bounded and the swap is O(1).
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Raised when two writers race a snapshot commit — the loser's
+    ``errorifexists`` directory write fails, mirroring Delta's optimistic
+    concurrency ``ConcurrentAppendException``. Retry = re-read and
+    re-apply (the caller's serialization discipline, reference op T5)."""
 
 # Decoded schemas (FIXTURES.md B1-B3, B5): no '#'-encoded composite keys —
 # the reference's pk/sk prefixes become real columns.
@@ -93,7 +108,15 @@ class MetadataStore:
     def _write_snapshot(self, table: str, df: DataFrame) -> None:
         version = self.current_version(table) + 1
         path = os.path.join(self._table_dir(table), f"v{version}")
-        df.write.mode("errorifexists").parquet(path)
+        try:
+            df.write.mode("errorifexists").parquet(path)
+        except Exception as ex:  # directory exists → another writer won
+            if "already exists" in str(ex).lower():
+                raise ConcurrentWriteError(
+                    f"snapshot v{version} of '{table}' was committed by a "
+                    f"concurrent writer; re-read and retry"
+                ) from ex
+            raise
         self._swap_pointer(table, version)
 
     # -- public API ----------------------------------------------------------
@@ -101,12 +124,82 @@ class MetadataStore:
     def schema(self, table: str) -> StructType:
         return StructType.fromDDL(SCHEMAS[table])
 
-    def read(self, table: str) -> DataFrame:
-        version = self.current_version(table)
+    def read(self, table: str, version: int | None = None) -> DataFrame:
+        """Read the current snapshot, or — time travel — any retained
+        historical ``version``. Snapshots are immutable and parquet is
+        self-describing, so an old version reads with the schema it was
+        written with (pre-evolution columns stay absent)."""
+        current = self.current_version(table)
+        version = current if version is None else version
         if version < 0:
             return self.spark.createDataFrame([], self.schema(table))
+        if version > current:
+            raise ValueError(f"{table} has no snapshot v{version}")
         path = os.path.join(self._table_dir(table), f"v{version}")
-        return self.spark.read.schema(self.schema(table)).parquet(path)
+        if not os.path.isdir(path):
+            raise ValueError(f"{table} snapshot v{version} was vacuumed")
+        df = self.spark.read.parquet(path)
+        if version == current and not df.columns:
+            return self.spark.createDataFrame([], self.schema(table))
+        return df
+
+    def history(self, table: str) -> list[dict]:
+        """Retained snapshots, oldest first: version, file count, bytes —
+        the Delta DESCRIBE HISTORY shape (what compaction/vacuum act on)."""
+        d = self._table_dir(table)
+        out = []
+        if not os.path.isdir(d):
+            return out
+        for name in sorted(os.listdir(d)):
+            if not name.startswith("v"):
+                continue
+            try:
+                version = int(name[1:])
+            except ValueError:
+                continue
+            files = [
+                f
+                for f in os.listdir(os.path.join(d, name))
+                if f.endswith(".parquet")
+            ]
+            size = sum(
+                os.path.getsize(os.path.join(d, name, f)) for f in files
+            )
+            out.append({"version": version, "n_files": len(files), "bytes": size})
+        return sorted(out, key=lambda r: r["version"])
+
+    def compact(self, table: str, target_files: int = 1) -> dict:
+        """Rewrite the current snapshot into ``target_files`` files as a
+        NEW snapshot (history preserved; readers of the old snapshot are
+        unaffected — the small-files fix for high-frequency appends).
+        Returns {files_in, files_out}."""
+        hist = {h["version"]: h for h in self.history(table)}
+        current = self.current_version(table)
+        files_in = hist.get(current, {}).get("n_files", 0)
+        self._write_snapshot(table, self.read(table).coalesce(target_files))
+        return {"files_in": files_in, "files_out": target_files}
+
+    def vacuum(self, table: str, keep_last: int = 1) -> list[int]:
+        """Delete all but the most recent ``keep_last`` snapshots (never
+        the current one). Returns the removed version numbers — the Delta
+        VACUUM retention shape; time travel works only within retention."""
+        keep_last = max(1, keep_last)
+        versions = [h["version"] for h in self.history(table)]
+        removed = []
+        for v in versions[:-keep_last]:
+            shutil.rmtree(os.path.join(self._table_dir(table), f"v{v}"))
+            removed.append(v)
+        return removed
+
+    def add_column(
+        self, table: str, name: str, default: Column
+    ) -> None:
+        """Additive schema evolution: a new snapshot with the extra
+        column filled from ``default``; prior snapshots keep their
+        written schema (visible via time travel), and subsequent
+        appends/merges include the column because reads are
+        parquet-self-describing."""
+        self._write_snapshot(table, self.read(table).withColumn(name, default))
 
     def append(self, table: str, df: DataFrame) -> None:
         existing = self.read(table)

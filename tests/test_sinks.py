@@ -87,3 +87,94 @@ def test_compaction_bin_packs_small_files(spark, tmp_path):
     before = {r["id"] for r in spark.read.parquet(src).collect()}
     after = {r["id"] for r in spark.read.parquet(str(tmp_path / "big")).collect()}
     assert before == after
+
+
+def test_store_time_travel_and_history(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from geostore_spark.sources.store import MetadataStore
+
+    store = MetadataStore(spark, str(tmp_path / "store"))
+    t = "datasets"
+    row = {
+        "dataset_id": "d1", "title": "t1", "created_at": None,
+        "updated_at": None, "current_dataset_version": "v0",
+    }
+    store.append(t, spark.createDataFrame([row], store.schema(t)))
+    store.update_where(
+        t, F.col("dataset_id") == "d1",
+        {"current_dataset_version": F.lit("v1")},
+    )
+    assert store.current_version(t) == 1
+    # time travel: v0 still shows the pre-update pointer
+    assert store.read(t, 0).first()["current_dataset_version"] == "v0"
+    assert store.read(t).first()["current_dataset_version"] == "v1"
+    assert [h["version"] for h in store.history(t)] == [0, 1]
+
+
+def test_store_compact_and_vacuum(spark, tmp_path):
+    from geostore_spark.sources.store import MetadataStore
+
+    store = MetadataStore(spark, str(tmp_path / "store"))
+    t = "validation_results"
+    df = spark.range(100).selectExpr(
+        "CAST(id AS STRING) AS dataset_id", "'v' AS version_id",
+        "'c' AS check", "'u' AS url", "'Passed' AS result",
+        "map('k', 'v') AS details",
+    ).repartition(8)
+    store.append(t, df)
+    stats = store.compact(t, target_files=1)
+    assert stats["files_in"] >= 8 and stats["files_out"] == 1
+    assert store.read(t).count() == 100  # same rows, fewer files
+    removed = store.vacuum(t, keep_last=1)
+    assert removed == [0]
+    assert store.read(t).count() == 100  # current snapshot untouched
+    import pytest
+
+    with pytest.raises(ValueError):
+        store.read(t, 0)  # vacuumed beyond retention
+
+
+def test_store_schema_evolution_is_additive(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from geostore_spark.sources.store import MetadataStore
+
+    store = MetadataStore(spark, str(tmp_path / "store"))
+    t = "catalog"
+    row = {"url": "u", "stac_type": "Catalog", "dataset_id": "d",
+           "title": "t", "parent_url": None, "etag": "e"}
+    store.append(t, spark.createDataFrame([row], store.schema(t)))
+    store.add_column(t, "license", F.lit("CC-BY-4.0"))
+    assert store.read(t).first()["license"] == "CC-BY-4.0"
+    assert "license" not in store.read(t, 0).columns  # old snapshot intact
+
+
+def test_store_concurrent_write_conflict_surfaces(spark, tmp_path):
+    import pytest
+
+    from geostore_spark.sources.store import ConcurrentWriteError, MetadataStore
+
+    a = MetadataStore(spark, str(tmp_path / "store"))
+    b = MetadataStore(spark, str(tmp_path / "store"))
+    t = "datasets"
+    row = {
+        "dataset_id": "d1", "title": "t1", "created_at": None,
+        "updated_at": None, "current_dataset_version": "v0",
+    }
+    df = spark.createDataFrame([row], a.schema(t))
+    a.append(t, df)
+    # simulate a race: b read version 0, a commits v1 first, b's commit of
+    # the same next version must fail loudly, not corrupt the pointer
+    base_b = b.read(t)
+    a.append(t, df)
+    version_seen_by_b = 0
+
+    class RacingStore(MetadataStore):
+        def current_version(self, table):
+            return version_seen_by_b
+
+    racer = RacingStore(spark, str(tmp_path / "store"))
+    with pytest.raises(ConcurrentWriteError):
+        racer.append(t, base_b)
+    assert a.current_version(t) == 1  # winner's pointer intact
