@@ -167,6 +167,39 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def minhash_signature_col(hashes_col: str) -> Column:
+    """Stateless per-row MinHash signature (array<bigint>) from a column
+    of shingle hashes already reduced mod P — the streaming-safe form of
+    ``minhash_signatures`` (no groupBy, no state, works inside a
+    micro-batch projection). Interpreted higher-order functions, so per
+    row it is slower than the exploded aggregation form — use that for
+    batch corpora; this form exists for stream-static screening where a
+    stateful aggregation would stall behind the watermark. Identical
+    values to the batch signatures by construction."""
+    def perm(i: int):
+        # NB: the lambda must be single-arg — transform() passes the
+        # element index to two-arg lambdas, so an `i=i` default would
+        # silently rebind i to the index Column
+        a, b = _A[i], _B[i]
+        return F.array_min(
+            F.transform(F.col(hashes_col), lambda h: (F.lit(a) * h + F.lit(b)) % P)
+        )
+
+    return F.array(*[perm(i) for i in range(NUM_PERM)])
+
+
+def shingle_hashes_col(text_col: str) -> Column:
+    """Per-row bigram shingle hashes mod P (array<bigint>), matching the
+    exploded ``shingle_rows``+md5 pipeline value-for-value."""
+    return F.transform(
+        _bigrams(text_col),
+        lambda s: F.conv(F.substring(F.md5(s.cast("binary")), 1, 8), 16, 10).cast(
+            "bigint"
+        )
+        % P,
+    )
+
+
 def band_table(sig: DataFrame, id_col: str) -> DataFrame:
     """(id, band, bh) LSH band-bucket rows from a signature frame. Two
     docs share a (band, bh) bucket iff their 4 row-mins in that band are

@@ -501,6 +501,59 @@ def streaming_decontaminate(
     )
 
 
+def streaming_incremental_dedup(
+    stream: DataFrame, corpus: DataFrame
+) -> DataFrame:
+    """Streaming twin of ``operators.dedup.q_incremental_dedup``: each
+    arriving document is screened against the STATIC standing corpus —
+    exact via content digest, near via MinHash-LSH band buckets — through
+    stream-static broadcast joins only. The corpus digest/band tables
+    build once and broadcast; the ingest side stays stateless (per-row
+    signature expressions, no streaming aggregation, no stream-stream
+    join), so arrivals cost per-batch work proportional to the batch.
+
+    Emits RAW hit rows (doc_id, hit ∈ {exact, near}) — a doc may emit
+    several near rows (one per colliding band) and none if novel; the
+    per-doc keep/drop verdict is a ``foreachBatch`` rollup, same division
+    of labor as ``streaming_decontaminate``."""
+    from geostore_spark.operators.dedup import (
+        band_table,
+        minhash_signature_col,
+        minhash_signatures,
+        shingle_hashes_col,
+    )
+
+    c_digest = corpus.select(
+        F.md5(F.col("text").cast("binary")).alias("digest")
+    ).distinct()
+    c_bands = (
+        band_table(minhash_signatures(corpus, "doc_id", "text"), "doc_id")
+        .select("band", "bh")
+        .distinct()
+    )
+
+    exact = (
+        stream.select(
+            "doc_id", F.md5(F.col("text").cast("binary")).alias("digest")
+        )
+        .join(F.broadcast(c_digest), "digest")
+        .select("doc_id", F.lit("exact").alias("hit"))
+    )
+    # stream side: stateless per-row signature (a stateful groupBy
+    # aggregation would stall behind the watermark); values match the
+    # corpus-side batch signatures by construction
+    s_bands = band_table(
+        stream.select("doc_id", shingle_hashes_col("text").alias("hh"))
+        .filter(F.size("hh") > 0)
+        .select("doc_id", minhash_signature_col("hh").alias("sig")),
+        "doc_id",
+    )
+    near = s_bands.join(F.broadcast(c_bands), ["band", "bh"]).select(
+        "doc_id", F.lit("near").alias("hit")
+    )
+    return exact.unionByName(near)
+
+
 def streaming_exact_dedup(stream: DataFrame) -> DataFrame:
     """Streaming twin of ``operators.dedup.exact_dedup``: the first
     document seen per content digest survives; later copies are dropped.

@@ -357,3 +357,73 @@ def test_streaming_exact_dedup_keeps_one_per_digest(spark, tmp_path):
     texts = sorted(r["text"] for r in out)
     assert texts == ["alpha beta", "gamma delta", "unique text"]
     assert len({r["digest"] for r in out}) == 3
+
+
+def test_streaming_incremental_dedup_screens_against_corpus(spark, tmp_path):
+    import json as _json
+
+    from geostore_spark.streaming.windows import (
+        doc_stream,
+        streaming_incremental_dedup,
+    )
+
+    docs_dir = tmp_path / "docs"
+    docs_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon phi chi")
+    corpus = spark.createDataFrame(
+        [(100, base), (101, "totally different corpus text here")],
+        "doc_id long, text string",
+    )
+
+    def doc(doc_id, text):
+        return {"doc_id": doc_id, "text": text, "ts": _ts(1, doc_id % 12)}
+
+    # doc 1 = exact copy (also near); doc 2 = one word changed (near
+    # only); doc 3 = novel (no hits at all)
+    (docs_dir / "b1.json").write_text(
+        "\n".join(
+            _json.dumps(r)
+            for r in [
+                doc(1, base),
+                doc(2, base.replace("epsilon", "EPSILON")),
+                doc(3, "completely novel words that match nothing at all"),
+            ]
+        )
+    )
+    rows = drain_collect(
+        streaming_incremental_dedup(doc_stream(spark, str(docs_dir)), corpus),
+        ckpt,
+    )
+    hits = {(r["doc_id"], r["hit"]) for r in rows}
+    assert (1, "exact") in hits
+    assert (1, "near") in hits  # identical text trivially band-collides
+    assert (2, "near") in hits and (2, "exact") not in hits
+    assert not any(d == 3 for d, _ in hits)
+
+
+def test_stateless_signature_matches_batch_signatures(spark):
+    from pyspark.sql import functions as F
+
+    from geostore_spark.operators.dedup import (
+        minhash_signature_col,
+        minhash_signatures,
+        shingle_hashes_col,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "one two three four")],
+        "doc_id long, text string",
+    )
+    batch = {
+        r["doc_id"]: r["sig"]
+        for r in minhash_signatures(df, "doc_id", "text").collect()
+    }
+    stateless = {
+        r["doc_id"]: r["sig"]
+        for r in df.withColumn("hh", shingle_hashes_col("text"))
+        .select("doc_id", minhash_signature_col("hh").alias("sig"))
+        .collect()
+    }
+    assert batch == stateless
