@@ -222,3 +222,68 @@ def stats_profile(spark: SparkSession, sf: str) -> DataFrame:
         .cast("double")
         .alias("sum_price"),
     )
+
+
+# -- winsorization ----------------------------------------------------------
+
+
+@register(
+    "x_stats_winsorize",
+    "Per-group winsorization (outlier clamping at exact p05/p95): the "
+    "robust-mean preprocessing step quality pipelines run before "
+    "aggregating noisy metrics. Exact interpolated percentiles per group "
+    "(percentile ≡ DuckDB quantile_cont, parity proven by a9_quantiles) "
+    "collapse to a group-count-sized dimension broadcast back onto the "
+    "fact side; the clipped sum is an exact decimal, so partial "
+    "aggregation stays associative-exact.",
+    """WITH q AS (
+         SELECT event_type,
+                quantile_cont(value, 0.05) AS q05,
+                quantile_cont(value, 0.95) AS q95
+         FROM events GROUP BY event_type
+       ),
+       j AS (
+         SELECT e.event_type, e.value, q.q05, q.q95,
+                LEAST(GREATEST(e.value, q.q05), q.q95) AS clip
+         FROM events e JOIN q ON e.event_type = q.event_type
+       )
+       SELECT event_type, COUNT(*) AS n,
+              ROUND(MAX(q05), 4) AS q05, ROUND(MAX(q95), 4) AS q95,
+              CAST(SUM(CASE WHEN value < q05 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_low,
+              CAST(SUM(CASE WHEN value > q95 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_high,
+              ROUND(CAST(SUM(CAST(clip AS DECIMAL(28,6))) AS DOUBLE)
+                    / COUNT(*), 4) AS wmean
+       FROM j GROUP BY event_type ORDER BY event_type""",
+)
+def stats_winsorize(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, "events", sf)
+    q = (
+        ev.groupBy("event_type")
+        .agg(F.expr("percentile(value, array(0.05D, 0.95D))").alias("qs"))
+        .select(
+            "event_type",
+            F.col("qs")[0].alias("q05"),
+            F.col("qs")[1].alias("q95"),
+        )
+    )
+    clip = F.least(F.greatest(F.col("value"), F.col("q05")), F.col("q95"))
+    return (
+        ev.join(F.broadcast(q), "event_type")
+        .withColumn("clip", clip)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.max("q05"), 4).alias("q05"),
+            F.round(F.max("q95"), 4).alias("q95"),
+            F.sum((F.col("value") < F.col("q05")).cast("bigint")).alias("n_low"),
+            F.sum((F.col("value") > F.col("q95")).cast("bigint")).alias("n_high"),
+            F.round(
+                F.sum(F.col("clip").cast("decimal(28,6)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("wmean"),
+        )
+        .orderBy("event_type")
+    )

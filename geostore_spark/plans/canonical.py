@@ -476,6 +476,51 @@ def j8(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_register(
+    "j9_above_avg_anti",
+    "TPC-H Q22 shape: scalar-subquery threshold (global average balance) "
+    "+ anti-join (customers with no completed order) + per-nation rollup. "
+    "The 1-row average broadcasts (BroadcastNestedLoopJoin over a scalar "
+    "is free); the anti-join's build side is the distinct completed-order "
+    "customer set; the rollup sums are exact decimals.",
+    """SELECT c_nationkey, COUNT(*) AS n_cust,
+              ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE), 2)
+                AS sum_bal
+       FROM customer c
+       WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
+         AND NOT EXISTS (SELECT 1 FROM orders o
+                         WHERE o.o_custkey = c.c_custkey
+                           AND o.o_orderstatus = 'F')
+       GROUP BY c_nationkey ORDER BY c_nationkey""",
+)
+def j9(spark: SparkSession, sf: str) -> DataFrame:
+    customer = load_table(spark, "customer", sf)
+    orders = load_table(spark, "orders", sf)
+    avg_bal = customer.agg(F.avg("c_acctbal").alias("avg_bal"))
+    completed = (
+        orders.filter(F.col("o_orderstatus") == "F")
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        customer.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(
+            completed,
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(28,6)")).cast("double"), 2
+            ).alias("sum_bal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.4 Aggregations
 # ---------------------------------------------------------------------------
