@@ -75,6 +75,21 @@ def _build_parser() -> argparse.ArgumentParser:
         qc.add_argument("--sf-dir", default="/root/testdata/sf0.01")
         if cmd == "run":
             qc.add_argument("--limit", type=int, default=20, help="rows to print")
+
+    # table administration over the snapshot store (Delta-maintenance shape)
+    tb = sub.add_parser("table").add_subparsers(dest="cmd", required=True)
+    th = tb.add_parser("history")
+    th.add_argument("name", help="store table (e.g. datasets, catalog)")
+    tc = tb.add_parser("compact")
+    tc.add_argument("name")
+    tc.add_argument("--target-files", type=int, default=1)
+    tv = tb.add_parser("vacuum")
+    tv.add_argument("name")
+    tv.add_argument("--keep-last", type=int, default=1)
+    ts = tb.add_parser("show")
+    ts.add_argument("name")
+    ts.add_argument("--version", type=int, default=None, help="time travel")
+    ts.add_argument("--limit", type=int, default=20)
     return p
 
 
@@ -111,6 +126,20 @@ def main(argv: list[str] | None = None) -> int:
         return EXIT_SUCCESS
 
     store = MetadataStore(spark, args.store)
+
+    if args.group == "table":
+        if args.cmd == "history":
+            print(json.dumps(store.history(args.name), indent=2))
+            return EXIT_SUCCESS
+        if args.cmd == "compact":
+            print(json.dumps(store.compact(args.name, args.target_files)))
+            return EXIT_SUCCESS
+        if args.cmd == "vacuum":
+            print(json.dumps({"removed": store.vacuum(args.name, args.keep_last)}))
+            return EXIT_SUCCESS
+        if args.cmd == "show":
+            store.read(args.name, args.version).show(args.limit, truncate=False)
+            return EXIT_SUCCESS
 
     if args.group == "dataset":
         if args.cmd == "create":

@@ -78,3 +78,30 @@ def test_cli_query_list_and_run(spark, capsys, roots, tmp_path):
 
     code, _, err = _run(capsys, roots, "query", "run", "no_such_query")
     assert code == 1 and "unknown query" in err
+
+
+def test_cli_table_admin_surface(spark, capsys, roots):
+    code, out, _ = _run(capsys, roots, "dataset", "create", "--title", "Admin_DS")
+    assert code == 0
+
+    # a second snapshot so history/vacuum have something to act on
+    code, _, _ = _run(
+        capsys, roots, "dataset", "update",
+        "--id", json.loads(out)["id"], "--title", "Admin_DS2",
+    )
+    assert code == 0
+
+    code, out, _ = _run(capsys, roots, "table", "history", "datasets")
+    assert code == 0
+    hist = json.loads(out)
+    assert [h["version"] for h in hist] == [0, 1]
+
+    code, out, _ = _run(capsys, roots, "table", "compact", "datasets")
+    assert code == 0 and json.loads(out)["files_out"] == 1
+
+    code, out, _ = _run(capsys, roots, "table", "vacuum", "datasets")
+    assert code == 0
+    assert json.loads(out)["removed"] == [0, 1]  # compact made v2 current
+
+    code, out, _ = _run(capsys, roots, "table", "show", "datasets")
+    assert code == 0 and "Admin_DS2" in out
