@@ -172,3 +172,84 @@ def test_ivfpq_subsets_pq_within_probed_cells(spark):
     assert ivfpq  # probing found candidates
     for key, score in ivfpq.items():
         assert pq[key] == score
+
+
+def test_pack_sequences_budget_invariants(spark):
+    # random corpora: within every packed sequence except those holding a
+    # single over-budget doc, tokens never exceed budget + one doc's
+    # carry-over; shard assignment is a pure function of doc_id; every
+    # doc lands in exactly one sequence
+    from geostore_spark.operators.sampling import PACK_BUDGET, PACK_SHARDS
+    from geostore_spark.registry import all_queries
+
+    rng = random.Random(42)
+    rows = [
+        (i, " ".join("w" for _ in range(rng.randint(1, 120))))
+        for i in range(400)
+    ]
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(i, t, "en", "src", len(t)) for i, t in rows],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.parquet(os.path.join(d, "documents.parquet"))
+        out = all_queries()["x_pipeline_pack_sequences"].spark(spark, d).collect()
+
+    n_docs = sum(r["n_docs"] for r in out)
+    assert n_docs == 400  # every doc packed exactly once
+    by_key = {(r["shard"], r["seq_id"]): r for r in out}
+    assert len(by_key) == len(out)  # (shard, seq) unique
+    for r in out:
+        assert 0 <= r["shard"] < PACK_SHARDS
+        # greedy prefix packing: a sequence overruns the budget only by
+        # the tail doc that crossed the boundary (<= max doc length 120)
+        assert r["n_tokens"] <= PACK_BUDGET + 120
+
+
+def test_incremental_dedup_flags_planted_duplicates(spark):
+    # plant exact copies of corpus docs in the batch slice: every planted
+    # copy must flag exact_dup (and near_dup, trivially); novel random
+    # docs must keep
+    from geostore_spark.registry import all_queries
+
+    rng = random.Random(7)
+
+    def words(n, pool):
+        return " ".join(rng.choice(pool) for _ in range(n))
+
+    pool_a = [f"a{i}" for i in range(50)]
+    pool_b = [f"b{i}" for i in range(50)]
+    corpus_texts = {i: words(30, pool_a) for i in range(1, 200) if i % 5 != 0}
+    rows = []
+    planted, novel = [], []
+    for i in range(1, 200):
+        if i % 5 == 0:
+            if rng.random() < 0.5:
+                src = rng.choice(sorted(corpus_texts))
+                rows.append((i, corpus_texts[src]))
+                planted.append(i)
+            else:
+                rows.append((i, words(30, pool_b)))
+                novel.append(i)
+        else:
+            rows.append((i, corpus_texts[i]))
+
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(i, t, "en", "src", len(t)) for i, t in rows],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.parquet(os.path.join(d, "documents.parquet"))
+        out = {
+            r["doc_id"]: r
+            for r in all_queries()["x_dedup_incremental"].spark(spark, d).collect()
+        }
+
+    for i in planted:
+        assert out[i]["exact_dup"] == 1 and out[i]["keep"] == 0
+    for i in novel:
+        assert out[i]["exact_dup"] == 0  # disjoint vocab → never exact
