@@ -7,7 +7,7 @@ from pyspark.sql import DataFrame
 
 def rebalance_for_python(df: DataFrame) -> DataFrame:
     """Round-robin repartition to the session's parallelism — but only
-    when the input has fewer splits than cores.
+    when the input arrives from fewer files than cores.
 
     CPU-bound Arrow/Python passes (sketches, shingling, BLAS probes)
     parallelize per partition; a small parquet input often arrives as a
@@ -15,9 +15,21 @@ def rebalance_for_python(df: DataFrame) -> DataFrame:
     a production table the scan yields plenty of splits and this is a
     no-op — the shuffle only exists in the small-input regime, where it
     is cheap by definition.
+
+    The probe is ``inputFiles()`` (a file listing off the resolved scan
+    relation), NOT ``df.rdd.getNumPartitions()``: converting the plan to
+    an RDD costs a full analysis + conversion pass per call, which adds
+    driver latency to every Python-pass query and serializes concurrent
+    FAIR-scheduler streams on the driver lock. Derived frames with no
+    scan (``inputFiles() == []``, e.g. createDataFrame fixtures) are
+    conservatively rebalanced — correct either way, cheap at that size.
     """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = 0
+    if n_files >= target:
         return df
     return df.repartition(target)
