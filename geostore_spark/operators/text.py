@@ -893,3 +893,73 @@ def text_c4_lines(spark: SparkSession, sf: str) -> DataFrame:
         "n_kept",
         doc_kept.alias("doc_kept"),
     ).orderBy("doc_id")
+
+
+# -- Gopher document-level quality rules ------------------------------------
+
+GOPHER_MIN_WORDS = 30
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WLEN = 3.0
+GOPHER_MAX_MEAN_WLEN = 10.0
+GOPHER_MIN_STOP_HITS = 2
+GOPHER_STOPS = ("the", "a", "of", "to", "and", "in", "that", "is")
+
+
+@register(
+    "x_text_gopher_rules",
+    "Gopher document-level quality rules (Rae et al. 2021 Table A1 "
+    "subset): word-count bounds, mean-word-length window, minimum "
+    "stop-word occurrences — the standard pre-training document gate, "
+    "as ONE zero-shuffle scan-projection of codegen expressions. "
+    "Mean word length is exact integer arithmetic over a single-spaced "
+    "corpus: (chars - spaces) / words.",
+    f"""WITH d AS (
+         SELECT doc_id,
+                len(string_split(text, ' ')) AS n_words,
+                length(text) AS n_chars,
+                len(list_filter(string_split(text, ' '),
+                    w -> w IN {GOPHER_STOPS!r})) AS stop_hits
+         FROM documents
+       )
+       SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+              ROUND(CAST(n_chars - n_words + 1 AS DOUBLE) / n_words, 4)
+                AS mean_wlen,
+              CAST(stop_hits AS BIGINT) AS stop_hits,
+              CAST(CASE WHEN n_words >= {GOPHER_MIN_WORDS}
+                         AND n_words <= {GOPHER_MAX_WORDS}
+                         AND CAST(n_chars - n_words + 1 AS DOUBLE) / n_words
+                             >= {GOPHER_MIN_MEAN_WLEN}
+                         AND CAST(n_chars - n_words + 1 AS DOUBLE) / n_words
+                             <= {GOPHER_MAX_MEAN_WLEN}
+                         AND stop_hits >= {GOPHER_MIN_STOP_HITS}
+                   THEN 1 ELSE 0 END AS INT) AS doc_pass
+       FROM d ORDER BY doc_id""",
+)
+def text_gopher_rules(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf)
+    stops = ", ".join(f"'{s}'" for s in GOPHER_STOPS)
+    base = docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("n_words"),
+        F.length("text").alias("n_chars"),
+        F.expr(
+            f"size(filter(split(text, ' '), w -> w IN ({stops})))"
+        ).alias("stop_hits"),
+    )
+    mean_wlen = (F.col("n_chars") - F.col("n_words") + 1).cast("double") / F.col(
+        "n_words"
+    )
+    doc_pass = (
+        (F.col("n_words") >= GOPHER_MIN_WORDS)
+        & (F.col("n_words") <= GOPHER_MAX_WORDS)
+        & (mean_wlen >= GOPHER_MIN_MEAN_WLEN)
+        & (mean_wlen <= GOPHER_MAX_MEAN_WLEN)
+        & (F.col("stop_hits") >= GOPHER_MIN_STOP_HITS)
+    ).cast("int")
+    return base.select(
+        "doc_id",
+        F.col("n_words").cast("bigint").alias("n_words"),
+        F.round(mean_wlen, 4).alias("mean_wlen"),
+        F.col("stop_hits").cast("bigint").alias("stop_hits"),
+        doc_pass.alias("doc_pass"),
+    ).orderBy("doc_id")
