@@ -258,3 +258,25 @@ def test_pack_sequences_single_shard_window(spark):
     plan = _plan(spark, "x_pipeline_pack_sequences")
     assert "Window" in plan
     assert "Join" not in plan
+
+
+def test_winsorize_percentile_dim_broadcasts(spark):
+    # the per-group p05/p95 dimension is group-count-sized and must
+    # broadcast back onto the fact side — the fact stream shuffles only
+    # for its own aggregations, never for the percentile join
+    plan = _plan(spark, "x_stats_winsorize")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_gopher_rules_zero_shuffle(spark):
+    plan = _plan(spark, "x_text_gopher_rules")
+    assert plan.count("Exchange") == 1 and "rangepartitioning" in plan
+    for op in ("Generate", "Join", "HashAggregate"):
+        assert op not in plan, f"unexpected {op} in gopher plan"
+
+
+def test_q22_scalar_threshold_and_anti_join(spark):
+    plan = _plan(spark, "j9_above_avg_anti")
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row average broadcast
+    assert "LeftAnti" in plan
