@@ -160,6 +160,12 @@ def _local_pagerank(ed: DataFrame, iters: int) -> DataFrame:
             dsts.append(pdf["dst"].to_numpy(dtype=np.int64))
         src = np.concatenate(srcs) if srcs else np.array([], dtype=np.int64)
         dst = np.concatenate(dsts) if dsts else np.array([], dtype=np.int64)
+        # dedup in-kernel (ids < 2^31, so (src<<32)|dst packs losslessly):
+        # callers may hand raw possibly-duplicated pairs, saving the
+        # distinct shuffle the single-task path doesn't need
+        packed = np.unique((src << np.int64(32)) | dst)
+        src = packed >> np.int64(32)
+        dst = packed & np.int64(0xFFFFFFFF)
         ids, inv_src = np.unique(src, return_inverse=True)
         n = len(ids)
         if not n:
@@ -223,8 +229,10 @@ def pagerank(
         F.col(src).alias("src"), F.col(dst).alias("dst")
     ).localCheckpoint(eager=False)
     if ed0.count() <= local_threshold:
+        # kernel dedups in-task, so raw (possibly duplicated) pairs are fine
         return _local_pagerank(ed0, iters)
-    ed = ed0.repartition("src").localCheckpoint(eager=False)
+    # distributed rounds double-count degree on duplicate edges — dedup here
+    ed = ed0.distinct().repartition("src").localCheckpoint(eager=False)
     nodes = (
         ed.groupBy("src")
         .agg(F.count(F.lit(1)).alias("deg"))
@@ -267,17 +275,22 @@ def pagerank(
     return ranks.select("id", "r")
 
 
-def supply_edges(lineitem: DataFrame) -> DataFrame:
+def supply_edges(lineitem: DataFrame, pre_distinct: bool = True) -> DataFrame:
     """Symmetric part↔supplier supply graph from lineitem.
 
     Node ids are namespaced into one integer space (part p → 2p,
     supplier s → 2s+1) so the two key domains never collide; each
     distinct (part, supplier) pair contributes both directed edges.
-    """
+
+    ``pre_distinct=False`` skips the dedup shuffle and emits raw
+    (possibly duplicated) pairs — for consumers that dedup themselves,
+    like ``pagerank``'s single-task kernel."""
     pairs = lineitem.select(
         (F.col("l_partkey") * 2).alias("src"),
         (F.col("l_suppkey") * 2 + 1).alias("dst"),
-    ).distinct()
+    )
+    if pre_distinct:
+        pairs = pairs.distinct()
     # symmetrize with one generator pass over the distinct pairs — a
     # UNION of two selects would duplicate the distinct subplan into
     # both branches (Catalyst does not CSE it)
@@ -349,7 +362,7 @@ def _pagerank_oracle(iters: int = PR_ITERS) -> str:
 )
 def q_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf)
-    ranks = pagerank(supply_edges(li), "src", "dst")
+    ranks = pagerank(supply_edges(li, pre_distinct=False), "src", "dst")
     return (
         ranks.select(
             F.col("id").alias("node_id"),
