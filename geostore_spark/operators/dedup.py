@@ -1293,3 +1293,112 @@ def q_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# -- semantic dedup (SemDeDup: cluster-then-cosine) --------------------------
+
+SEMANTIC_COS_THRESHOLD = 0.4
+
+
+def semantic_dedup_pairs(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    threshold: float = SEMANTIC_COS_THRESHOLD,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means-cluster the embedding space,
+    then search for near-duplicate pairs ONLY within each cluster —
+    the cluster assignment replaces LSH as the candidate limiter, with
+    the advantage that cluster geometry adapts to the data distribution.
+
+    Execution: the integer-exact ``kmeans_assign`` (broadcast centroids,
+    map-side partials) labels every vector; one shuffle on the cluster id
+    co-locates each cluster, and ``applyInPandas`` computes the
+    normalized gram matrix per cluster block (sub-blocked, memory
+    bounded by block², same kernel shape as ``embedding_cosine_pairs``).
+    Never O(N²): pair work is Σ|cluster|², which balanced clusters keep
+    near N²/k — and k scales with the corpus."""
+    import numpy as np
+    import pandas as pd
+
+    from geostore_spark.operators.ml import kmeans_assign
+
+    assign = kmeans_assign(spark, embeddings).select("vec_id", "cluster")
+    e = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    ).join(assign, "vec_id")
+
+    max_block = 4096
+
+    def cluster_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        cluster = int(pdf["cluster"].iloc[0])
+        ids = pdf["vec_id"].to_numpy()
+        mat = np.vstack(pdf["emb"].to_numpy())
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        out_a, out_b, out_c = [], [], []
+        n = len(ids)
+        for i0 in range(0, n, max_block):
+            a_ids, a_mat = ids[i0 : i0 + max_block], mat[i0 : i0 + max_block]
+            for j0 in range(i0, n, max_block):
+                b_ids, b_mat = ids[j0 : j0 + max_block], mat[j0 : j0 + max_block]
+                gram = a_mat @ b_mat.T
+                ii, jj = np.nonzero(gram >= threshold)
+                lo = np.minimum(a_ids[ii], b_ids[jj])
+                hi = np.maximum(a_ids[ii], b_ids[jj])
+                keep = lo < hi
+                out_a.append(lo[keep])
+                out_b.append(hi[keep])
+                out_c.append(gram[ii[keep], jj[keep]])
+        if not out_a:
+            return pd.DataFrame({"cluster": [], "vec_a": [], "vec_b": [], "cos": []})
+        return pd.DataFrame(
+            {
+                "cluster": cluster,
+                "vec_a": np.concatenate(out_a),
+                "vec_b": np.concatenate(out_b),
+                "cos": np.concatenate(out_c),
+            }
+        ).drop_duplicates(["vec_a", "vec_b"])
+
+    return (
+        e.groupBy("cluster")
+        .applyInPandas(cluster_pairs, "cluster long, vec_a long, vec_b long, cos double")
+        .select("cluster", "vec_a", "vec_b", F.round("cos", 4).alias("cos"))
+    )
+
+
+def _semantic_oracle() -> str:
+    from geostore_spark.operators.ml import kmeans_ctes
+
+    body, final = kmeans_ctes()
+    return f"""
+       WITH {body},
+       e AS (
+         SELECT vec_id, embedding::DOUBLE[] AS emb,
+                sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                  AS nrm
+         FROM embeddings
+       ),
+       j AS (SELECT f.vec_id, f.cid, e.emb, e.nrm
+             FROM {final} f JOIN e USING (vec_id)),
+       p AS (
+         SELECT x.cid AS cluster, x.vec_id AS vec_a, y.vec_id AS vec_b,
+                list_dot_product(x.emb, y.emb) / (x.nrm * y.nrm) AS cos
+         FROM j x JOIN j y ON x.cid = y.cid AND x.vec_id < y.vec_id
+       )
+       SELECT cluster, vec_a, vec_b, ROUND(cos, 4) AS cos
+       FROM p WHERE cos >= {SEMANTIC_COS_THRESHOLD}
+       ORDER BY cluster, vec_a, vec_b"""
+
+
+@register(
+    "x_dedup_semantic",
+    "SemDeDup (Abbas et al. 2023): k-means clusters as the candidate "
+    "limiter, exact cosine pairs within each cluster only. Integer-exact "
+    "cluster assignment (broadcast centroids) + one cluster-keyed "
+    "shuffle + per-cluster blocked BLAS gram — pair work is sum of "
+    "squared cluster sizes, never corpus O(N^2).",
+    _semantic_oracle(),
+)
+def q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf)
+    return semantic_dedup_pairs(spark, emb).orderBy("cluster", "vec_a", "vec_b")

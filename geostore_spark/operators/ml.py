@@ -165,7 +165,15 @@ def kmeans_assign(
     return assign.select("vec_id", F.col("cid").alias("cluster"), "distq")
 
 
-def _kmeans_oracle(k: int = K, iters: int = ITERS) -> str:
+def kmeans_ctes(k: int = K, iters: int = ITERS) -> tuple[str, str]:
+    """The unrolled-iteration CTE body and the name of the final
+    assignment CTE — shared by the k-means oracle and by composed
+    oracles (SemDeDup's cluster-scoped cosine pairs)."""
+    body, final = _kmeans_parts(k, iters)
+    return ",\n       ".join(body), final
+
+
+def _kmeans_parts(k: int, iters: int) -> tuple[list[str], str]:
     parts = [
         f"""v AS (
          SELECT vec_id, u.pos AS pos, u.xq AS xq FROM (
@@ -202,11 +210,15 @@ def _kmeans_oracle(k: int = K, iters: int = ITERS) -> str:
          FROM a{it} a JOIN v ON a.vec_id = v.vec_id GROUP BY a.cid, v.pos
        )"""
             )
-    body = ",\n       ".join(parts)
+    return parts, f"a{iters - 1}"
+
+
+def _kmeans_oracle(k: int = K, iters: int = ITERS) -> str:
+    body, final = kmeans_ctes(k, iters)
     return f"""
        WITH {body}
        SELECT vec_id, cid AS cluster, distq
-       FROM a{iters - 1} ORDER BY vec_id LIMIT 500"""
+       FROM {final} ORDER BY vec_id LIMIT 500"""
 
 
 @register(
