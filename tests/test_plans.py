@@ -280,3 +280,12 @@ def test_q22_scalar_threshold_and_anti_join(spark):
     plan = _plan(spark, "j9_above_avg_anti")
     assert "BroadcastNestedLoopJoin" in plan  # 1-row average broadcast
     assert "LeftAnti" in plan
+
+
+def test_semantic_dedup_single_cluster_shuffle(spark):
+    # candidate limiting = kmeans clusters; the pair pass must be one
+    # cluster-keyed FlatMapGroupsInPandas, never a pairwise join
+    plan = _plan(spark, "x_dedup_semantic")
+    assert "FlatMapGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
