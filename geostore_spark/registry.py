@@ -98,5 +98,9 @@ def all_queries() -> dict[str, RegisteredQuery]:
     green = set(_DRIVER_GREEN_R01)
     fixed = [k for k in _FIXED_THIS_ROUND if k in REGISTRY]
     fresh = [k for k in REGISTRY if k not in green and k not in _FIXED_THIS_ROUND]
+    # canonical (SURVEY §2) queries have never been driver-sampled across
+    # both rounds — they outrank this round's new extension queries
+    # (which at least carry fresh local oracle evidence) for the sample
+    fresh.sort(key=lambda k: k.startswith("x_"))
     tail = [k for k in REGISTRY if k in green]
     return {k: REGISTRY[k] for k in (*fixed, *fresh, *tail)}
