@@ -213,3 +213,45 @@ def win_attribution(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("touch_bucket")
     )
+
+
+@register(
+    "x_win_ntile_quartiles",
+    "NTILE quartile assignment per event_type with per-quartile exact "
+    "value rollups — the rank-bucket windowing class (equal-count "
+    "buckets, vs the equal-width x_stats_histogram). One event_type "
+    "shuffle for the window, rollup reuses the partitioning; sums are "
+    "exact decimals so partial aggregation stays associative-exact.",
+    """WITH t AS (
+         SELECT event_type, value,
+                NTILE(4) OVER (PARTITION BY event_type
+                               ORDER BY value, event_id) AS quartile
+         FROM events
+       )
+       SELECT event_type, quartile, COUNT(*) AS n,
+              ROUND(MIN(value), 4) AS min_v, ROUND(MAX(value), 4) AS max_v,
+              ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                    / COUNT(*), 4) AS mean_v
+       FROM t GROUP BY event_type, quartile
+       ORDER BY event_type, quartile""",
+)
+def win_ntile_quartiles(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, "events", sf)
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        ev.select("event_type", "value", F.ntile(4).over(w).alias("quartile"))
+        .groupBy("event_type", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 4).alias("min_v"),
+            F.round(F.max("value"), 4).alias("max_v"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(28,6)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("mean_v"),
+        )
+        .orderBy("event_type", "quartile")
+    )
