@@ -287,3 +287,63 @@ def stats_winsorize(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# -- robust (MAD) outlier detection -----------------------------------------
+
+MAD_K = 1.4826  # normal-consistency constant
+MAD_SIGMA = 3.0
+
+
+@register(
+    "x_stats_mad_outliers",
+    "Robust outlier detection via median absolute deviation — the "
+    "breakdown-resistant complement to x_stats_zscore (one wild value "
+    "cannot move the median the way it moves a mean). Two exact-median "
+    "passes (percentile ≡ quantile_cont, parity proven by a9_quantiles), "
+    "each collapsing to a group-count-sized broadcast dimension; the "
+    "fact side shuffles only for its own aggregations.",
+    f"""WITH m1 AS (
+         SELECT event_type, quantile_cont(value, 0.5) AS med
+         FROM events GROUP BY event_type
+       ),
+       d AS (
+         SELECT e.event_type, e.value, m1.med,
+                ABS(e.value - m1.med) AS ad
+         FROM events e JOIN m1 ON e.event_type = m1.event_type
+       ),
+       m2 AS (
+         SELECT event_type, quantile_cont(ad, 0.5) AS mad
+         FROM d GROUP BY event_type
+       )
+       SELECT d.event_type, COUNT(*) AS n,
+              ROUND(MAX(d.med), 4) AS med, ROUND(MAX(m2.mad), 4) AS mad,
+              CAST(SUM(CASE WHEN d.ad > {MAD_SIGMA} * {MAD_K} * m2.mad
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+       FROM d JOIN m2 ON d.event_type = m2.event_type
+       GROUP BY d.event_type ORDER BY d.event_type""",
+)
+def stats_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, "events", sf)
+    m1 = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5D)").alias("med")
+    )
+    d = ev.join(F.broadcast(m1), "event_type").withColumn(
+        "ad", F.abs(F.col("value") - F.col("med"))
+    )
+    m2 = d.groupBy("event_type").agg(
+        F.expr("percentile(ad, 0.5D)").alias("mad")
+    )
+    return (
+        d.join(F.broadcast(m2), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.max("med"), 4).alias("med"),
+            F.round(F.max("mad"), 4).alias("mad"),
+            F.sum(
+                (F.col("ad") > MAD_SIGMA * MAD_K * F.col("mad")).cast("bigint")
+            ).alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )

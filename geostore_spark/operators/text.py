@@ -963,3 +963,91 @@ def text_gopher_rules(spark: SparkSession, sf: str) -> DataFrame:
         F.col("stop_hits").cast("bigint").alias("stop_hits"),
         doc_pass.alias("doc_pass"),
     ).orderBy("doc_id")
+
+
+# -- BM25 retrieval scoring -------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY = ("customer", "spark", "window", "vector")
+BM25_TOP = 20
+
+
+@register(
+    "x_text_bm25",
+    "BM25 retrieval scoring against a fixed query-term set (Robertson/ "
+    "Sparck Jones Okapi weighting) — the lexical-retrieval primitive "
+    "next to the ANN family. The corpus only materializes the QUERY "
+    "terms' posting lists (the IN-list filter pushes ahead of the "
+    "shuffle, so the (doc,term) aggregate is posting-list-sized, not "
+    "corpus-sized); df/avgdl are a 4-row + scalar broadcast. Per-term "
+    "scores are integer-quantized (round(score*1e6), the perplexity "
+    "technique) so the sum is associative-exact and the oracle matches "
+    "bit-for-bit; top-k is a TakeOrdered merge.",
+    f"""WITH d AS (
+         SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+       ),
+       stats AS (
+         SELECT COUNT(*) AS n_docs,
+                CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+         FROM d
+       ),
+       tok AS (
+         SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+       ),
+       tf AS (
+         SELECT doc_id, t, COUNT(*) AS tf FROM tok
+         WHERE t IN {BM25_QUERY!r} GROUP BY doc_id, t
+       ),
+       df AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
+       scored AS (
+         SELECT tf.doc_id,
+                CAST(ROUND(1e6 *
+                  ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0) *
+                  (tf.tf * ({BM25_K1} + 1.0)) /
+                  (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+                    + {BM25_B} * d.dl / stats.avgdl)), 0) AS BIGINT)
+                  AS sq
+         FROM tf JOIN d ON tf.doc_id = d.doc_id CROSS JOIN stats
+         JOIN df ON tf.t = df.t
+       )
+       SELECT doc_id, CAST(SUM(sq) AS BIGINT) AS score_q,
+              COUNT(*) AS n_hit_terms
+       FROM scored GROUP BY doc_id
+       ORDER BY score_q DESC, doc_id LIMIT {BM25_TOP}""",
+)
+def text_bm25(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf)
+    d = docs.select("doc_id", F.size(F.split(F.col("text"), " ")).alias("dl"))
+    stats = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("t"))
+        .filter(F.col("t").isin(*BM25_QUERY))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_tab = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    tf_norm = (F.col("tf") * (BM25_K1 + 1.0)) / (
+        F.col("tf")
+        + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    sq = F.round(F.lit(1e6) * idf * tf_norm, 0).cast("bigint")
+    return (
+        tf.join(d, "doc_id")
+        .join(F.broadcast(stats))
+        .join(F.broadcast(df_tab), "t")
+        .select("doc_id", sq.alias("sq"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("sq").cast("bigint").alias("score_q"),
+            F.count(F.lit(1)).alias("n_hit_terms"),
+        )
+        .orderBy(F.col("score_q").desc(), "doc_id")
+        .limit(BM25_TOP)
+    )

@@ -764,6 +764,21 @@ def o4(spark: SparkSession, sf: str) -> DataFrame:
     return cust.unionAll(supp).orderBy("kind", "k").limit(200)
 
 
+@_register(
+    "o5_intersect",
+    "INTERSECT set op — keys present in both inputs (the dual of O3's "
+    "EXCEPT). Compiles to a LeftSemi over pre-aggregated distinct sides; "
+    "at scale both sides shuffle once on the key.",
+    """SELECT c_custkey AS k FROM customer
+       INTERSECT SELECT o_custkey FROM orders
+       ORDER BY k LIMIT 100""",
+)
+def o5(spark: SparkSession, sf: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf).select(F.col("c_custkey").alias("k"))
+    ords = load_table(spark, "orders", sf).select(F.col("o_custkey").alias("k"))
+    return cust.intersect(ords).orderBy("k").limit(100)
+
+
 # ---------------------------------------------------------------------------
 # §2.7 Scalar functions
 # ---------------------------------------------------------------------------
