@@ -268,3 +268,60 @@ def q_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("shard", "seq_id")
     )
+
+
+# -- training-mix rebalance planner ------------------------------------------
+
+MIX_WEIGHTS = {"en": 0.4, "de": 0.2, "es": 0.2, "fr": 0.1, "zh": 0.1}
+
+
+@register(
+    "x_pipeline_mix_rebalance",
+    "Training-mix rebalance planner: given per-language token inventories "
+    "and target mix weights, find the largest total budget the inventory "
+    "supports (min over languages of tokens/weight — the binding "
+    "language keeps rate 1.0) and each language's keep rate. The plan is "
+    "language-count-sized: one partial-aggregated rollup of the corpus, "
+    "a 5-row weights dimension, and a 1-row binding-budget broadcast — "
+    "the decision layer that drives x_sample_token_budget's executor.",
+    f"""WITH inv AS (
+         SELECT lang, COUNT(*) AS n_docs,
+                CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+         FROM documents GROUP BY lang
+       ),
+       w(lang, weight) AS (VALUES {", ".join(f"('{k}', {v})" for k, v in MIX_WEIGHTS.items())}),
+       iw AS (
+         SELECT inv.lang, n_docs, n_tokens, weight
+         FROM inv JOIN w ON inv.lang = w.lang
+       ),
+       budget AS (SELECT MIN(n_tokens / weight) AS t FROM iw)
+       SELECT lang, n_docs, n_tokens, weight,
+              CAST(FLOOR(weight * budget.t) AS BIGINT) AS target_tokens,
+              ROUND(CAST(FLOOR(weight * budget.t) AS DOUBLE) / n_tokens, 4)
+                AS keep_rate
+       FROM iw CROSS JOIN budget ORDER BY lang""",
+)
+def q_mix_rebalance(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf)
+    inv = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("bigint").alias("n_tokens"),
+    )
+    w = docs.sparkSession.createDataFrame(
+        list(MIX_WEIGHTS.items()), "lang string, weight double"
+    )
+    iw = inv.join(F.broadcast(w), "lang")
+    budget = iw.agg(F.min(F.col("n_tokens") / F.col("weight")).alias("t"))
+    target = F.floor(F.col("weight") * F.col("t")).cast("bigint")
+    return (
+        iw.join(F.broadcast(budget))
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            "weight",
+            target.alias("target_tokens"),
+            F.round(target.cast("double") / F.col("n_tokens"), 4).alias("keep_rate"),
+        )
+        .orderBy("lang")
+    )

@@ -700,3 +700,82 @@ def q_pq_adc(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf)
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     return pq_adc_topk(emb, queries).orderBy("q_id", "n_id")
+
+
+# -- radius (range) search ---------------------------------------------------
+
+RANGE_TAU = 0.25
+
+
+def cosine_range_search(
+    embeddings: DataFrame, queries: DataFrame, tau: float = RANGE_TAU
+) -> DataFrame:
+    """All neighbors within cosine ≥ tau of each query vector — the
+    radius-search retrieval mode (recall-complete within the radius,
+    unlike top-k). Same partition-local BLAS shape as the top-k
+    bruteforce: queries ship in the task closure, each partition scores
+    its own block and emits only in-radius pairs, so the shuffle carries
+    result rows, not the N×Q score space. At scale the LSH/IVF bucket
+    variants prune partitions identically to their top-k twins."""
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select("vec_id", _as_double("embedding").alias("emb")).collect()
+    q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    q_mat = np.stack([np.asarray(r["emb"], dtype=np.float64) for r in q_rows])
+    q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+
+    def score_partition(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            n_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["emb"]])
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            scores = mat @ q_mat.T  # (n, q)
+            ii, jj = np.nonzero((scores >= tau) & (n_ids[:, None] != q_ids[None, :]))
+            if len(ii):
+                yield pd.DataFrame(
+                    {"q_id": q_ids[jj], "n_id": n_ids[ii], "cos": scores[ii, jj]}
+                )
+
+    from geostore_spark.operators.util import rebalance_for_python
+
+    return (
+        rebalance_for_python(
+            embeddings.select("vec_id", _as_double("embedding").alias("emb"))
+        )
+        .mapInPandas(score_partition, "q_id long, n_id long, cos double")
+        .select("q_id", "n_id", F.round("cos", 4).alias("cos"))
+    )
+
+
+_RANGE_ORACLE = f"""
+       WITH e AS (
+         SELECT vec_id, embedding::DOUBLE[] AS emb,
+                sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+         FROM embeddings
+       ),
+       q AS (SELECT vec_id AS q_id, emb AS q_emb, nrm AS q_nrm
+             FROM e WHERE vec_id < {N_QUERIES}),
+       s AS (
+         SELECT q.q_id, e.vec_id AS n_id,
+                list_dot_product(q.q_emb, e.emb) / (q.q_nrm * e.nrm) AS cos
+         FROM q JOIN e ON e.vec_id != q.q_id
+       )
+       SELECT q_id, n_id, ROUND(cos, 4) AS cos
+       FROM s WHERE cos >= {RANGE_TAU} ORDER BY q_id, n_id"""
+
+
+@register(
+    "x_sim_range_search",
+    "Radius (range) search: every neighbor within cosine >= tau of each "
+    "query — recall-complete within the radius, the retrieval mode top-k "
+    "cannot express. Partition-local BLAS with queries in the task "
+    "closure; only in-radius pairs ever shuffle.",
+    _RANGE_ORACLE,
+)
+def q_range_search(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return cosine_range_search(emb, queries).orderBy("q_id", "n_id")
