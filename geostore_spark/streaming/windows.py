@@ -568,3 +568,55 @@ def streaming_exact_dedup(stream: DataFrame) -> DataFrame:
     return stream.withColumn("digest", F.md5("text")).dropDuplicatesWithinWatermark(
         ["digest"]
     )
+
+
+def streaming_bm25(stream: DataFrame, corpus: DataFrame) -> DataFrame:
+    """Stream-static BM25 scoring tap: arriving documents are scored
+    against query terms using corpus statistics (df per query term,
+    N, avgdl) computed ONCE from the static reference corpus and
+    broadcast — the live-retrieval twin of the batch ``x_text_bm25``.
+    The ingest side is stateless: explode to query-term hits (the
+    IN-list filter bounds the explosion to query terms), join the
+    broadcast df table, score per (doc, term) with the same
+    integer-quantized arithmetic as the batch operator, and emit raw
+    (doc_id, t, sq) rows; the per-doc sum is a ``foreachBatch`` rollup
+    (streaming aggregation would stall behind the watermark)."""
+    from geostore_spark.operators.text import BM25_QUERY
+
+    cd = corpus.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("dl")
+    )
+    stats_row = cd.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    ).first()
+    n_docs, avgdl = stats_row["n_docs"], stats_row["avgdl"]
+    df_tab = (
+        corpus.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("t"))
+        .filter(F.col("t").isin(*BM25_QUERY))
+        .groupBy("t")
+        .agg(F.count_distinct("doc_id").alias("df"))
+    )
+
+    s = stream.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("dl"),
+        F.explode(F.split(F.col("text"), " ")).alias("t"),
+    ).filter(F.col("t").isin(*BM25_QUERY))
+    idf = F.log(
+        (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    # raw hit rows carry (doc, term, dl, quantized idf); the foreachBatch
+    # rollup counts tf per (doc, term) and applies the saturation
+    # k1/b arithmetic — identical inputs to the batch operator, with
+    # avgdl/k1/b as plain constants downstream
+    return (
+        s.join(F.broadcast(df_tab), "t")
+        .select(
+            "doc_id",
+            "t",
+            "dl",
+            F.round(F.lit(1e6) * idf, 0).cast("bigint").alias("idf_q"),
+            F.lit(avgdl).alias("avgdl"),
+        )
+    )

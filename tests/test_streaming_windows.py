@@ -427,3 +427,50 @@ def test_stateless_signature_matches_batch_signatures(spark):
         .collect()
     }
     assert batch == stateless
+
+
+def test_streaming_bm25_scores_against_corpus_stats(spark, tmp_path):
+    import json as _json
+
+    from geostore_spark.streaming.windows import doc_stream, streaming_bm25
+
+    docs_dir = tmp_path / "docs"
+    docs_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    corpus = spark.createDataFrame(
+        [
+            (100, "customer table spark join"),
+            (101, "window spark row scan"),
+            (102, "value sort merge hash"),
+        ],
+        "doc_id long, text string",
+    )
+
+    def doc(doc_id, text):
+        return {"doc_id": doc_id, "text": text, "ts": _ts(1, doc_id % 12)}
+
+    # doc 1 hits 'customer' (df=1) twice and 'spark' (df=2) once;
+    # doc 2 hits nothing from the query set
+    (docs_dir / "b1.json").write_text(
+        "\n".join(
+            _json.dumps(r)
+            for r in [
+                doc(1, "customer customer spark big"),
+                doc(2, "merge hash sort"),
+            ]
+        )
+    )
+    rows = drain_collect(
+        streaming_bm25(doc_stream(spark, str(docs_dir)), corpus), ckpt
+    )
+    hits = {}
+    for r in rows:
+        hits.setdefault((r["doc_id"], r["t"]), []).append(r)
+    assert set(hits) == {(1, "customer"), (1, "spark")}
+    assert len(hits[(1, "customer")]) == 2  # tf folds downstream from raw hits
+    # idf is quantized from the STATIC corpus stats: N=3, df(customer)=1
+    import math
+
+    expect_idf = round(1e6 * math.log((3 - 1 + 0.5) / (1 + 0.5) + 1.0))
+    assert hits[(1, "customer")][0]["idf_q"] == expect_idf
+    assert all(r["dl"] == 4 for r in hits[(1, "customer")])
