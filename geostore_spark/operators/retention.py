@@ -124,3 +124,50 @@ def q_funnel(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("conversions"))
         .orderBy("days_to_convert")
     )
+
+
+@register(
+    "x_events_dau_mau",
+    "Engagement stickiness: daily and monthly active users per month "
+    "with the avg-DAU/MAU ratio — the product-analytics companion to "
+    "the retention triangle. Two partially-aggregated rollups of the "
+    "SAME (day, user) dedup pass (months derive from days, so the "
+    "expensive per-user dedup shuffle happens once); exact integer "
+    "counts, one rounded ratio.",
+    """WITH du AS (
+         SELECT DISTINCT CAST(year(ts) * 12 + month(ts) AS BIGINT) AS m,
+                CAST(year(ts) * 10000 + month(ts) * 100 + day(ts) AS BIGINT)
+                  AS d,
+                user_id
+         FROM events
+       ),
+       dau AS (SELECT m, d, COUNT(*) AS dau FROM du GROUP BY m, d),
+       mau AS (SELECT m, COUNT(DISTINCT user_id) AS mau FROM du GROUP BY m)
+       SELECT mau.m, CAST(COUNT(*) AS BIGINT) AS n_days,
+              CAST(MAX(mau.mau) AS BIGINT) AS mau,
+              ROUND(AVG(CAST(dau.dau AS DOUBLE)) / MAX(mau.mau), 4)
+                AS stickiness
+       FROM dau JOIN mau ON dau.m = mau.m
+       GROUP BY mau.m ORDER BY mau.m""",
+)
+def q_dau_mau(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, "events", sf)
+    m = (F.year("ts") * 12 + F.month("ts")).cast("bigint")
+    d = (
+        F.year("ts") * 10000 + F.month("ts") * 100 + F.dayofmonth("ts")
+    ).cast("bigint")
+    du = ev.select(m.alias("m"), d.alias("d"), "user_id").distinct()
+    dau = du.groupBy("m", "d").agg(F.count(F.lit(1)).alias("dau"))
+    mau = du.groupBy("m").agg(F.count_distinct("user_id").alias("mau"))
+    return (
+        dau.join(F.broadcast(mau), "m")
+        .groupBy("m")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.max("mau").cast("bigint").alias("mau"),
+            F.round(
+                F.avg(F.col("dau").cast("double")) / F.max("mau"), 4
+            ).alias("stickiness"),
+        )
+        .orderBy("m")
+    )

@@ -330,3 +330,47 @@ def q_geo_knn(spark: SparkSession, sf: str) -> DataFrame:
         .select("q_id", "n_id", "dist_q")
         .orderBy("q_id", "n_id")
     )
+
+
+# -- grid density rollup ------------------------------------------------------
+
+DENSITY_CELL = 2000  # same pitch as the KNN grid
+DENSITY_TOP = 20
+
+
+@register(
+    "x_geo_density",
+    "Spatial density heatmap: point counts per grid cell, top cells "
+    "first — the tile-server / hotspot-detection rollup. One partially "
+    "aggregated shuffle on the (ingest-time) cell key; top-k is a "
+    "TakeOrdered merge. Integer cells from integer point coords, exact "
+    "everywhere.",
+    f"""WITH p AS (
+         SELECT c_custkey AS n_id,
+                (c_custkey * 7919) % 36000 AS xi,
+                (c_custkey * 104729) % 18000 AS yi
+         FROM customer
+       )
+       SELECT CAST(FLOOR(CAST(xi AS DOUBLE) / {DENSITY_CELL}) AS BIGINT) AS cx,
+              CAST(FLOOR(CAST(yi AS DOUBLE) / {DENSITY_CELL}) AS BIGINT) AS cy,
+              COUNT(*) AS n_points,
+              MIN(n_id) AS min_id
+       FROM p GROUP BY cx, cy
+       ORDER BY n_points DESC, cx, cy LIMIT {DENSITY_TOP}""",
+)
+def q_geo_density(spark: SparkSession, sf: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf)
+    xi = (F.col("c_custkey") * 7919) % 36000
+    yi = (F.col("c_custkey") * 104729) % 18000
+    return (
+        cust.select(
+            F.col("c_custkey").alias("n_id"), xi.alias("xi"), yi.alias("yi")
+        )
+        .groupBy(
+            F.floor(F.col("xi").cast("double") / DENSITY_CELL).cast("bigint").alias("cx"),
+            F.floor(F.col("yi").cast("double") / DENSITY_CELL).cast("bigint").alias("cy"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_points"), F.min("n_id").alias("min_id"))
+        .orderBy(F.col("n_points").desc(), "cx", "cy")
+        .limit(DENSITY_TOP)
+    )

@@ -255,3 +255,30 @@ def win_ntile_quartiles(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("event_type", "quartile")
     )
+
+
+@register(
+    "x_win_dense_rank_topn",
+    "DENSE_RANK top-N with ties per group — unlike row_number (W1), "
+    "ties share a rank and ALL tied rows at a kept rank survive: the "
+    "leaderboard semantics. One keyed window shuffle; the rank filter "
+    "prunes before anything else moves.",
+    """SELECT o_custkey, o_orderkey, o_totalprice, rnk
+       FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                    DENSE_RANK() OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderstatus) AS rnk
+             FROM orders)
+       WHERE rnk <= 2 AND o_custkey <= 50
+       ORDER BY o_custkey, rnk, o_orderkey""",
+)
+def win_dense_rank_topn(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, "orders", sf)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderstatus")
+    return (
+        orders.withColumn("rnk", F.dense_rank().over(w))
+        .filter((F.col("rnk") <= 2) & (F.col("o_custkey") <= 50))
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
+        .orderBy("o_custkey", "rnk", "o_orderkey")
+    )
