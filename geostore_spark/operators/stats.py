@@ -347,3 +347,60 @@ def stats_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# -- chi-squared independence test ------------------------------------------
+
+
+@register(
+    "x_stats_chi2",
+    "Chi-squared independence test between event_type and device (the "
+    "segmentation-sanity check before trusting a per-segment metric). "
+    "Contingency cells, row/column marginals and the total are all "
+    "exact-integer aggregates of ONE pass; expected counts and the "
+    "statistic are derived per cell from broadcast marginal dimensions, "
+    "so the plan is cell-count-sized after the single fact shuffle.",
+    """WITH obs AS (
+         SELECT event_type,
+                regexp_extract(props, '"device": *"([a-z]+)"', 1) AS device,
+                COUNT(*) AS o
+         FROM events GROUP BY event_type, device
+       ),
+       rm AS (SELECT event_type, SUM(o) AS rn FROM obs GROUP BY event_type),
+       cm AS (SELECT device, SUM(o) AS cn FROM obs GROUP BY device),
+       tot AS (SELECT SUM(o) AS n FROM obs)
+       SELECT CAST(COUNT(DISTINCT obs.event_type) AS BIGINT) AS n_rows,
+              CAST(COUNT(DISTINCT obs.device) AS BIGINT) AS n_cols,
+              CAST(MAX(tot.n) AS BIGINT) AS n,
+              ROUND(SUM(
+                POWER(obs.o - CAST(rm.rn * cm.cn AS DOUBLE) / tot.n, 2)
+                / (CAST(rm.rn * cm.cn AS DOUBLE) / tot.n)), 4) AS chi2
+       FROM obs JOIN rm ON obs.event_type = rm.event_type
+                JOIN cm ON obs.device = cm.device
+                CROSS JOIN tot""",
+)
+def stats_chi2(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, "events", sf)
+    obs = (
+        ev.select(
+            "event_type",
+            F.regexp_extract("props", '"device": *"([a-z]+)"', 1).alias("device"),
+        )
+        .groupBy("event_type", "device")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    rm = obs.groupBy("event_type").agg(F.sum("o").alias("rn"))
+    cm = obs.groupBy("device").agg(F.sum("o").alias("cn"))
+    tot = obs.agg(F.sum("o").alias("n"))
+    e = (F.col("rn") * F.col("cn")).cast("double") / F.col("n")
+    return (
+        obs.join(F.broadcast(rm), "event_type")
+        .join(F.broadcast(cm), "device")
+        .join(F.broadcast(tot))
+        .agg(
+            F.count_distinct("event_type").cast("bigint").alias("n_rows"),
+            F.count_distinct("device").cast("bigint").alias("n_cols"),
+            F.max("n").cast("bigint").alias("n"),
+            F.round(F.sum(F.pow(F.col("o") - e, 2) / e), 4).alias("chi2"),
+        )
+    )

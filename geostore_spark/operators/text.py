@@ -1051,3 +1051,54 @@ def text_bm25(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("score_q").desc(), "doc_id")
         .limit(BM25_TOP)
     )
+
+
+# -- blocked fuzzy (edit-distance) join -------------------------------------
+
+FUZZY_MAX_DIST = 2
+
+
+@register(
+    "x_text_fuzzy_join",
+    "Entity-resolution fuzzy join: customer-name pairs within "
+    "Levenshtein distance 2, blocked on nationkey so the quadratic "
+    "comparison runs per block, never across the corpus (the classic "
+    "blocking-key design; at scale the block key is the shuffle "
+    "partition and oversized blocks get salted sub-blocks). Rolled up "
+    "per nation — pair counts and the closest-pair distance — so the "
+    "result is block-count-sized.",
+    f"""WITH p AS (
+         SELECT a.c_nationkey AS nation,
+                levenshtein(a.c_name, b.c_name) AS d
+         FROM customer a JOIN customer b
+           ON a.c_nationkey = b.c_nationkey
+          AND a.c_custkey < b.c_custkey
+         WHERE levenshtein(a.c_name, b.c_name) <= {FUZZY_MAX_DIST}
+       )
+       SELECT nation, COUNT(*) AS n_pairs, MIN(d) AS min_dist,
+              CAST(SUM(d) AS BIGINT) AS sum_dist
+       FROM p GROUP BY nation ORDER BY nation""",
+)
+def text_fuzzy_join(spark: SparkSession, sf: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf).select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    a = cust.alias("a")
+    b = cust.alias("b")
+    d = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .select(F.col("a.c_nationkey").alias("nation"), d.alias("d"))
+        .filter(F.col("d") <= FUZZY_MAX_DIST)
+        .groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min("d").alias("min_dist"),
+            F.sum("d").cast("bigint").alias("sum_dist"),
+        )
+        .orderBy("nation")
+    )
