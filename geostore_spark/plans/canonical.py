@@ -1054,3 +1054,35 @@ def a9(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@_register(
+    "a10_pivot_crosstab",
+    "PIVOT / crosstab — order counts by priority with status pivoted to "
+    "columns (the reporting-layer reshape). Spark's pivot compiles to "
+    "one partially-aggregated shuffle with a CASE-per-column projection "
+    "— identical to the portable conditional-aggregation SQL, so there "
+    "is no second pass per pivoted column.",
+    """SELECT o_orderpriority,
+              CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_f,
+              CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_o,
+              CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_p
+       FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+)
+def a10(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf)
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.coalesce(F.col("F"), F.lit(0)).cast("bigint").alias("n_f"),
+            F.coalesce(F.col("O"), F.lit(0)).cast("bigint").alias("n_o"),
+            F.coalesce(F.col("P"), F.lit(0)).cast("bigint").alias("n_p"),
+        )
+        .orderBy("o_orderpriority")
+    )
