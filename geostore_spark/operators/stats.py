@@ -404,3 +404,47 @@ def stats_chi2(spark: SparkSession, sf: str) -> DataFrame:
             F.round(F.sum(F.pow(F.col("o") - e, 2) / e), 4).alias("chi2"),
         )
     )
+
+
+# -- Gini concentration index ------------------------------------------------
+
+
+@register(
+    "x_stats_gini",
+    "Gini concentration index of order value per customer segment — the "
+    "inequality/concentration profile (how top-heavy is spend?). "
+    "Rank-weighted form over a total order (value, then key for exact "
+    "determinism): G = 2*SUM(i*x_i)/(n*SUM(x)) - (n+1)/n. One window "
+    "shuffle per segment key; the sums are exact decimals, the final "
+    "ratio two exact aggregates.",
+    """WITH r AS (
+         SELECT c_mktsegment AS segment, o_totalprice AS x,
+                ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                   ORDER BY o_totalprice, o_orderkey) AS i
+         FROM orders JOIN customer ON o_custkey = c_custkey
+       )
+       SELECT segment, COUNT(*) AS n,
+              ROUND(2.0 * CAST(SUM(CAST(i * x AS DECIMAL(28,6))) AS DOUBLE)
+                    / (COUNT(*) * CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE))
+                    - (COUNT(*) + 1.0) / COUNT(*), 4) AS gini
+       FROM r GROUP BY segment ORDER BY segment""",
+)
+def stats_gini(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, "orders", sf)
+    customer = load_table(spark, "customer", sf)
+    j = orders.join(
+        customer, orders.o_custkey == customer.c_custkey
+    ).select(F.col("c_mktsegment").alias("segment"), F.col("o_totalprice").alias("x"), "o_orderkey")
+    w = Window.partitionBy("segment").orderBy("x", "o_orderkey")
+    r = j.withColumn("i", F.row_number().over(w))
+    n = F.count(F.lit(1))
+    sum_ix = F.sum((F.col("i") * F.col("x")).cast("decimal(28,6)")).cast("double")
+    sum_x = F.sum(F.col("x").cast("decimal(28,6)")).cast("double")
+    gini = F.round(2.0 * sum_ix / (n * sum_x) - (n + 1.0) / n, 4)
+    return (
+        r.groupBy("segment")
+        .agg(n.alias("n"), gini.alias("gini"))
+        .orderBy("segment")
+    )

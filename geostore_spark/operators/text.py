@@ -1102,3 +1102,40 @@ def text_fuzzy_join(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+# -- dataset card -----------------------------------------------------------
+
+
+@register(
+    "x_pipeline_dataset_card",
+    "One-row dataset card (the datasheet header every corpus release "
+    "ships): doc/token/char inventory, language count, exact-duplicate "
+    "rate, and quality-gate pass rate — composed as ONE aggregation "
+    "pass; the distinct-digest and distinct-lang counts ride the same "
+    "Expand-based multi-distinct aggregate the profile op uses (single "
+    "shuffle, map-side partials).",
+    f"""SELECT COUNT(*) AS n_docs,
+              CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+              CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+              COUNT(DISTINCT lang) AS n_langs,
+              COUNT(DISTINCT source) AS n_sources,
+              COUNT(*) - COUNT(DISTINCT md5(text)) AS n_exact_dupes,
+              CAST(SUM(CASE WHEN len(string_split(text, ' '))
+                            >= {GOPHER_MIN_WORDS} THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_pass_min_words
+       FROM documents""",
+)
+def pipeline_dataset_card(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf)
+    n_words = F.size(F.split(F.col("text"), " "))
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_words).cast("bigint").alias("n_tokens"),
+        F.sum(F.length("text")).cast("bigint").alias("n_chars"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.count_distinct("source").alias("n_sources"),
+        (F.count(F.lit(1)) - F.count_distinct(F.md5(F.col("text").cast("binary"))))
+        .alias("n_exact_dupes"),
+        F.sum((n_words >= GOPHER_MIN_WORDS).cast("bigint")).alias("n_pass_min_words"),
+    )
