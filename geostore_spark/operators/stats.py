@@ -448,3 +448,52 @@ def stats_gini(spark: SparkSession, sf: str) -> DataFrame:
         .agg(n.alias("n"), gini.alias("gini"))
         .orderBy("segment")
     )
+
+
+# -- Benford first-digit screening ------------------------------------------
+
+
+@register(
+    "x_stats_benford",
+    "Benford first-significant-digit screening of order totals — the "
+    "classic bulk-data fraud/synthetic-data tell. Digit extraction is a "
+    "pure codegen string head; one 9-key partially-aggregated shuffle; "
+    "the observed-vs-Benford log10 deviation is exact arithmetic over "
+    "the counts.",
+    """WITH d AS (
+         SELECT CAST(substring(CAST(CAST(FLOOR(o_totalprice) AS BIGINT)
+                                    AS VARCHAR), 1, 1)
+                     AS BIGINT) AS digit
+         FROM orders WHERE o_totalprice >= 1
+       ),
+       c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+       t AS (SELECT SUM(n) AS total FROM c)
+       SELECT digit, n,
+              ROUND(CAST(n AS DOUBLE) / t.total, 4) AS observed,
+              ROUND(log10(1.0 + 1.0 / digit), 4) AS benford
+       FROM c CROSS JOIN t ORDER BY digit""",
+)
+def stats_benford(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf)
+    # explicit FLOOR on both sides: DuckDB's double->BIGINT cast rounds
+    # half-even while Spark's truncates — floor makes them agree
+    digit = F.substring(
+        F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+    ).cast("bigint")
+    c = (
+        orders.filter(F.col("o_totalprice") >= 1)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    t = c.agg(F.sum("n").alias("total"))
+    return (
+        c.join(F.broadcast(t))
+        .select(
+            "digit",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("total"), 4).alias("observed"),
+            F.round(F.log10(1.0 + 1.0 / F.col("digit")), 4).alias("benford"),
+        )
+        .orderBy("digit")
+    )

@@ -1086,3 +1086,20 @@ def a10(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@_register(
+    "o6_except_all",
+    "EXCEPT ALL set op — bag difference preserving multiplicity (O3's "
+    "EXCEPT collapses duplicates; reconciliation diffs need the bag "
+    "form). Compiles to a count-annotated anti-semantics join; one "
+    "keyed shuffle per side.",
+    """SELECT l_suppkey AS k FROM lineitem WHERE l_linenumber <= 2
+       EXCEPT ALL SELECT l_suppkey FROM lineitem WHERE l_linenumber = 1
+       ORDER BY k LIMIT 100""",
+)
+def o6(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf)
+    a = li.filter(F.col("l_linenumber") <= 2).select(F.col("l_suppkey").alias("k"))
+    b = li.filter(F.col("l_linenumber") == 1).select(F.col("l_suppkey").alias("k"))
+    return a.exceptAll(b).orderBy("k").limit(100)
