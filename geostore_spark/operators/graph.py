@@ -428,3 +428,41 @@ def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("cluster_id", "doc_id")
     )
+
+
+@register(
+    "x_graph_degree_stats",
+    "Degree-distribution profile of the supply graph — the graph-shape "
+    "diagnostic run before choosing a partitioning strategy (hub-heavy "
+    "degree tails are what make vertex-cut/salting necessary). One "
+    "partial-aggregated shuffle to per-node degrees, a second tiny one "
+    "to the log2-bucketed histogram; all counts exact integers.",
+    """WITH pairs AS (
+         SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+         FROM lineitem
+       ),
+       edges AS (SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs),
+       deg AS (SELECT src AS id, COUNT(*) AS d FROM edges GROUP BY src)
+       SELECT CAST(FLOOR(log2(d)) AS BIGINT) AS deg_bucket,
+              COUNT(*) AS n_nodes,
+              MIN(d) AS min_deg, MAX(d) AS max_deg,
+              CAST(SUM(d) AS BIGINT) AS sum_deg
+       FROM deg GROUP BY deg_bucket ORDER BY deg_bucket""",
+)
+def q_degree_stats(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf)
+    deg = (
+        supply_edges(li)
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    return (
+        deg.groupBy(F.floor(F.log2("d")).cast("bigint").alias("deg_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("d").alias("min_deg"),
+            F.max("d").alias("max_deg"),
+            F.sum("d").cast("bigint").alias("sum_deg"),
+        )
+        .orderBy("deg_bucket")
+    )
