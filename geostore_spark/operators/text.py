@@ -1056,6 +1056,12 @@ def text_bm25(spark: SparkSession, sf: str) -> DataFrame:
 # -- blocked fuzzy (edit-distance) join -------------------------------------
 
 FUZZY_MAX_DIST = 2
+# Sub-blocks per blocking key: oversized blocks are fragment-and-replicate
+# salted so per-task pair count is (block/S) x block instead of block^2,
+# and reducer parallelism is (n_blocks x S) instead of n_blocks. At 100 TB
+# S scales with observed block size (rows / target_pairs_per_task); here a
+# fixed 16 turns the 25-nation ceiling into 400 schedulable units.
+FUZZY_SUBBLOCKS = 16
 
 
 @register(
@@ -1063,9 +1069,18 @@ FUZZY_MAX_DIST = 2
     "Entity-resolution fuzzy join: customer-name pairs within "
     "Levenshtein distance 2, blocked on nationkey so the quadratic "
     "comparison runs per block, never across the corpus (the classic "
-    "blocking-key design; at scale the block key is the shuffle "
-    "partition and oversized blocks get salted sub-blocks). Rolled up "
-    "per nation — pair counts and the closest-pair distance — so the "
+    "blocking-key design). Oversized blocks are salted into "
+    "fragment-and-replicate sub-blocks: the probe side keeps one salt "
+    "g = hash(key) % S, the build side replicates to every salt, so "
+    "every pair meets exactly once, per-task work is bounded by "
+    "block/S x block, and parallelism is blocks x S — not capped at "
+    "the 25 distinct nations. Candidate pairs pass cheap band "
+    "predicates (pair-ordering, |length delta| <= max_dist — a "
+    "necessary condition for edit distance <= max_dist) BEFORE the "
+    "DP kernel, and the kernel itself is threshold-bounded "
+    "levenshtein(a, b, max_dist): a banded O(d*n) diagonal DP with "
+    "early exit instead of the full O(n^2) matrix. Rolled up per "
+    "nation — pair counts and the closest-pair distance — so the "
     "result is block-count-sized.",
     f"""WITH p AS (
          SELECT a.c_nationkey AS nation,
@@ -1073,6 +1088,7 @@ FUZZY_MAX_DIST = 2
          FROM customer a JOIN customer b
            ON a.c_nationkey = b.c_nationkey
           AND a.c_custkey < b.c_custkey
+          AND abs(length(a.c_name) - length(b.c_name)) <= {FUZZY_MAX_DIST}
          WHERE levenshtein(a.c_name, b.c_name) <= {FUZZY_MAX_DIST}
        )
        SELECT nation, COUNT(*) AS n_pairs, MIN(d) AS min_dist,
@@ -1080,20 +1096,46 @@ FUZZY_MAX_DIST = 2
        FROM p GROUP BY nation ORDER BY nation""",
 )
 def text_fuzzy_join(spark: SparkSession, sf: str) -> DataFrame:
+    S = FUZZY_SUBBLOCKS
     cust = load_table(spark, "customer", sf).select(
         "c_custkey", "c_name", "c_nationkey"
     )
-    a = cust.alias("a")
-    b = cust.alias("b")
-    d = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+    # Probe side: one salt per row; repartition on (block, salt) so the
+    # quadratic kernel runs on blocks x S tasks even when the scan is a
+    # single small file (without this the whole join is ONE task locally).
+    a = (
+        cust.withColumn("g", F.pmod(F.hash("c_custkey"), F.lit(S)))
+        .repartition(2 * S, "c_nationkey", "g")
+        .alias("a")
+    )
+    # Build side: replicate to every sub-block (xS rows, still tiny per
+    # block); each (a, b) pair meets exactly once — in a's sub-block.
+    b = (
+        cust.withColumn("g", F.explode(F.array(*[F.lit(i) for i in range(S)])))
+        .alias("b")
+    )
+    # Band predicates first (codegen-cheap, short-circuit the DP): pair
+    # ordering halves the candidates, the length band is a necessary
+    # condition for edit distance <= FUZZY_MAX_DIST (prunes nothing on the
+    # constant-length-18 fixture names but is free, and prunes hard on
+    # variable-length corpora).
+    length_band = (
+        F.abs(F.length(F.col("a.c_name")) - F.length(F.col("b.c_name")))
+        <= FUZZY_MAX_DIST
+    )
+    # Threshold-bounded DP: returns -1 when distance exceeds the bound,
+    # the exact distance otherwise.
+    d = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"), FUZZY_MAX_DIST)
     return (
         a.join(
             b,
             (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
-            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+            & (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey"))
+            & length_band,
         )
         .select(F.col("a.c_nationkey").alias("nation"), d.alias("d"))
-        .filter(F.col("d") <= FUZZY_MAX_DIST)
+        .filter(F.col("d") >= 0)
         .groupBy("nation")
         .agg(
             F.count(F.lit(1)).alias("n_pairs"),

@@ -289,3 +289,27 @@ def test_semantic_dedup_single_cluster_shuffle(spark):
     assert "FlatMapGroupsInPandas" in plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_fuzzy_join_bands_salting_and_threshold_dp(spark):
+    # the blocked edit-distance join must (a) carry the cheap band
+    # predicates in the join itself — pair ordering + length band — so
+    # they short-circuit before the DP kernel, (b) use threshold-bounded
+    # levenshtein (3-arg form → banded O(d·n) DP with early exit), and
+    # (c) salt the 25-nation blocks into sub-blocks (join key includes
+    # the salt g) so parallelism is blocks × S, not 25
+    df = entry_mod.queries()["x_text_fuzzy_join"](spark, SF)
+    # toString() truncates long condition lines; the formatted explain
+    # prints the full join keys + condition
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    # detailed node section: "(9) BroadcastHashJoin\nLeft keys...\nJoin condition: ..."
+    join_block = plan[plan.rindex("HashJoin") :]
+    cond = join_block[: join_block.index("\n\n")]
+    assert "c_custkey" in cond and "<" in cond  # pair-ordering band
+    assert "abs" in cond and "length" in cond  # length band
+    assert "levenshtein" in plan and "2)" in plan  # threshold-bounded DP
+    # salted sub-block key g participates in the equi-join keys
+    assert "g#" in cond
+    assert "CartesianProduct" not in plan
