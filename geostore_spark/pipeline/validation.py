@@ -46,48 +46,25 @@ CHECK_STAGING_ACCESS = "staging access"
 UNCLASSIFIED = "unclassified"
 ROOT_TYPES = ("Catalog", "Collection")
 
-# Minimal Draft-7 required-key profiles per STAC type (public STAC spec
-# core fields; mirrors the golden minimal docs of FIXTURES.md B4).
-STAC_SCHEMAS: dict[str, dict] = {
-    "Catalog": {
-        "type": "object",
-        "required": ["type", "stac_version", "id", "description", "links"],
-        "properties": {"type": {"const": "Catalog"}, "links": {"type": "array"}},
-    },
-    "Collection": {
-        "type": "object",
-        "required": [
-            "type", "stac_version", "id", "description", "links",
-            "title", "license", "extent",
-        ],
-        "properties": {"type": {"const": "Collection"}, "links": {"type": "array"}},
-    },
-    "Feature": {
-        "type": "object",
-        "required": ["type", "stac_version", "id", "properties", "assets", "links"],
-        "properties": {
-            "type": {"const": "Feature"},
-            "properties": {"type": "object", "required": ["datetime"]},
-        },
-    },
-}
-
-
 @F.udf(returnType=ArrayType(StringType()))
 def json_schema_errors(raw: str) -> list[str]:
-    """V2: Draft-7 validation errors for one raw document ('' = parse ok)."""
+    """V2: full-fidelity Draft-7 validation errors for one raw document.
+
+    Validation runs against the vendored STAC 1.0.0 schema store
+    (``stac_schemas.py``): per-type core schema resolved through a
+    ``$ref`` registry (item → GeoJSON Feature + basics/datetime/
+    instrument/licensing/provider fragments) plus every declared
+    ``stac_extensions`` schema the store vendors — the same construction
+    as the reference's STAC*SchemaValidator family
+    (check_stac_metadata/stac_validators.py:90-103)."""
     try:
         doc = json.loads(raw)
     except (json.JSONDecodeError, TypeError) as err:
         return [f"Invalid JSON: {err}"]
-    import jsonschema  # executor-side import
+    # executor-side import: the store + validators build once per worker
+    from geostore_spark.pipeline.stac_schemas import validation_errors
 
-    doc_type = doc.get("type")
-    schema = STAC_SCHEMAS.get(doc_type)
-    if schema is None:
-        return [f"Unknown STAC type: {doc_type!r}"]
-    validator = jsonschema.Draft7Validator(schema)
-    return [e.message for e in validator.iter_errors(doc)]
+    return validation_errors(doc)
 
 
 @F.udf(returnType=ArrayType(StringType()))
