@@ -6,11 +6,20 @@ materialized whole-table; decode/feature work happens in Arrow-batched
 ``mapInPandas`` so each task holds one batch of payloads at a time and
 partitioning carries straight through.
 
-The container has no image/audio libraries, so the *codec* step is a
-clearly-marked deterministic STUB (``_stub_decode``) behind a real-codec
-try-import — the Spark-side plumbing (schema, batch shape, UDF signatures,
-partition behavior) is real and is what the tests pin down. Swapping the
-stub for PIL/ffmpeg changes no plan shape.
+The container has no image/audio libraries, so fixture payloads use a
+deterministic synthetic media container — ``GSM1|<width>|<height>|<body>``
+— whose header the decode step genuinely PARSES from the bytes (not a
+hash-derived fake): the decode output is a pure function of the payload,
+so a DuckDB SQL oracle can reproduce every field and the driver
+hash-checks all three queries end to end. Real codecs remain a
+try-import away (``_select_decoder`` prefers PIL when the payload isn't
+GSM1-containerized); swapping them in changes no plan shape — the
+mapInPandas schema, batch shape, and partition behavior are the real,
+tested plumbing.
+
+Payload text is ASCII in the fixtures, so the oracle's char-indexed
+``substr``/``strlen`` agree with Python's byte slicing; the Python side
+itself is byte-correct for any input.
 """
 
 from __future__ import annotations
@@ -28,65 +37,111 @@ from geostore_spark.sources.tables import load_table
 
 DECODED_SCHEMA = (
     "doc_id long, media_type string, width int, height int, n_bytes long, "
-    "feature array<float>"
+    "body_digest string, feature array<float>"
 )
 FRAME_SCHEMA = "doc_id long, frame_index int, frame_bytes long, frame_hash string"
+RESIZED_SCHEMA = (
+    "doc_id long, width int, height int, r_width int, r_height int, thumb_hash string"
+)
 
 FEATURE_DIM = 8
+MAGIC = b"GSM1"
 
 
-def _pil_decode(payload: bytes) -> tuple[int, int]:
-    """Real codec path: PIL header decode. Falls back to the stub for
-    payloads PIL can't parse (the fixture payloads are text bytes, not
-    real images) so a codec error never kills the batch."""
+def _parse_container(payload: bytes) -> tuple[int, int, bytes]:
+    """Parse the GSM1 container: ``GSM1|<width>|<height>|<body>``.
+    Raises ValueError on a non-GSM1 payload (callers fall back to a real
+    codec or reject the row)."""
+    magic, width, height, body = payload.split(b"|", 3)
+    if magic != MAGIC:
+        raise ValueError(f"not a GSM1 container: {magic!r}")
+    return int(width), int(height), body
+
+
+def _pil_decode(payload: bytes) -> tuple[int, int, bytes]:
+    """Real codec path: PIL header decode (dimensions from the image
+    header; body = the full payload). Used when the payload isn't a
+    GSM1 container and PIL is importable."""
     import io
 
     from PIL import Image
 
-    try:
-        with Image.open(io.BytesIO(payload)) as im:
-            return im.width, im.height
-    except Exception:
-        return _stub_decode(payload)
+    with Image.open(io.BytesIO(payload)) as im:
+        return im.width, im.height, payload
 
 
 def _select_decoder():
-    """Pick the codec by importability — never raises. PIL present →
-    header decode with per-payload stub fallback; absent → stub."""
+    """GSM1 parse first (the fixture container); non-GSM1 payloads go to
+    PIL when available. Never raises at selection time."""
     import importlib.util
 
-    if importlib.util.find_spec("PIL") is not None:
-        return _pil_decode
-    return _stub_decode
+    has_pil = importlib.util.find_spec("PIL") is not None
+
+    def decode(payload: bytes) -> tuple[int, int, bytes]:
+        try:
+            return _parse_container(payload)
+        except ValueError:
+            if has_pil:
+                return _pil_decode(payload)
+            raise
+
+    return decode
 
 
-def _stub_decode(payload: bytes) -> tuple[int, int]:
-    """STUB codec: deterministic fake dimensions derived from the content
-    hash. A real deployment replaces this with PIL/libvips — see
-    decode_media's try-import. NOT a real decoder."""
-    h = hashlib.sha256(payload).digest()
-    width = 64 + h[0] % 192
-    height = 64 + h[1] % 192
-    return width, height
-
-
-def _stub_features(payload: bytes) -> list[float]:
-    """STUB feature extractor: deterministic 8-dim summary of the bytes
-    (chunk means), standing in for a CNN/CLIP embedding."""
-    arr = np.frombuffer(payload, dtype=np.uint8)
+def _stub_features(body: bytes) -> list[float]:
+    """STUB feature extractor: deterministic 8-dim summary of the body
+    bytes (chunk means), standing in for a CNN/CLIP embedding."""
+    arr = np.frombuffer(body, dtype=np.uint8)
     if arr.size == 0:
         return [0.0] * FEATURE_DIM
     chunks = np.array_split(arr.astype(np.float32), FEATURE_DIM)
     return [float(round(c.mean() if c.size else 0.0, 4)) for c in chunks]
 
 
+# SQL fragment shared by the three oracles: rebuild the exact container
+# each decode parses. Header fields are simple char-math on the text so
+# BOTH engines derive identical payloads.
+_ORACLE_MEDIA_CTE = """
+m AS (
+  SELECT doc_id,
+         'image/gsm1' AS media_type,
+         CAST(64 + (length(text) % 192) AS INT) AS width,
+         CAST(64 + ((7 * length(text) + ascii(substr(text, 1, 1))) % 192)
+              AS INT) AS height,
+         text AS body
+  FROM documents
+),
+p AS (
+  SELECT doc_id, media_type, width, height, body,
+         'GSM1|' || width || '|' || height || '|' || body AS payload
+  FROM m
+)"""
+
+
 def attach_binary(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Demo payload builder: treats the document text bytes as an opaque
-    media payload with typed metadata — the storage shape media rows use."""
+    """Payload builder: wrap the document text bytes in the GSM1 media
+    container — the storage shape media rows use (opaque binary + typed
+    metadata). Header dimensions are deterministic char-math on the text
+    so the decode output is oracle-reproducible."""
+    width = (64 + F.pmod(F.length(text_col), F.lit(192))).cast("int")
+    height = (
+        64
+        + F.pmod(
+            7 * F.length(text_col) + F.ascii(F.substring(text_col, 1, 1)),
+            F.lit(192),
+        )
+    ).cast("int")
+    header = F.concat(
+        F.lit("GSM1|"),
+        width.cast("string"),
+        F.lit("|"),
+        height.cast("string"),
+        F.lit("|"),
+    )
     return df.select(
         F.col(id_col).alias("doc_id"),
-        F.col(text_col).cast("binary").alias("content"),
-        F.lit("image/stub").alias("media_type"),
+        F.concat(header, F.col(text_col)).cast("binary").alias("content"),
+        F.lit("image/gsm1").alias("media_type"),
         F.create_map(F.lit("source"), F.lit("documents.text")).alias("meta"),
     )
 
@@ -97,42 +152,50 @@ def decode_media(df: DataFrame) -> DataFrame:
     partition size; partitioning of the input carries through unchanged."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        decode = _select_decoder()  # real codec when available; STUB otherwise
+        decode = _select_decoder()
         for pdf in it:
             rows = []
             for doc_id, content, media_type in zip(
                 pdf["doc_id"], pdf["content"], pdf["media_type"]
             ):
                 payload = bytes(content)
-                width, height = decode(payload)
+                width, height, body = decode(payload)
                 rows.append(
-                    (doc_id, media_type, width, height, len(payload), _stub_features(payload))
+                    (
+                        doc_id,
+                        media_type,
+                        width,
+                        height,
+                        len(payload),
+                        hashlib.md5(body).hexdigest(),
+                        _stub_features(body),
+                    )
                 )
             yield pd.DataFrame(
                 rows,
-                columns=["doc_id", "media_type", "width", "height", "n_bytes", "feature"],
+                columns=[
+                    "doc_id", "media_type", "width", "height", "n_bytes",
+                    "body_digest", "feature",
+                ],
             )
 
     return df.mapInPandas(batches, DECODED_SCHEMA)
 
 
-RESIZED_SCHEMA = "doc_id long, width int, height int, r_width int, r_height int, thumb_hash string"
-
-
 def resize_media(df: DataFrame, max_side: int = 64) -> DataFrame:
     """Resize step for image-shaped payloads: aspect-preserving bound to
-    ``max_side``. The pixel work is the STUB codec (deterministic
-    dimensions + a content-derived thumb hash standing in for resampled
-    bytes); the Spark shape — mapInPandas over binary columns, metadata
-    computed per batch — is the real plumbing a PIL/libvips swap-in
-    keeps."""
+    ``max_side``. Dimensions come from the parsed container header; the
+    resampled-bytes stand-in is a content-derived thumb hash. The Spark
+    shape — mapInPandas over binary columns, metadata computed per
+    batch — is the plumbing a PIL/libvips swap-in keeps."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decode = _select_decoder()
         for pdf in it:
             rows = []
             for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
                 payload = bytes(content)
-                width, height = _stub_decode(payload)
+                width, height, _body = decode(payload)
                 scale = min(max_side / width, max_side / height, 1.0)
                 r_w, r_h = max(1, int(width * scale)), max(1, int(height * scale))
                 thumb = hashlib.md5(payload + f"{r_w}x{r_h}".encode()).hexdigest()
@@ -170,20 +233,28 @@ def sample_frames(df: DataFrame, frame_size: int = 4096, every_n: int = 2) -> Da
     return df.mapInPandas(batches, FRAME_SCHEMA)
 
 
+FRAME_SIZE = 128  # fixture docs are 48-553 chars → several frames each
+FRAME_EVERY_N = 2
+
+
 @register(
     "x_mm_decode",
     "Multimodal decode + feature extraction over binary media columns via "
-    "Arrow-batched mapInPandas (codec stubbed; plumbing real). Python-side "
-    "compute → no SQL oracle; driver runs the rows-only check.",
-    None,
+    "Arrow-batched mapInPandas. The decode genuinely parses the GSM1 "
+    "container header from the bytes, so every output field is a pure "
+    "function of the payload and the oracle reproduces it from the same "
+    "documents table — integer header fields + body content digest "
+    "(features stay internal: chunk-mean arrays aren't SQL-expressible).",
+    f"""WITH {_ORACLE_MEDIA_CTE}
+       SELECT doc_id, media_type, width, height,
+              CAST(strlen(payload) AS BIGINT) AS n_bytes,
+              md5(body) AS body_digest,
+              CAST({FEATURE_DIM} AS INT) AS n_features
+       FROM p ORDER BY doc_id LIMIT 200""",
 )
 def q_mm_decode(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, "documents", sf)
     decoded = decode_media(attach_binary(docs))
-    # The raw feature array<float> stays internal: the driver canonicalizer
-    # sorts/hashes columns via pandas, which cannot hash list cells. Expose
-    # scalar projections instead — a digest of the vector (exact equality
-    # check) and its dimensionality.
     return (
         decoded.select(
             "doc_id",
@@ -191,7 +262,7 @@ def q_mm_decode(spark: SparkSession, sf: str) -> DataFrame:
             "width",
             "height",
             "n_bytes",
-            F.md5(F.to_json(F.col("feature"))).alias("feature_digest"),
+            "body_digest",
             F.size("feature").alias("n_features"),
         )
         .orderBy("doc_id")
@@ -201,29 +272,61 @@ def q_mm_decode(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "x_mm_resize",
-    "Aspect-preserving resize over binary media columns (mapInPandas; "
-    "codec stubbed, plumbing real). Python-side → rows-only driver check.",
-    None,
+    "Aspect-preserving resize over binary media columns (mapInPandas over "
+    "the GSM1 container): parsed header dimensions, truncating integer "
+    "scale math, and a payload-derived thumb digest — all reproduced by "
+    "the SQL oracle, so the driver hash-checks the full output.",
+    f"""WITH {_ORACLE_MEDIA_CTE},
+       r AS (
+         SELECT doc_id, width, height,
+                GREATEST(1, CAST(trunc(width * LEAST(64.0 / width,
+                                                     64.0 / height,
+                                                     1.0)) AS INT)) AS r_width,
+                GREATEST(1, CAST(trunc(height * LEAST(64.0 / width,
+                                                      64.0 / height,
+                                                      1.0)) AS INT)) AS r_height,
+                payload
+         FROM p
+       )
+       SELECT doc_id, width, height, r_width, r_height,
+              md5(payload || r_width || 'x' || r_height) AS thumb_hash
+       FROM r ORDER BY doc_id LIMIT 200""",
 )
 def q_mm_resize(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, "documents", sf)
-    return (
-        resize_media(attach_binary(docs))
-        .orderBy("doc_id")
-        .limit(200)
-    )
+    return resize_media(attach_binary(docs)).orderBy("doc_id").limit(200)
 
 
 @register(
     "x_mm_frames",
-    "Frame sampling for video-shaped payloads: fixed-size byte frames, "
-    "every-Nth kept (mapInPandas demux stand-in). Rows-only driver check.",
-    None,
+    "Frame sampling for video-shaped payloads: fixed-size byte frames over "
+    "the GSM1 container, every-Nth kept (mapInPandas demux stand-in). "
+    "Frame boundaries, sizes and md5 digests are byte-deterministic, so "
+    "the oracle regenerates them with substr windows over the same "
+    "payload.",
+    f"""WITH {_ORACLE_MEDIA_CTE},
+       idx AS (
+         SELECT doc_id, payload,
+                CAST(unnest(range(0, CAST(ceil(strlen(payload) / {FRAME_SIZE}.0)
+                                          AS BIGINT))) AS INT) AS frame_index
+         FROM p
+       ),
+       f AS (
+         SELECT doc_id, frame_index,
+                substr(payload, frame_index * {FRAME_SIZE} + 1,
+                       {FRAME_SIZE}) AS frame
+         FROM idx
+       )
+       SELECT doc_id, frame_index,
+              CAST(strlen(frame) AS BIGINT) AS frame_bytes,
+              md5(frame) AS frame_hash
+       FROM f WHERE frame_index % {FRAME_EVERY_N} = 0
+       ORDER BY doc_id, frame_index LIMIT 200""",
 )
 def q_mm_frames(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, "documents", sf)
     return (
-        sample_frames(attach_binary(docs))
+        sample_frames(attach_binary(docs), frame_size=FRAME_SIZE, every_n=FRAME_EVERY_N)
         .orderBy("doc_id", "frame_index")
         .limit(200)
     )

@@ -17,7 +17,9 @@ from .conftest import SF_DIR
 def test_decode_schema_and_determinism(spark):
     docs = load_table(spark, "documents", SF_DIR).limit(20)
     decoded = decode_media(attach_binary(docs))
-    assert decoded.columns == ["doc_id", "media_type", "width", "height", "n_bytes", "feature"]
+    assert decoded.columns == [
+        "doc_id", "media_type", "width", "height", "n_bytes", "body_digest", "feature",
+    ]
     rows1 = {r["doc_id"]: r for r in decoded.collect()}
     rows2 = {r["doc_id"]: r for r in decode_media(attach_binary(docs)).collect()}
     assert len(rows1) == 20
