@@ -414,9 +414,13 @@ def stats_chi2(spark: SparkSession, sf: str) -> DataFrame:
     "Gini concentration index of order value per customer segment — the "
     "inequality/concentration profile (how top-heavy is spend?). "
     "Rank-weighted form over a total order (value, then key for exact "
-    "determinism): G = 2*SUM(i*x_i)/(n*SUM(x)) - (n+1)/n. One window "
-    "shuffle per segment key; the sums are exact decimals, the final "
-    "ratio two exact aggregates.",
+    "determinism): G = 2*SUM(i*x_i)/(n*SUM(x)) - (n+1)/n. The rank is a "
+    "two-phase distributed ROW_NUMBER (range-partition -> local rank + "
+    "broadcast prefix offsets, see util.distributed_row_number): with 5 "
+    "segments a plain global window is a 5-task ceiling holding whole "
+    "segments in memory; the two-phase form keeps parallelism "
+    "proportional to data. Sums are exact decimals, the final ratio two "
+    "exact aggregates.",
     """WITH r AS (
          SELECT c_mktsegment AS segment, o_totalprice AS x,
                 ROW_NUMBER() OVER (PARTITION BY c_mktsegment
@@ -430,15 +434,14 @@ def stats_chi2(spark: SparkSession, sf: str) -> DataFrame:
        FROM r GROUP BY segment ORDER BY segment""",
 )
 def stats_gini(spark: SparkSession, sf: str) -> DataFrame:
-    from pyspark.sql.window import Window
+    from geostore_spark.operators.util import distributed_row_number
 
     orders = load_table(spark, "orders", sf)
     customer = load_table(spark, "customer", sf)
     j = orders.join(
         customer, orders.o_custkey == customer.c_custkey
     ).select(F.col("c_mktsegment").alias("segment"), F.col("o_totalprice").alias("x"), "o_orderkey")
-    w = Window.partitionBy("segment").orderBy("x", "o_orderkey")
-    r = j.withColumn("i", F.row_number().over(w))
+    r, _ = distributed_row_number(j, ["segment"], ["x", "o_orderkey"], rn_name="i")
     n = F.count(F.lit(1))
     sum_ix = F.sum((F.col("i") * F.col("x")).cast("decimal(28,6)")).cast("double")
     sum_x = F.sum(F.col("x").cast("decimal(28,6)")).cast("double")

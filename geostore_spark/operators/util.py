@@ -33,3 +33,64 @@ def rebalance_for_python(df: DataFrame) -> DataFrame:
     if n_files >= target:
         return df
     return df.repartition(target)
+
+
+def distributed_row_number(
+    df: DataFrame,
+    part_cols: list[str],
+    order_cols: list[str],
+    rn_name: str = "i",
+    num_partitions: int | None = None,
+):
+    """Two-phase distributed ROW_NUMBER for low-cardinality partition keys.
+
+    ``ROW_NUMBER() OVER (PARTITION BY k ORDER BY ...)`` parallelizes by
+    ``k`` — with 5 distinct segments that is a 5-task ceiling and
+    per-task memory proportional to segment size, which does not survive
+    a 100x scale-up. This helper computes identical ranks with
+    parallelism proportional to data:
+
+    1. range-partition on (part_cols, order_cols) into N partitions —
+       within each partition key, higher partition id means larger sort
+       key (RangePartitioning boundaries are sampled with deterministic
+       per-partition seeds, so both downstream branches see the same
+       exchange and Spark reuses it);
+    2. local ROW_NUMBER per (spark_partition_id, part_cols) — window
+       partition cardinality is N x |keys|, per-task state is one
+       range-slice, never a whole partition key;
+    3. per-(pid, key) counts roll up into prefix-sum offsets (a
+       key-count-x-N-row side table) that broadcast back; the global
+       rank is offset + local rank.
+
+    Returns (df_with_rank, group_counts) where group_counts is the tiny
+    (part_cols, n) frame — callers needing the group size (NTILE) reuse
+    it instead of a second shuffle.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    if num_partitions is None:
+        num_partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    ranged = df.repartitionByRange(
+        num_partitions, *part_cols, *order_cols
+    ).withColumn("_pid", F.spark_partition_id())
+    local_w = Window.partitionBy("_pid", *part_cols).orderBy(*order_cols)
+    local = ranged.withColumn("_lrn", F.row_number().over(local_w))
+    counts = ranged.groupBy("_pid", *part_cols).agg(F.count(F.lit(1)).alias("_cnt"))
+    off_w = (
+        Window.partitionBy(*part_cols)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_cnt").over(off_w), F.lit(0))
+    ).select("_pid", *part_cols, "_off")
+    group_counts = counts.groupBy(*part_cols).agg(F.sum("_cnt").alias("_n"))
+    ranked = (
+        local.join(F.broadcast(offsets), ["_pid", *part_cols])
+        .withColumn(rn_name, F.col("_off") + F.col("_lrn"))
+        .drop("_pid", "_lrn", "_off")
+    )
+    return ranked, group_counts

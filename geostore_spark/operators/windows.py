@@ -219,9 +219,13 @@ def win_attribution(spark: SparkSession, sf: str) -> DataFrame:
     "x_win_ntile_quartiles",
     "NTILE quartile assignment per event_type with per-quartile exact "
     "value rollups — the rank-bucket windowing class (equal-count "
-    "buckets, vs the equal-width x_stats_histogram). One event_type "
-    "shuffle for the window, rollup reuses the partitioning; sums are "
-    "exact decimals so partial aggregation stays associative-exact.",
+    "buckets, vs the equal-width x_stats_histogram). NTILE(4) is "
+    "reconstructed from a two-phase distributed ROW_NUMBER plus the "
+    "broadcast group size (util.distributed_row_number): with a handful "
+    "of event types a plain global window is a types-count task ceiling "
+    "holding whole types in memory; the two-phase form keeps "
+    "parallelism proportional to data. Sums are exact decimals so "
+    "partial aggregation stays associative-exact.",
     """WITH t AS (
          SELECT event_type, value,
                 NTILE(4) OVER (PARTITION BY event_type
@@ -236,12 +240,30 @@ def win_attribution(spark: SparkSession, sf: str) -> DataFrame:
        ORDER BY event_type, quartile""",
 )
 def win_ntile_quartiles(spark: SparkSession, sf: str) -> DataFrame:
-    from pyspark.sql.window import Window
+    from geostore_spark.operators.util import distributed_row_number
 
     ev = load_table(spark, "events", sf)
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked, group_n = distributed_row_number(
+        ev.select("event_type", "value", "event_id"),
+        ["event_type"],
+        ["value", "event_id"],
+        rn_name="i",
+    )
+    # NTILE(k) from the global rank i and group size n: the first
+    # n % k buckets hold floor(n/k)+1 rows, the rest floor(n/k).
+    # integer-exact ceil(a/b) = (a-1) div b + 1 — double division would
+    # misround at 2^53-scale ranks (k=4 quartiles)
+    quartile = F.expr(
+        """CAST(CASE WHEN i <= (_n % 4) * ((_n div 4) + 1)
+                     THEN (i - 1) div ((_n div 4) + 1) + 1
+                     ELSE (_n % 4)
+                          + (i - (_n % 4) * ((_n div 4) + 1) - 1) div (_n div 4)
+                          + 1
+                END AS INT)"""
+    )
     return (
-        ev.select("event_type", "value", F.ntile(4).over(w).alias("quartile"))
+        ranked.join(F.broadcast(group_n), ["event_type"])
+        .select("event_type", "value", quartile.alias("quartile"))
         .groupBy("event_type", "quartile")
         .agg(
             F.count(F.lit(1)).alias("n"),

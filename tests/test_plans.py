@@ -313,3 +313,16 @@ def test_fuzzy_join_bands_salting_and_threshold_dp(spark):
     # salted sub-block key g participates in the equi-join keys
     assert "g#" in cond
     assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize("name", ["x_stats_gini", "x_win_ntile_quartiles"])
+def test_low_cardinality_rank_is_two_phase(spark, name):
+    # ROW_NUMBER over a 5-ish-key partition is a 5-task ceiling with
+    # whole-key state per task; the two-phase form ranks inside
+    # (range-slice, key) windows — every Window node's partition spec
+    # must include the range-slice id, never the bare low-cardinality key
+    plan = _plan(spark, name)
+    assert "Window" in plan
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line.lower() and "row_number" in line.lower():
+            assert "_pid" in line, f"global low-cardinality window in {name}: {line[:200]}"
