@@ -542,8 +542,35 @@ VERIFY_BROADCAST_MAX_DOCS = 50_000
 
 
 def _count_rows_cheap(df: DataFrame) -> int:
-    """Row count via the aggregate pushdown path (parquet footer counts
-    when the plan is a bare scan) — cheap relative to any data pass."""
+    """Row count from parquet footer statistics when the plan is
+    row-preserving over a scan (Project/alias only — no Filter/Join/
+    Aggregate can change the count): reads ``num_rows`` from each file's
+    footer on the driver, launching NO Spark job, so it never serializes
+    concurrent FAIR-scheduler streams. Derived inputs (filtered,
+    joined, synthesized) and many-file tables fall back to ``df.count()``
+    — a real, blocking job, which is why the fast path is checked first."""
+    _ROW_PRESERVING = ("Project", "SubqueryAlias", "Relation", "View")
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+        nodes = [
+            ln.lstrip(" :+-") for ln in plan.splitlines() if ln.lstrip(" :+-")
+        ]
+        if all(n.startswith(_ROW_PRESERVING) for n in nodes):
+            files = df.inputFiles()
+            # driver-side footer loop: bounded — a huge table's listing
+            # goes through the distributed fallback instead
+            if files and len(files) <= 64:
+                from urllib.parse import unquote, urlparse
+
+                import pyarrow.parquet as pq
+
+                total = 0
+                for f in files:
+                    path = unquote(urlparse(f).path) if "://" in f else f
+                    total += pq.ParquetFile(path).metadata.num_rows
+                return total
+    except Exception:
+        pass
     return df.count()
 
 

@@ -105,17 +105,33 @@ class MetadataStore:
             f.write(str(version))
         os.replace(tmp, self._pointer(table))  # atomic commit
 
-    def _write_snapshot(self, table: str, df: DataFrame) -> None:
-        version = self.current_version(table) + 1
+    def _write_snapshot(self, table: str, df: DataFrame, base: int) -> None:
+        """Commit ``df`` as ``v{base+1}``, where ``base`` is the version
+        the mutator READ its input at — never re-resolved here. Re-reading
+        the pointer at commit time would silently discard a concurrent
+        writer's update (writer B, read at v0, would happily commit v2 on
+        top of A's v1); pinning the version to the read makes
+        ``errorifexists`` a true read-version conflict check, which is the
+        validation Delta's optimistic concurrency does at commit."""
+        version = base + 1
         path = os.path.join(self._table_dir(table), f"v{version}")
+
+        def conflict(cause: Exception | None) -> ConcurrentWriteError:
+            return ConcurrentWriteError(
+                f"snapshot v{version} of '{table}' was committed by a "
+                f"concurrent writer; re-read and retry"
+            )
+
+        if os.path.exists(path):
+            raise conflict(None)
         try:
             df.write.mode("errorifexists").parquet(path)
-        except Exception as ex:  # directory exists → another writer won
-            if "already exists" in str(ex).lower():
-                raise ConcurrentWriteError(
-                    f"snapshot v{version} of '{table}' was committed by a "
-                    f"concurrent writer; re-read and retry"
-                ) from ex
+        except Exception as ex:
+            # conflict detection by the snapshot path, not by matching
+            # the exception message: if the directory now exists, a
+            # concurrent writer committed the same next version
+            if os.path.exists(path):
+                raise conflict(ex) from ex
             raise
         self._swap_pointer(table, version)
 
@@ -174,9 +190,11 @@ class MetadataStore:
         unaffected — the small-files fix for high-frequency appends).
         Returns {files_in, files_out}."""
         hist = {h["version"]: h for h in self.history(table)}
-        current = self.current_version(table)
-        files_in = hist.get(current, {}).get("n_files", 0)
-        self._write_snapshot(table, self.read(table).coalesce(target_files))
+        base = self.current_version(table)
+        files_in = hist.get(base, {}).get("n_files", 0)
+        self._write_snapshot(
+            table, self.read(table, base).coalesce(target_files), base
+        )
         return {"files_in": files_in, "files_out": target_files}
 
     def vacuum(self, table: str, keep_last: int = 1) -> list[int]:
@@ -199,24 +217,35 @@ class MetadataStore:
         written schema (visible via time travel), and subsequent
         appends/merges include the column because reads are
         parquet-self-describing."""
-        self._write_snapshot(table, self.read(table).withColumn(name, default))
+        base = self.current_version(table)
+        self._write_snapshot(
+            table, self.read(table, base).withColumn(name, default), base
+        )
 
     def append(self, table: str, df: DataFrame) -> None:
-        existing = self.read(table)
-        self._write_snapshot(table, existing.unionByName(df.select(existing.columns)))
+        base = self.current_version(table)
+        existing = self.read(table, base)
+        self._write_snapshot(
+            table, existing.unionByName(df.select(existing.columns)), base
+        )
 
     def overwrite(self, table: str, df: DataFrame) -> None:
-        self._write_snapshot(table, df.select(self.read(table).columns))
+        base = self.current_version(table)
+        self._write_snapshot(table, df.select(self.read(table, base).columns), base)
 
     def delete_where(self, table: str, condition: Column) -> None:
-        self.overwrite(table, self.read(table).filter(~condition))
+        base = self.current_version(table)
+        self._write_snapshot(
+            table, self.read(table, base).filter(~condition), base
+        )
 
     def update_where(self, table: str, condition: Column, assignments: dict[str, Column]) -> None:
         """Delta ``UPDATE SET ... WHERE ...`` equivalent."""
-        df = self.read(table)
+        base = self.current_version(table)
+        df = self.read(table, base)
         for col, expr in assignments.items():
             df = df.withColumn(col, F.when(condition, expr).otherwise(F.col(col)))
-        self._write_snapshot(table, df)
+        self._write_snapshot(table, df, base)
 
     def merge(
         self,
@@ -229,7 +258,8 @@ class MetadataStore:
         """Delta ``MERGE INTO`` shape: join target with source on keys;
         matched rows get the assignments, unmatched-source rows are
         inserted when requested (V12 idempotent child-add)."""
-        target = self.read(table)
+        base = self.current_version(table)
+        target = self.read(table, base)
         marked_src = source.select(*on).distinct().withColumn("__hit", F.lit(True))
         joined = target.join(marked_src, on, "left")
         updated = joined
@@ -241,4 +271,4 @@ class MetadataStore:
         if insert_not_matched:
             new_rows = source.join(target.select(*on).distinct(), on, "left_anti")
             result = result.unionByName(new_rows.select(result.columns))
-        self._write_snapshot(table, result)
+        self._write_snapshot(table, result, base)

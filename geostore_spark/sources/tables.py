@@ -46,6 +46,34 @@ def default_sf_dir() -> str:
 _PLAN_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
+_CONF_APPLIED: set[str] = set()
+
+
+def _ensure_engine_conf(spark: SparkSession) -> None:
+    """Apply the engine-wide session conventions exactly once per session.
+
+    ``build_session`` already sets these at construction; this covers the
+    engine-must-work-on-ANY-SparkSession case (reference keeps
+    table-access settings inside the model layer too:
+    /root/reference/geostore/models.py). Unconditional and
+    order-independent on purpose: setting them lazily inside a
+    data-dependent branch would change the semantics of timestamp
+    expressions session-wide depending on WHICH table loaded first.
+
+    - ``nanosAsLong``: events.parquet carries TIMESTAMP(NANOS), which
+      Spark 4.x refuses to read natively.
+    - session timezone UTC: engine-wide convention (matching the DuckDB
+      oracle) — fixture wall-clocks ARE UTC instants, so NTZ→LTZ casts
+      stay value-preserving on any host zone.
+    """
+    app_id = spark.sparkContext.applicationId
+    if app_id in _CONF_APPLIED:
+        return
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _CONF_APPLIED.add(app_id)
+
+
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
     sf_dir = sf_dir or default_sf_dir()
     path = f"{sf_dir}/{name}.parquet"
@@ -53,14 +81,7 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     cached = _PLAN_CACHE.get(key)
     if cached is not None:
         return cached
-    if name == "events":
-        # events.parquet carries TIMESTAMP(NANOS) which Spark 4.x refuses to
-        # read unless nanosAsLong is on.  It's a runtime SQLConf, so set it
-        # here instead of relying on the caller's session having been built by
-        # geostore_spark.session — the engine must work on ANY SparkSession
-        # (reference keeps table-access settings inside the model layer too:
-        # /root/reference/geostore/models.py).
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    _ensure_engine_conf(spark)
     df = spark.read.parquet(path)
     ts_type = dict(df.dtypes).get("ts")
     if name == "events" and ts_type == "bigint":
@@ -71,11 +92,7 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     elif name == "events" and ts_type == "timestamp_ntz":
         # Fixtures written with micros + isAdjustedToUTC=false read as
         # TIMESTAMP_NTZ; normalize to TIMESTAMP so unix_micros/date funcs
-        # resolve. Engine convention (matching the DuckDB oracle): event
-        # wall-clocks ARE UTC instants, so pin the session zone before the
-        # cast — on a UTC host this is a no-op, elsewhere it keeps the
-        # NTZ→LTZ cast value-preserving instead of shifting by host offset.
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        # resolve (value-preserving under the UTC session zone above).
         df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     _PLAN_CACHE[key] = df
     return df

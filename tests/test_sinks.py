@@ -178,3 +178,31 @@ def test_store_concurrent_write_conflict_surfaces(spark, tmp_path):
     with pytest.raises(ConcurrentWriteError):
         racer.append(t, base_b)
     assert a.current_version(t) == 1  # winner's pointer intact
+
+
+def test_store_stale_read_version_cannot_silently_win(spark, tmp_path):
+    # the lost-update hole: B reads at v0, A commits v1, B commits — the
+    # old commit path re-resolved the pointer and would write v2 built on
+    # stale v0 data with no error. The commit version is now pinned to
+    # the read version, so B's write is a loud conflict and no v2 appears.
+    import os
+
+    import pytest
+
+    from geostore_spark.sources.store import ConcurrentWriteError, MetadataStore
+
+    store = MetadataStore(spark, str(tmp_path / "store"))
+    t = "datasets"
+    row = {
+        "dataset_id": "d1", "title": "t1", "created_at": None,
+        "updated_at": None, "current_dataset_version": "v0",
+    }
+    df = spark.createDataFrame([row], store.schema(t))
+    store.append(t, df)            # v0
+    b_base = store.current_version(t)
+    b_data = store.read(t, b_base)
+    store.append(t, df)            # A wins: v1
+    with pytest.raises(ConcurrentWriteError):
+        store._write_snapshot(t, b_data, b_base)  # B: pinned to its read
+    assert store.current_version(t) == 1
+    assert not os.path.exists(str(tmp_path / "store" / t / "v2"))
