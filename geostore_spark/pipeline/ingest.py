@@ -76,23 +76,89 @@ def etag_gated_write(path: str, payload: bytes) -> bool:
 # -- import workers (executor-side, constant memory per row) ----------------
 
 
-def _copy_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Distributed asset byte-copy (import_asset_file/task.py:23-32)."""
-    for pdf in batches:
-        results = []
-        for src, dst in zip(pdf["src"], pdf["dst"]):
-            try:
-                os.makedirs(os.path.dirname(dst), exist_ok=True)
-                with open(src, "rb") as fi, open(dst, "wb") as fo:
-                    while True:
-                        chunk = fi.read(ETAG_CHUNK)
-                        if not chunk:
-                            break
-                        fo.write(chunk)
-                results.append((src, dst, "Complete", None))
-            except OSError as err:
-                results.append((src, dst, "Failed", str(err)))
-        yield pd.DataFrame(results, columns=["src", "dst", "status", "message"])
+# Shared-result retry protocol (import_dataset_file.py:46-99): a
+# timeout-class error is a TemporaryFailure and the copy is retried up to
+# the attempt budget; anything else is a PermanentFailure immediately.
+RESULT_CODE_SUCCEEDED = "Succeeded"
+RESULT_CODE_TEMPORARY_FAILURE = "TemporaryFailure"
+RESULT_CODE_PERMANENT_FAILURE = "PermanentFailure"
+RETRY_RESULT_STRING = "Retry request to source due to timeout."
+MAX_IMPORT_ATTEMPTS = 3
+COPY_RESULT_SCHEMA = (
+    "src string, dst string, result_code string, attempts int, message string"
+)
+
+# Chaos hook for the retry path: when $GEOSTORE_FAULT_DIR (read on the
+# DRIVER at plan-build time and shipped in the task closure — executor
+# processes don't see driver env mutations) contains a marker file named
+# after the source basename, the copy consumes it (atomic os.remove —
+# exactly one attempt across all workers sees it) and raises a timeout.
+# Lets tests inject one transient failure into the executor-side worker,
+# which monkeypatching cannot reach.
+FAULT_DIR_ENV = "GEOSTORE_FAULT_DIR"
+
+
+def _maybe_inject_fault(src: str, fault_dir: str | None) -> None:
+    if not fault_dir:
+        return
+    marker = os.path.join(fault_dir, os.path.basename(src))
+    try:
+        os.remove(marker)  # atomic claim: only one attempt wins the fault
+    except FileNotFoundError:
+        return
+    raise TimeoutError(f"injected transient failure for {src}")
+
+
+def _copy_once(src: str, dst: str, fault_dir: str | None = None) -> None:
+    _maybe_inject_fault(src, fault_dir)
+    os.makedirs(os.path.dirname(dst), exist_ok=True)
+    with open(src, "rb") as fi, open(dst, "wb") as fo:
+        while True:
+            chunk = fi.read(ETAG_CHUNK)
+            if not chunk:
+                break
+            fo.write(chunk)
+
+
+def _copy_with_retry(
+    src: str, dst: str, fault_dir: str | None = None
+) -> tuple[str, int, str | None]:
+    """One asset copy under the retry protocol. Returns
+    (result_code, attempts, message): timeouts retry up to
+    MAX_IMPORT_ATTEMPTS (each failed attempt recorded), other errors are
+    permanent on first sight — the reference's
+    TemporaryFailure/PermanentFailure split (import_dataset_file.py:72-83)
+    with S3 Batch's re-drive loop collapsed into a bounded local loop."""
+    message: str | None = None
+    for attempt in range(1, MAX_IMPORT_ATTEMPTS + 1):
+        try:
+            _copy_once(src, dst, fault_dir)
+            return RESULT_CODE_SUCCEEDED, attempt, message
+        except TimeoutError as err:
+            message = f"{RETRY_RESULT_STRING} ({err})"
+            continue
+        except OSError as err:
+            return RESULT_CODE_PERMANENT_FAILURE, attempt, str(err)
+    return RESULT_CODE_TEMPORARY_FAILURE, MAX_IMPORT_ATTEMPTS, message
+
+
+def _make_copy_batches(fault_dir: str | None):
+    """Distributed asset byte-copy (import_asset_file/task.py:23-32) with
+    the shared-result retry protocol per row. Closure factory so the
+    driver-resolved fault hook ships to executors with the task."""
+
+    def _copy_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            results = []
+            for src, dst in zip(pdf["src"], pdf["dst"]):
+                code, attempts, message = _copy_with_retry(src, dst, fault_dir)
+                results.append((src, dst, code, attempts, message))
+            yield pd.DataFrame(
+                results,
+                columns=["src", "dst", "result_code", "attempts", "message"],
+            )
+
+    return _copy_batches
 
 
 def _rewrite_metadata_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -308,8 +374,14 @@ def _import_assets(
             F.concat(F.lit(f"{storage_root}/{title}/"), "filename").alias("dst"),
         )
     )
-    results = manifest.mapInPandas(_copy_batches, "src string, dst string, status string, message string")
-    n_failed = results.filter(F.col("status") == "Failed").limit(1).count()
+    results = manifest.mapInPandas(
+        _make_copy_batches(os.environ.get(FAULT_DIR_ENV)), COPY_RESULT_SCHEMA
+    )
+    n_failed = (
+        results.filter(F.col("result_code") != RESULT_CODE_SUCCEEDED)
+        .limit(1)
+        .count()
+    )
     return "Failed" if n_failed else "Complete"
 
 

@@ -278,3 +278,74 @@ def test_version_create_404_for_missing_dataset(spark, store, tmp_path):
         spark, store, "nope", "/does/not/matter.json", str(tmp_path), now=NOW
     )
     assert resp["status_code"] == 404
+
+
+# -- import retry protocol (import_dataset_file.py:46-99 analog) -----------
+
+
+def test_transient_copy_failure_retries_to_success(spark, store, tmp_path, monkeypatch):
+    # one injected timeout on data1.bin: the first attempt consumes the
+    # fault marker and raises, the bounded retry re-copies, the import
+    # still converges Complete and the asset bytes land intact
+    from geostore_spark.pipeline.ingest import FAULT_DIR_ENV
+
+    fault_dir = tmp_path / "faults"
+    fault_dir.mkdir()
+    (fault_dir / "data1.bin").touch()
+    monkeypatch.setenv(FAULT_DIR_ENV, str(fault_dir))
+
+    tree = build_golden_tree(str(tmp_path))
+    storage = str(tmp_path / "storage")
+    ds_id = _setup_dataset(store)
+    resp = create_dataset_version(
+        spark, store, ds_id, tree["root_url"], storage, now=NOW, rng=_rng()
+    )
+    assert resp["status_code"] == 201
+    body = get_import_status(store, resp["body"]["execution_id"])["body"]
+    assert body["asset upload"]["status"] == "Complete"
+    assert not (fault_dir / "data1.bin").exists()  # fault was consumed
+    with open(os.path.join(storage, "Test_Dataset", "data1.bin"), "rb") as f:
+        assert f.read() == b"geostore asset payload one"
+
+
+def test_permanent_copy_failure_fails_without_retry_burn(tmp_path):
+    # a missing source is a PermanentFailure on the FIRST attempt — the
+    # retry budget is for timeouts only
+    from geostore_spark.pipeline.ingest import (
+        RESULT_CODE_PERMANENT_FAILURE,
+        _copy_with_retry,
+    )
+
+    code, attempts, message = _copy_with_retry(
+        str(tmp_path / "nope.bin"), str(tmp_path / "out.bin")
+    )
+    assert code == RESULT_CODE_PERMANENT_FAILURE
+    assert attempts == 1
+    assert "nope.bin" in message
+
+
+def test_exhausted_timeouts_surface_as_temporary_failure(tmp_path, monkeypatch):
+    # a fault marker per attempt: all attempts time out, the result is
+    # TemporaryFailure with the full attempt budget recorded
+    from geostore_spark.pipeline import ingest as I
+
+    fault_dir = tmp_path / "faults"
+    fault_dir.mkdir()
+    src = tmp_path / "a.bin"
+    src.write_bytes(b"payload")
+    monkeypatch.setenv(I.FAULT_DIR_ENV, str(fault_dir))
+
+    calls = {"n": 0}
+    orig = I._maybe_inject_fault
+
+    def always_fault(path, fault_dir=None):
+        calls["n"] += 1
+        raise TimeoutError("injected")
+
+    monkeypatch.setattr(I, "_maybe_inject_fault", always_fault)
+    code, attempts, message = I._copy_with_retry(
+        str(src), str(tmp_path / "out.bin")
+    )
+    assert code == I.RESULT_CODE_TEMPORARY_FAILURE
+    assert attempts == I.MAX_IMPORT_ATTEMPTS == calls["n"]
+    assert I.RETRY_RESULT_STRING.split(" due")[0] in message
