@@ -1,0 +1,30 @@
+"""Structured logging contract.
+
+Mirrors the reference's event-constant discipline
+(``geostore/logging_keys.py`` plus the dedicated
+``tests/test_*_logging.py`` suite): each pipeline stage emits ONE
+structured event — a stable message constant and a machine-readable
+``event`` dict — so operators alert on events and fields, never on
+string parsing. Events are emitted DRIVER-side from completed stage
+results (executor logs don't aggregate), which also keeps them exact:
+the fields come from the same collected rows the pipeline persists.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Any
+
+LOGGER_NAME = "geostore_spark"
+LOGGER = logging.getLogger(LOGGER_NAME)
+
+LOG_MESSAGE_TRAVERSAL_COMPLETE = "Validation Traversal Complete"
+LOG_MESSAGE_VALIDATION_CHECK_FAILURE = "Validation Check Failure"
+LOG_MESSAGE_VALIDATION_COMPLETE = "Validation Complete"
+LOG_MESSAGE_IMPORT_JOB_RESULT = "Import Job Result"
+LOG_MESSAGE_PIPELINE_RUN_COMPLETE = "Pipeline Run Complete"
+
+
+def log_event(message: str, **fields: Any) -> None:
+    """Emit one structured event: stable message + ``record.event`` dict."""
+    LOGGER.info(message, extra={"event": fields})

@@ -37,6 +37,13 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import BooleanType
 
+from geostore_spark.logging_keys import (
+    LOG_MESSAGE_IMPORT_JOB_RESULT,
+    LOG_MESSAGE_PIPELINE_RUN_COMPLETE,
+    LOG_MESSAGE_VALIDATION_CHECK_FAILURE,
+    LOG_MESSAGE_VALIDATION_COMPLETE,
+    log_event,
+)
 from geostore_spark.pipeline import validation as V
 from geostore_spark.pipeline.checksums import verify_checksums
 from geostore_spark.pipeline.traversal import traverse
@@ -300,23 +307,53 @@ def _run_pipeline(
         all_checks.select(*key, "check", "url", "result", "details"),
     )
 
-    # validation summary (A2): success ⇔ zero Failed rows for this version
-    failed = (
+    # validation summary (A2): success ⇔ zero Failed rows for this version.
+    # The failure sample doubles as the structured-event source: one
+    # "Validation Check Failure" per failed (check, url) — bounded collect,
+    # failures are operator-attention-sized — then the summary event.
+    failed_rows = (
         store.read("validation_results")
         .filter(
             (F.col("dataset_id") == dataset_id)
             & (F.col("version_id") == version_id)
             & (F.col("result") == V.RESULT_FAILED)
         )
-        .limit(1)
-        .count()
+        .select("check", "url", "details")
+        .limit(100)
+        .collect()
     )
-    validation_success = failed == 0
+    for row in failed_rows:
+        log_event(
+            LOG_MESSAGE_VALIDATION_CHECK_FAILURE,
+            dataset_id=dataset_id,
+            version_id=version_id,
+            check=row["check"],
+            url=row["url"],
+            details=dict(row["details"] or {}),
+        )
+    validation_success = not failed_rows
+    log_event(
+        LOG_MESSAGE_VALIDATION_COMPLETE,
+        dataset_id=dataset_id,
+        version_id=version_id,
+        success=validation_success,
+        n_failed_sample=len(failed_rows),
+    )
 
     asset_job = metadata_job = "Pending"
     if validation_success:
         asset_job = _import_assets(spark, store, dataset_id, version_id, title, storage_root)
+        log_event(
+            LOG_MESSAGE_IMPORT_JOB_RESULT,
+            dataset_id=dataset_id, version_id=version_id,
+            job="asset", status=asset_job,
+        )
         metadata_job = _import_metadata(docs, title, storage_root)
+        log_event(
+            LOG_MESSAGE_IMPORT_JOB_RESULT,
+            dataset_id=dataset_id, version_id=version_id,
+            job="metadata", status=metadata_job,
+        )
         _gc_and_pointer(store, dataset_id, version_id, title, storage_root, now)
         _update_catalog(spark, store, dataset_id, title, storage_root, docs, metadata_url)
 
@@ -332,6 +369,15 @@ def _run_pipeline(
         store.schema("pipeline_runs"),
     )
     store.append("pipeline_runs", run_row)
+    log_event(
+        LOG_MESSAGE_PIPELINE_RUN_COMPLETE,
+        execution_id=execution_id,
+        dataset_id=dataset_id,
+        version_id=version_id,
+        validation_success=validation_success,
+        asset_job_status=asset_job,
+        metadata_job_status=metadata_job,
+    )
 
     # event tail (S9/S10): one immutable event per run for the streaming
     # notification sink (geostore_spark/streaming/status_events.py)

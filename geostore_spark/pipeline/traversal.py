@@ -27,6 +27,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from geostore_spark.logging_keys import LOG_MESSAGE_TRAVERSAL_COMPLETE, log_event
+
 MAX_ITERATIONS = 1000  # cycle-safety backstop; depth of a sane catalog ≪ this
 
 DOC_SCHEMA = (
@@ -114,6 +116,12 @@ def traverse(spark: SparkSession, root_url: str) -> DataFrame:
             for r in links.sort("path").collect()
         ]
 
+    log_event(
+        LOG_MESSAGE_TRAVERSAL_COMPLETE,
+        root_url=root_url,
+        n_urls=len(visited),
+        n_rounds=len(collected),
+    )
     if not collected:
         return spark.createDataFrame([], "url string, raw string, path array<int>")
     out = collected[0]
