@@ -1429,3 +1429,66 @@ def _semantic_oracle() -> str:
 def q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf)
     return semantic_dedup_pairs(spark, emb).orderBy("cluster", "vec_a", "vec_b")
+
+
+# -- paragraph-granularity exact dedup ---------------------------------------
+
+PARA_WORDS = 8  # fixed window: fixture text is single-line word soup
+
+
+@register(
+    "x_dedup_paragraph",
+    "Paragraph-level exact dedup rollup (the Dolma/RefinedWeb "
+    "sub-document pass: whole documents rarely collide, their "
+    "boilerplate paragraphs do). Documents segment into fixed "
+    f"{PARA_WORDS}-word paragraphs (the fixture corpus is unpunctuated "
+    "word soup, so the window stands in for newline paragraphs — same "
+    "plan either way), each paragraph hashes to an md5 digest, and one "
+    "partially-aggregated digest shuffle yields the duplicate profile: "
+    "corpus totals plus the top repeated paragraphs. Only digests "
+    "shuffle (never paragraph text), counts combine map-side, and the "
+    "top-k is a TakeOrdered, not a global sort.",
+    f"""WITH d AS (
+         SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+       ),
+       c AS (
+         SELECT doc_id,
+                md5(array_to_string(
+                    toks[i * {PARA_WORDS} + 1 : i * {PARA_WORDS} + {PARA_WORDS}],
+                    ' ')) AS digest
+         FROM d, LATERAL (
+           SELECT unnest(range(0, CAST(len(toks) / {PARA_WORDS} AS INT))) AS i
+         ) t
+       ),
+       g AS (
+         SELECT digest, COUNT(*) AS n_copies,
+                COUNT(DISTINCT doc_id) AS n_docs
+         FROM c GROUP BY digest
+       )
+       SELECT digest, n_copies, CAST(n_docs AS BIGINT) AS n_docs
+       FROM g WHERE n_copies > 1
+       ORDER BY n_copies DESC, digest LIMIT 20""",
+)
+def q_paragraph_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    w = PARA_WORDS
+    docs = load_table(spark, "documents", sf)
+    paras = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(split(text, ' ')) div {w} - 1), "
+                f"i -> md5(cast(array_join(slice(split(text, ' '), "
+                f"i * {w} + 1, {w}), ' ') as binary)))"
+            )
+        ).alias("digest"),
+    )
+    return (
+        paras.groupBy("digest")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
+        )
+        .filter(F.col("n_copies") > 1)
+        .orderBy(F.col("n_copies").desc(), "digest")
+        .limit(20)
+    )

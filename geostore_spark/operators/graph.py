@@ -466,3 +466,94 @@ def q_degree_stats(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("deg_bucket")
     )
+
+
+# -- triangle counting -------------------------------------------------------
+
+
+@register(
+    "x_graph_triangles",
+    "Triangle count over the part co-purchase graph (parts sharing an "
+    "order are adjacent) — the clustering/community density probe. "
+    "Classic degree-ordered node-iterator (Schank-Wagner): every edge "
+    "is oriented from its (degree, id)-smaller endpoint, wedges are an "
+    "equi-join of oriented edges on their source, and each triangle is "
+    "counted exactly once by closing the wedge against the oriented "
+    "edge list. Orientation bounds out-degree by O(sqrt(E)), so the "
+    "wedge join never explodes on hub parts; edge generation is "
+    "per-order blocked (orders are small), never an all-pairs pass.",
+    """WITH e AS (
+         SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+         FROM lineitem a JOIN lineitem b
+           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       ),
+       deg AS (
+         SELECT node, COUNT(*) AS d FROM (
+           SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e
+         ) GROUP BY node
+       ),
+       o AS (
+         SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS src,
+                CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS dst,
+                CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN dv.d ELSE du.d END AS dst_d
+         FROM e JOIN deg du ON e.u = du.node JOIN deg dv ON e.v = dv.node
+       ),
+       w AS (
+         SELECT e1.dst AS b, e2.dst AS c
+         FROM o e1 JOIN o e2
+           ON e1.src = e2.src
+          AND (e1.dst_d, e1.dst) < (e2.dst_d, e2.dst)
+       )
+       SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+              CAST((SELECT COUNT(*) FROM w) AS BIGINT) AS n_wedges,
+              CAST((SELECT COUNT(*) FROM w JOIN o
+                    ON w.b = o.src AND w.c = o.dst) AS BIGINT) AS n_triangles""",
+)
+def q_triangles(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf).select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du, dv = deg.alias("du"), deg.alias("dv")
+    with_deg = edges.join(
+        du, F.col("u") == F.col("du.node")
+    ).join(dv, F.col("v") == F.col("dv.node"))
+    u_first = (F.col("du.d") < F.col("dv.d")) | (
+        (F.col("du.d") == F.col("dv.d")) & (F.col("u") < F.col("v"))
+    )
+    oriented = with_deg.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(u_first, F.col("dv.d")).otherwise(F.col("du.d")).alias("dst_d"),
+    )
+    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
+    ordered = (F.col("e1.dst_d") < F.col("e2.dst_d")) | (
+        (F.col("e1.dst_d") == F.col("e2.dst_d"))
+        & (F.col("e1.dst") < F.col("e2.dst"))
+    )
+    wedges = e1.join(
+        e2, (F.col("e1.src") == F.col("e2.src")) & ordered
+    ).select(F.col("e1.dst").alias("b"), F.col("e2.dst").alias("c"))
+    closed = wedges.join(
+        oriented,
+        (F.col("b") == F.col("src")) & (F.col("c") == F.col("dst")),
+        "left_semi",
+    )
+    # three scalar subcounts assembled as a 1-row cross of tiny aggregates
+    n_e = edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    n_w = wedges.agg(F.count(F.lit(1)).cast("bigint").alias("n_wedges"))
+    n_t = closed.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    return n_e.crossJoin(n_w).crossJoin(n_t)

@@ -500,3 +500,188 @@ def stats_benford(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+# -- two-sample Kolmogorov-Smirnov ------------------------------------------
+
+KS_TYPE_A = "click"
+KS_TYPE_B = "purchase"
+
+
+@register(
+    "x_stats_ks_test",
+    "Two-sample Kolmogorov-Smirnov statistic between the click and "
+    "purchase value distributions — the distribution-drift gate every "
+    "corpus-mix / AB pipeline runs. D = max |F_a(x) - F_b(x)| needs a "
+    "running CDF over globally sorted values, which a naive "
+    "unpartitioned window serializes onto ONE task; here the prefix "
+    "sums are two-phase (range-partition by value -> per-slice local "
+    "cumsums + a broadcast slice-offset table), so the sort parallelism "
+    "tracks data. The statistic is computed in exact integers "
+    "(max |ca*Nb - cb*Na|) and only the final ratio is floating.",
+    f"""WITH g AS (
+         SELECT value,
+                SUM(CASE WHEN event_type = '{KS_TYPE_A}' THEN 1 ELSE 0 END) AS a,
+                SUM(CASE WHEN event_type = '{KS_TYPE_B}' THEN 1 ELSE 0 END) AS b
+         FROM events
+         WHERE event_type IN ('{KS_TYPE_A}', '{KS_TYPE_B}')
+         GROUP BY value
+       ),
+       c AS (
+         SELECT SUM(a) OVER (ORDER BY value) AS ca,
+                SUM(b) OVER (ORDER BY value) AS cb
+         FROM g
+       ),
+       t AS (SELECT SUM(a) AS na, SUM(b) AS nb FROM g)
+       SELECT CAST(t.na AS BIGINT) AS n_a, CAST(t.nb AS BIGINT) AS n_b,
+              CAST(MAX(abs(c.ca * t.nb - c.cb * t.na)) AS BIGINT) AS d_num,
+              ROUND(CAST(MAX(abs(c.ca * t.nb - c.cb * t.na)) AS DOUBLE)
+                    / (t.na * t.nb), 6) AS ks
+       FROM c CROSS JOIN t GROUP BY t.na, t.nb""",
+)
+def stats_ks_test(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, "events", sf).filter(
+        F.col("event_type").isin(KS_TYPE_A, KS_TYPE_B)
+    )
+    g = ev.groupBy("value").agg(
+        F.sum(F.when(F.col("event_type") == KS_TYPE_A, 1).otherwise(0)).alias("a"),
+        F.sum(F.when(F.col("event_type") == KS_TYPE_B, 1).otherwise(0)).alias("b"),
+    )
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = g.repartitionByRange(n_parts, "value").withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    # phase 1: local cumsums within each range slice (parallelism = slices)
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = ranged.withColumn("ca_l", F.sum("a").over(w_local)).withColumn(
+        "cb_l", F.sum("b").over(w_local)
+    )
+    # phase 2: per-slice totals -> prefix offsets; the offset table is
+    # slice-count-sized, so its global window and the broadcast are trivial
+    parts = ranged.groupBy("_pid").agg(
+        F.sum("a").alias("sa"), F.sum("b").alias("sb")
+    )
+    w_off = (
+        Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = parts.select(
+        "_pid",
+        F.coalesce(F.sum("sa").over(w_off), F.lit(0)).alias("off_a"),
+        F.coalesce(F.sum("sb").over(w_off), F.lit(0)).alias("off_b"),
+    )
+    totals = parts.agg(
+        F.sum("sa").cast("bigint").alias("na"),
+        F.sum("sb").cast("bigint").alias("nb"),
+    )
+    d = F.abs(
+        (F.col("ca_l") + F.col("off_a")) * F.col("nb")
+        - (F.col("cb_l") + F.col("off_b")) * F.col("na")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .join(F.broadcast(totals))
+        .agg(
+            F.max("na").alias("n_a"),
+            F.max("nb").alias("n_b"),
+            F.max(d).cast("bigint").alias("d_num"),
+            F.round(
+                F.max(d).cast("double") / (F.max("na") * F.max("nb")), 6
+            ).alias("ks"),
+        )
+    )
+
+
+# -- Welch's t-test ----------------------------------------------------------
+
+
+@register(
+    "x_stats_ttest",
+    "Welch's unequal-variance t-test on document token counts between "
+    "even- and odd-numbered corpus sources — the did-the-mix-shift "
+    "check run before accepting a new crawl batch. One partially "
+    "aggregated shuffle over 2 group keys: exact decimal sums/sumsqs "
+    "per group, then t and the Welch-Satterthwaite dof are a constant "
+    "amount of driver-free float math on the 2-row aggregate.",
+    """WITH d AS (
+         SELECT CAST(substr(source, 4) AS INT) % 2 AS grp,
+                CAST(len(string_split(text, ' ')) AS DOUBLE) AS x
+         FROM documents
+       ),
+       s AS (
+         SELECT grp, COUNT(*) AS n,
+                CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+                CAST(SUM(CAST(x * x AS DECIMAL(28,6))) AS DOUBLE) AS sxx
+         FROM d GROUP BY grp
+       ),
+       w AS (
+         SELECT MAX(CASE WHEN grp = 0 THEN n END) AS n0,
+                MAX(CASE WHEN grp = 1 THEN n END) AS n1,
+                MAX(CASE WHEN grp = 0 THEN sx / n END) AS m0,
+                MAX(CASE WHEN grp = 1 THEN sx / n END) AS m1,
+                MAX(CASE WHEN grp = 0 THEN (sxx - sx * sx / n) / (n - 1) END) AS v0,
+                MAX(CASE WHEN grp = 1 THEN (sxx - sx * sx / n) / (n - 1) END) AS v1
+         FROM s
+       )
+       SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+              ROUND(m0, 4) AS mean0, ROUND(m1, 4) AS mean1,
+              ROUND((m0 - m1) / sqrt(v0 / n0 + v1 / n1), 4) AS t,
+              ROUND(pow(v0 / n0 + v1 / n1, 2)
+                    / (pow(v0 / n0, 2) / (n0 - 1)
+                       + pow(v1 / n1, 2) / (n1 - 1)), 2) AS dof
+       FROM w""",
+)
+def stats_ttest(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf)
+    d = docs.select(
+        (F.substring("source", 4, 10).cast("int") % 2).alias("grp"),
+        F.size(F.split(F.col("text"), " ")).cast("double").alias("x"),
+    )
+    s = d.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(28,6)")).cast("double").alias("sx"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(28,6)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    w = s.agg(
+        F.max(F.when(F.col("grp") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("grp") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("grp") == 0, F.col("sx") / F.col("n"))).alias("m0"),
+        F.max(F.when(F.col("grp") == 1, F.col("sx") / F.col("n"))).alias("m1"),
+        F.max(
+            F.when(
+                F.col("grp") == 0,
+                (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+                / (F.col("n") - 1),
+            )
+        ).alias("v0"),
+        F.max(
+            F.when(
+                F.col("grp") == 1,
+                (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+                / (F.col("n") - 1),
+            )
+        ).alias("v1"),
+    )
+    se2 = F.col("v0") / F.col("n0") + F.col("v1") / F.col("n1")
+    return w.select(
+        F.col("n0").cast("bigint").alias("n0"),
+        F.col("n1").cast("bigint").alias("n1"),
+        F.round("m0", 4).alias("mean0"),
+        F.round("m1", 4).alias("mean1"),
+        F.round((F.col("m0") - F.col("m1")) / F.sqrt(se2), 4).alias("t"),
+        F.round(
+            F.pow(se2, 2)
+            / (
+                F.pow(F.col("v0") / F.col("n0"), 2) / (F.col("n0") - 1)
+                + F.pow(F.col("v1") / F.col("n1"), 2) / (F.col("n1") - 1)
+            ),
+            2,
+        ).alias("dof"),
+    )

@@ -326,3 +326,40 @@ def test_low_cardinality_rank_is_two_phase(spark, name):
     for line in plan.splitlines():
         if "windowspecdefinition" in line.lower() and "row_number" in line.lower():
             assert "_pid" in line, f"global low-cardinality window in {name}: {line[:200]}"
+
+
+def test_ks_prefix_sums_are_two_phase(spark):
+    # the running CDF must never be one global unpartitioned window over
+    # the data: every windowed cumsum either includes the range-slice id
+    # or runs over the slice-count-sized offset table
+    plan = _plan(spark, "x_stats_ks_test")
+    assert "Window" in plan
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line.lower() and "value" in line.lower():
+            assert "_pid" in line, f"global window over data: {line[:200]}"
+
+
+def test_triangles_all_joins_are_equi(spark):
+    # degree-ordered orientation keeps the data joins equi-joins on node
+    # keys (a nested-loop wedge join would mean all-pairs degeneration);
+    # the only non-equi shapes allowed are the Cross joins assembling the
+    # three 1-row scalar aggregates into the result row
+    plan = _plan(spark, "x_graph_triangles")
+    assert "CartesianProduct" not in plan
+    for line in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert "Cross" in line, f"non-scalar nested loop: {line[:160]}"
+    # the wedge join itself must be an equi-join on the oriented source
+    assert any(
+        ("SortMergeJoin" in ln or "ShuffledHashJoin" in ln or "BroadcastHashJoin" in ln)
+        and "src" in ln
+        for ln in plan.splitlines()
+    )
+
+
+def test_paragraph_dedup_is_digest_rollup_topk(spark):
+    # only digests shuffle (one partial-agg exchange) and the top-k is a
+    # TakeOrdered, never a global sort of the digest table
+    plan = _plan(spark, "x_dedup_paragraph")
+    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan
