@@ -325,3 +325,144 @@ def q_mix_rebalance(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# -- weighted priority sampling (Efraimidis-Spirakis) ------------------------
+
+WEIGHTED_SAMPLE_K = 100
+
+
+@register(
+    "x_sample_weighted",
+    "Weighted sampling without replacement (Efraimidis-Spirakis "
+    "exponential-key form): each doc draws a deterministic uniform from "
+    "md5(doc_id), its priority key is -ln(u)/w with w = token count, "
+    "and the sample is the k smallest keys — longer docs "
+    "proportionally likelier, reproducible across engines/retries/"
+    "partitionings (no rand()). The key is a zero-shuffle scan "
+    "projection and the k winners come from a TakeOrdered merge of "
+    "per-partition top-k, never a global sort.",
+    f"""WITH d AS (
+         SELECT doc_id, len(string_split(text, ' ')) AS n_words,
+                CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-es'),
+                                     1, 12)) AS BIGINT)
+                  / CAST(281474976710656 AS DOUBLE) AS u
+         FROM documents
+       )
+       SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+              ROUND(-ln(u) / n_words, 8) AS key
+       FROM d ORDER BY -ln(u) / n_words, doc_id LIMIT {WEIGHTED_SAMPLE_K}""",
+)
+def q_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf)
+    # 12 hex chars of the md5 = 48 uniform bits; u in (0, 1]
+    u = F.conv(
+        F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("-es"))), 1, 12),
+        16,
+        10,
+    ).cast("double") / F.lit(float(1 << 48))
+    n_words = F.size(F.split(F.col("text"), " "))
+    key = -F.log(u) / n_words
+    return (
+        docs.select(
+            "doc_id",
+            n_words.cast("bigint").alias("n_words"),
+            key.alias("_key"),
+        )
+        .orderBy("_key", "doc_id")
+        .limit(WEIGHTED_SAMPLE_K)
+        .select("doc_id", "n_words", F.round("_key", 8).alias("key"))
+    )
+
+
+# -- the preprocessing funnel, end to end ------------------------------------
+
+FUNNEL_MIN_WORDS = 50  # gopher-style floor
+FUNNEL_SAMPLE_PCT = 50  # final hash-stratified keep rate
+
+
+@register(
+    "x_pipeline_funnel",
+    "The full preprocessing funnel as ONE composed plan — the pipeline "
+    "report every corpus release publishes: raw inventory -> quality "
+    "gate (min token floor) -> exact dedup (first doc per content "
+    "digest wins) -> deterministic 50% hash sample, with doc and token "
+    "counts after every stage. Stage predicates fuse into a single "
+    "scan + one digest shuffle + one conditional rollup: Catalyst "
+    "collapses the funnel, so adding a stage costs a predicate, not a "
+    "pass.",
+    f"""WITH d AS (
+         SELECT doc_id, md5(text) AS digest,
+                len(string_split(text, ' ')) AS n_words
+         FROM documents
+       ),
+       q AS (SELECT * FROM d WHERE n_words >= {FUNNEL_MIN_WORDS}),
+       u AS (
+         SELECT *, row_number() OVER (PARTITION BY digest ORDER BY doc_id) AS rn
+         FROM q
+       ),
+       s AS (
+         SELECT *,
+                CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-funnel'),
+                                     1, 4)) AS INT) % 100 AS bucket
+         FROM u WHERE rn = 1
+       )
+       SELECT (SELECT COUNT(*) FROM d) AS n_raw,
+              CAST((SELECT SUM(n_words) FROM d) AS BIGINT) AS tok_raw,
+              (SELECT COUNT(*) FROM q) AS n_quality,
+              CAST((SELECT SUM(n_words) FROM q) AS BIGINT) AS tok_quality,
+              (SELECT COUNT(*) FROM s) AS n_deduped,
+              CAST((SELECT SUM(n_words) FROM s) AS BIGINT) AS tok_deduped,
+              (SELECT COUNT(*) FROM s WHERE bucket < {FUNNEL_SAMPLE_PCT})
+                AS n_sampled,
+              CAST((SELECT SUM(n_words) FROM s
+                    WHERE bucket < {FUNNEL_SAMPLE_PCT}) AS BIGINT) AS tok_sampled
+       """,
+)
+def q_pipeline_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, "documents", sf)
+    d = docs.select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("digest"),
+        F.size(F.split(F.col("text"), " ")).alias("n_words"),
+    )
+    quality = F.col("n_words") >= FUNNEL_MIN_WORDS
+    # dedup rank must elect the first QUALITY doc per digest (the oracle
+    # ranks the quality CTE only): ordering quality-first makes rn=1 land
+    # on the smallest-id quality doc whenever one exists, without a
+    # second pass over a filtered frame. Digest cardinality ~= doc
+    # count, so the window partitions by a high-cardinality key — no
+    # rank ceiling.
+    rn = F.row_number().over(
+        Window.partitionBy("digest").orderBy(F.col("q").desc(), "doc_id")
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("-funnel"))),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("int")
+        % 100
+    )
+    staged = (
+        d.withColumn("q", quality)
+        .withColumn("rn", rn)
+        .withColumn("kept", F.col("q") & (F.col("rn") == 1))
+        .withColumn("sampled", F.col("kept") & (bucket < FUNNEL_SAMPLE_PCT))
+    )
+    return staged.agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.sum("n_words").cast("bigint").alias("tok_raw"),
+        F.sum(F.col("q").cast("long")).alias("n_quality"),
+        F.sum(F.when(F.col("q"), F.col("n_words"))).cast("bigint").alias("tok_quality"),
+        F.sum(F.coalesce(F.col("kept"), F.lit(False)).cast("long")).alias("n_deduped"),
+        F.sum(F.when(F.col("kept"), F.col("n_words"))).cast("bigint").alias("tok_deduped"),
+        F.sum(F.coalesce(F.col("sampled"), F.lit(False)).cast("long")).alias("n_sampled"),
+        F.sum(F.when(F.col("sampled"), F.col("n_words"))).cast("bigint").alias("tok_sampled"),
+    )

@@ -685,3 +685,81 @@ def stats_ttest(spark: SparkSession, sf: str) -> DataFrame:
             2,
         ).alias("dof"),
     )
+
+
+# -- population stability index (distribution drift) -------------------------
+
+PSI_BUCKETS = 10
+PSI_SPLIT_DAY = 16  # days 1-15 = reference window, 16-30 = current window
+
+
+@register(
+    "x_stats_psi_drift",
+    "Population Stability Index per event_type between the first- and "
+    "second-half event windows — the drift score model-monitoring "
+    "pipelines alert on (PSI > 0.2 = shifted). Values bucket into "
+    f"{PSI_BUCKETS} fixed-width bins; both windows aggregate in ONE "
+    "partially-aggregated pass over (type, bucket) cells (conditional "
+    "sums, no second scan), marginals ride the same rollup, and the "
+    "final Sum (p-q)*ln(p/q) is constant work per type row.",
+    f"""WITH c AS (
+         SELECT event_type,
+                least(CAST(floor(value / (100.0 / {PSI_BUCKETS})) AS INT),
+                      {PSI_BUCKETS - 1}) AS bucket,
+                SUM(CASE WHEN day(ts) < {PSI_SPLIT_DAY} THEN 1 ELSE 0 END) AS r,
+                SUM(CASE WHEN day(ts) >= {PSI_SPLIT_DAY} THEN 1 ELSE 0 END) AS cur
+         FROM events GROUP BY 1, 2
+       ),
+       t AS (
+         SELECT event_type, SUM(r) AS nr, SUM(cur) AS nc FROM c GROUP BY 1
+       )
+       SELECT c.event_type,
+              CAST(t.nr AS BIGINT) AS n_ref, CAST(t.nc AS BIGINT) AS n_cur,
+              ROUND(SUM(CASE WHEN c.r > 0 AND c.cur > 0
+                             THEN (CAST(c.r AS DOUBLE) / t.nr
+                                   - CAST(c.cur AS DOUBLE) / t.nc)
+                                  * ln((CAST(c.r AS DOUBLE) / t.nr)
+                                       / (CAST(c.cur AS DOUBLE) / t.nc))
+                             ELSE 0 END), 6) AS psi,
+              CAST(SUM(CASE WHEN c.r = 0 OR c.cur = 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_degenerate_buckets
+       FROM c JOIN t USING (event_type)
+       GROUP BY c.event_type, t.nr, t.nc
+       ORDER BY c.event_type""",
+)
+def stats_psi_drift(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, "events", sf)
+    bucket = F.least(
+        F.floor(F.col("value") / (100.0 / PSI_BUCKETS)).cast("int"),
+        F.lit(PSI_BUCKETS - 1),
+    )
+    is_ref = F.dayofmonth("ts") < PSI_SPLIT_DAY
+    cells = ev.groupBy("event_type", bucket.alias("bucket")).agg(
+        F.sum(is_ref.cast("long")).alias("r"),
+        F.sum((~is_ref).cast("long")).alias("cur"),
+    )
+    tot = cells.groupBy("event_type").agg(
+        F.sum("r").alias("nr"), F.sum("cur").alias("nc")
+    )
+    p = F.col("r").cast("double") / F.col("nr")
+    q = F.col("cur").cast("double") / F.col("nc")
+    term = F.when(
+        (F.col("r") > 0) & (F.col("cur") > 0), (p - q) * F.log(p / q)
+    ).otherwise(F.lit(0.0))
+    return (
+        cells.join(F.broadcast(tot), "event_type")
+        .groupBy("event_type", "nr", "nc")
+        .agg(
+            F.round(F.sum(term), 6).alias("psi"),
+            F.sum(((F.col("r") == 0) | (F.col("cur") == 0)).cast("long"))
+            .alias("n_degenerate_buckets"),
+        )
+        .select(
+            "event_type",
+            F.col("nr").cast("bigint").alias("n_ref"),
+            F.col("nc").cast("bigint").alias("n_cur"),
+            "psi",
+            F.col("n_degenerate_buckets").cast("bigint").alias("n_degenerate_buckets"),
+        )
+        .orderBy("event_type")
+    )
