@@ -22,6 +22,7 @@ and checkpointed via the state store — the same mechanics that carry a
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 from typing import Any
 
@@ -619,4 +620,78 @@ def streaming_bm25(stream: DataFrame, corpus: DataFrame) -> DataFrame:
             F.round(F.lit(1e6) * idf, 0).cast("bigint").alias("idf_q"),
             F.lit(avgdl).alias("avgdl"),
         )
+    )
+
+
+# -- streaming distribution drift (PSI) --------------------------------------
+
+PSI_STREAM_BUCKETS = 10
+PSI_REF_N = 20  # values per key that freeze into the reference histogram
+DRIFT_SCHEMA = (
+    "event_type string, n_ref long, n_cur long, psi double, n_degenerate long"
+)
+_DRIFT_STATE_SCHEMA = "ref array<long>, cur array<long>"
+
+
+def _update_drift(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Streaming twin of the batch ``x_stats_psi_drift``: the first
+    PSI_REF_N values per event_type freeze into a reference histogram;
+    every later value accumulates into the current histogram, and each
+    micro-batch emits the key's refreshed PSI. State is two fixed
+    10-bucket count arrays — constant per key, so state size is
+    O(keys), never O(events)."""
+    if state.exists:
+        ref, cur = [list(a) for a in state.get]
+    else:
+        ref, cur = [0] * PSI_STREAM_BUCKETS, [0] * PSI_STREAM_BUCKETS
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        pdf = pdf.sort_values("event_id")  # deterministic intra-batch order
+        for v in pdf["value"]:
+            b = min(int(float(v) / (100.0 / PSI_STREAM_BUCKETS)), PSI_STREAM_BUCKETS - 1)
+            if sum(ref) < PSI_REF_N:
+                ref[b] += 1
+            else:
+                cur[b] += 1
+    state.update((ref, cur))
+    n_ref, n_cur = sum(ref), sum(cur)
+    # Mirrors the batch x_stats_psi_drift contract exactly: PSI sums only
+    # over buckets populated on BOTH sides, and the zero-overlap buckets —
+    # where the classic formula degenerates to ±inf — surface as a count
+    # the caller alerts on (10 degenerate buckets == total shift).
+    psi = 0.0
+    n_degenerate = 0
+    if n_ref and n_cur:
+        for r, c in zip(ref, cur):
+            if r > 0 and c > 0:
+                p, q = r / n_ref, c / n_cur
+                psi += (p - q) * math.log(p / q)
+            elif r > 0 or c > 0:
+                n_degenerate += 1
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]],
+            "n_ref": [n_ref],
+            "n_cur": [n_cur],
+            "psi": [round(psi, 6)],
+            "n_degenerate": [n_degenerate],
+        }
+    )
+
+
+def streaming_psi_drift(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-event_type online PSI against a
+    frozen reference window (applyInPandasWithState; update mode — each
+    batch refreshes the key's drift score)."""
+    return stream.groupBy("event_type").applyInPandasWithState(
+        _update_drift,
+        outputStructType=DRIFT_SCHEMA,
+        stateStructType=_DRIFT_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

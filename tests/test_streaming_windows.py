@@ -474,3 +474,49 @@ def test_streaming_bm25_scores_against_corpus_stats(spark, tmp_path):
     expect_idf = round(1e6 * math.log((3 - 1 + 0.5) / (1 + 0.5) + 1.0))
     assert hits[(1, "customer")][0]["idf_q"] == expect_idf
     assert all(r["dl"] == 4 for r in hits[(1, "customer")])
+
+
+def test_streaming_psi_drift_flags_shifted_distribution(spark, tmp_path):
+    from geostore_spark.streaming.windows import streaming_psi_drift
+
+    events = str(tmp_path / "events")
+    ckpt = str(tmp_path / "ckpt")
+    # batch 1: 20 low values for 'click' (freeze as reference) and 20
+    # low values for 'view'
+    rows = []
+    for i in range(20):
+        rows.append({"event_id": i, "user_id": 1, "event_type": "click",
+                     "value": 5.0 + i % 10, "ts": _ts(1, 1)})
+        rows.append({"event_id": 100 + i, "user_id": 1, "event_type": "view",
+                     "value": 5.0 + i % 10, "ts": _ts(1, 1)})
+    _write_events(events, "b1.json", rows)
+    first = drain_collect(
+        streaming_psi_drift(event_stream(spark, events)), ckpt, output_mode="update"
+    )
+    by_key = {r["event_type"]: r for r in first}
+    assert by_key["click"]["n_ref"] == 20 and by_key["click"]["n_cur"] == 0
+
+    # batch 2: 'click' values SHIFT to the high buckets, 'view' stays —
+    # click's PSI must scream, view's must stay near zero
+    rows2 = []
+    for i in range(20):
+        rows2.append({"event_id": 200 + i, "user_id": 1, "event_type": "click",
+                      "value": 85.0 + i % 10, "ts": _ts(1, 2)})
+        rows2.append({"event_id": 300 + i, "user_id": 1, "event_type": "view",
+                      "value": 5.0 + i % 10, "ts": _ts(1, 2)})
+    _write_events(events, "b2.json", rows2)
+    second = drain_collect(
+        streaming_psi_drift(event_stream(spark, events)), ckpt, output_mode="update"
+    )
+    by_key2 = {r["event_type"]: r for r in second}
+    assert by_key2["click"]["n_cur"] == 20
+    assert by_key2["view"]["n_cur"] == 20
+    # view's current histogram replays its reference exactly: stable
+    # distribution, zero degenerate buckets, PSI ~ 0
+    assert by_key2["view"]["psi"] < 0.05
+    assert by_key2["view"]["n_degenerate"] == 0
+    # click shifted ENTIRELY out of its reference buckets: every populated
+    # bucket is one-sided, which is the total-shift signal the batch
+    # x_stats_psi_drift surfaces the same way (n_degenerate, guarded PSI)
+    assert by_key2["click"]["n_degenerate"] == 4  # 2 ref + 2 cur buckets
+    assert by_key2["click"]["n_degenerate"] > by_key2["view"]["n_degenerate"]
