@@ -589,3 +589,99 @@ def q_triangles(spark: SparkSession, sf: str) -> DataFrame:
     )
     n_e = oriented.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
     return n_e.crossJoin(n_wt).select("n_edges", "n_wedges", "n_triangles")
+
+
+# -- k-core peeling ----------------------------------------------------------
+
+KCORE_K = 25
+KCORE_ROUNDS = 3
+
+
+def _kcore_oracle() -> str:
+    """Unrolled CTE mirror of the fixed-round peel below."""
+    parts = [
+        """e0 AS (
+             SELECT DISTINCT l_partkey * 2 AS u, l_suppkey * 2 + 1 AS v
+             FROM lineitem
+           )"""
+    ]
+    for r in range(KCORE_ROUNDS):
+        parts.append(
+            f"""d{r} AS (
+                 SELECT node, COUNT(*) AS d FROM (
+                   SELECT u AS node FROM e{r} UNION ALL SELECT v AS node FROM e{r}
+                 ) GROUP BY node
+               ),
+               keep{r} AS (SELECT node FROM d{r} WHERE d >= {KCORE_K}),
+               e{r + 1} AS (
+                 SELECT u, v FROM e{r}
+                 WHERE u IN (SELECT node FROM keep{r})
+                   AND v IN (SELECT node FROM keep{r})
+               )"""
+        )
+    rows = [
+        f"""SELECT {r + 1} AS round,
+                   CAST((SELECT COUNT(*) FROM keep{r}) AS BIGINT) AS n_nodes,
+                   CAST((SELECT COUNT(*) FROM e{r + 1}) AS BIGINT) AS n_edges"""
+        for r in range(KCORE_ROUNDS)
+    ]
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + "\n"
+        + "\nUNION ALL\n".join(rows)
+        + "\nORDER BY round"
+    )
+
+
+@register(
+    "x_graph_kcore",
+    "k-core decomposition of the bipartite supplier-part supply graph "
+    "by iterative degree peeling (3 fixed rounds, k=25): each round "
+    "drops nodes below degree k, then keeps only edges with both "
+    "endpoints surviving — the standard dense-subgraph extraction that "
+    "feeds fraud-ring / hub-detection pipelines. Per round: one "
+    "partial-aggregated degree shuffle + two semi joins against the "
+    "(shrinking) survivor set; the edge list is checkpointed between "
+    "rounds so round r never recomputes rounds 0..r-1's joins "
+    "(lineage would otherwise grow quadratically in rounds). Survivor "
+    "sets are |V|-sized and hash-joined, never collected.",
+    _kcore_oracle(),
+)
+def q_kcore(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf)
+    edges = (
+        li.select(
+            (F.col("l_partkey") * 2).alias("u"),
+            (F.col("l_suppkey") * 2 + 1).alias("v"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    stats = []
+    for rnd in range(1, KCORE_ROUNDS + 1):
+        deg = (
+            edges.select(F.col("u").alias("node"))
+            .unionAll(edges.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= KCORE_K).select("node")
+        # survivors feed two semi joins + the count; materialize once
+        keep = keep.localCheckpoint(eager=False)
+        edges = (
+            edges.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+            .localCheckpoint(eager=False)
+        )
+        stats.append(
+            keep.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+            .crossJoin(
+                edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+            )
+            .select(F.lit(rnd).alias("round"), "n_nodes", "n_edges")
+        )
+    out = stats[0]
+    for s in stats[1:]:
+        out = out.unionAll(s)
+    return out.orderBy("round")

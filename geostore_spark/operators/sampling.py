@@ -466,3 +466,64 @@ def q_pipeline_funnel(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(F.coalesce(F.col("sampled"), F.lit(False)).cast("long")).alias("n_sampled"),
         F.sum(F.when(F.col("sampled"), F.col("n_words"))).cast("bigint").alias("tok_sampled"),
     )
+
+
+# -- training-shard assignment ----------------------------------------------
+
+N_SHARDS = 16
+
+
+@register(
+    "x_pipeline_shard_assign",
+    "Deterministic training-shard assignment + balance audit: every "
+    "document lands in one of 16 shards by content-independent "
+    "md5(seed||doc_id) — reproducible across engines, retries and "
+    "partition layouts (the property a resumable 100 TB export needs; "
+    "doc_id%N would inherit id-assignment skew). One partial-aggregated "
+    "shuffle to per-shard stats; the per-shard char share exposes "
+    "imbalance before the expensive write fans out. At scale this IS "
+    "the repartition key: shards map 1:1 to output files, so a "
+    "balanced hash here means no straggler writer.",
+    f"""WITH s AS (
+         SELECT {_duck_md5_32("'shard:' || CAST(doc_id AS VARCHAR)")}
+                  % {N_SHARDS} AS shard,
+                doc_id, n_chars
+         FROM documents
+       ),
+       tot AS (SELECT CAST(SUM(n_chars) AS BIGINT) AS total_chars FROM s)
+       SELECT s.shard, COUNT(*) AS n_docs,
+              CAST(SUM(s.n_chars) AS BIGINT) AS sum_chars,
+              MIN(s.doc_id) AS min_doc, MAX(s.doc_id) AS max_doc,
+              CAST(SUM(s.n_chars) AS DOUBLE) / ANY_VALUE(tot.total_chars)
+                AS char_share
+       FROM s CROSS JOIN tot
+       GROUP BY s.shard ORDER BY s.shard""",
+)
+def q_shard_assign(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf)
+    shard = (
+        _md5_32(F.concat(F.lit("shard:"), F.col("doc_id").cast("string")))
+        % N_SHARDS
+    )
+    s = docs.select(shard.alias("shard"), "doc_id", "n_chars")
+    per = s.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+    tot = per.agg(F.sum("sum_chars").cast("bigint").alias("total_chars"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "shard",
+            "n_docs",
+            "sum_chars",
+            "min_doc",
+            "max_doc",
+            (F.col("sum_chars").cast("double") / F.col("total_chars")).alias(
+                "char_share"
+            ),
+        )
+        .orderBy("shard")
+    )

@@ -763,3 +763,76 @@ def stats_psi_drift(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# -- mutual information ------------------------------------------------------
+
+MI_SCALE = 1_000_000_000  # nano-nats: per-cell contribs quantize to exact ints
+
+
+@register(
+    "x_stats_mutual_info",
+    "Pointwise mutual information table between event_type and the "
+    "payload k-decile — the feature-dependence screen run before "
+    "selecting categorical features (and the dedup signal for "
+    "correlated metadata columns). One shuffle to exact joint counts; "
+    "marginals derive FROM the cell counts (tiny re-aggregation, no "
+    "second pass over events) and join back via broadcast. Every float "
+    "(pmi, contribution) is computed per-cell from exact BIGINT counts "
+    "— no cross-cell float accumulation, so shuffle order is "
+    "irrelevant; the scaled nano-nat contribution column sums to total "
+    "MI exactly in integer space downstream.",
+    f"""WITH q AS (
+         SELECT event_type AS x,
+                CAST(regexp_extract(props, '"k": *([0-9]+)', 1) AS INTEGER)
+                  // 10 AS y
+         FROM events
+       ),
+       cell AS (SELECT x, y, COUNT(*) AS n_xy FROM q GROUP BY x, y),
+       mx AS (SELECT x, CAST(SUM(n_xy) AS BIGINT) AS n_x FROM cell GROUP BY x),
+       my AS (SELECT y, CAST(SUM(n_xy) AS BIGINT) AS n_y FROM cell GROUP BY y),
+       tot AS (SELECT CAST(SUM(n_xy) AS BIGINT) AS n FROM cell)
+       SELECT cell.x AS event_type, cell.y AS k_decile, cell.n_xy,
+              ln(CAST(cell.n_xy AS DOUBLE) * tot.n
+                 / (CAST(mx.n_x AS DOUBLE) * my.n_y)) AS pmi,
+              CAST(round(
+                (CAST(cell.n_xy AS DOUBLE) / tot.n)
+                * ln(CAST(cell.n_xy AS DOUBLE) * tot.n
+                     / (CAST(mx.n_x AS DOUBLE) * my.n_y)) * {MI_SCALE}
+              ) AS BIGINT) AS contrib_nanonats
+       FROM cell JOIN mx ON cell.x = mx.x
+                 JOIN my ON cell.y = my.y
+                 CROSS JOIN tot
+       ORDER BY event_type, k_decile""",
+)
+def stats_mutual_info(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, "events", sf)
+    q = ev.select(
+        F.col("event_type").alias("x"),
+        (
+            F.regexp_extract("props", '"k": *([0-9]+)', 1).cast("int") / 10
+        ).cast("int").alias("y"),
+    )
+    cell = q.groupBy("x", "y").agg(F.count(F.lit(1)).alias("n_xy"))
+    # marginals and the grand total re-aggregate the |X|x|Y| cell table
+    # (≤50 rows) — never the event stream again
+    cell = cell.localCheckpoint(eager=False)
+    mx = cell.groupBy("x").agg(F.sum("n_xy").cast("bigint").alias("n_x"))
+    my = cell.groupBy("y").agg(F.sum("n_xy").cast("bigint").alias("n_y"))
+    tot = cell.agg(F.sum("n_xy").cast("bigint").alias("n"))
+    j = (
+        cell.join(F.broadcast(mx), "x")
+        .join(F.broadcast(my), "y")
+        .crossJoin(F.broadcast(tot))
+    )
+    n_xy_d = F.col("n_xy").cast("double")
+    pmi = F.log(n_xy_d * F.col("n") / (F.col("n_x").cast("double") * F.col("n_y")))
+    return j.select(
+        F.col("x").alias("event_type"),
+        F.col("y").alias("k_decile"),
+        "n_xy",
+        pmi.alias("pmi"),
+        F.round((n_xy_d / F.col("n")) * pmi * MI_SCALE, 0)
+        .cast("bigint")
+        .alias("contrib_nanonats"),
+    ).orderBy("event_type", "k_decile")

@@ -156,3 +156,74 @@ def q_moving_avg(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("o_custkey", "o_orderkey")
         .limit(200)
     )
+
+
+# -- exponentially weighted moving average -----------------------------------
+
+EWMA_WINDOW_DAYS = 13  # lookback: weights 2^0 .. 2^-13 (half-life = 1 day)
+
+
+@register(
+    "x_events_ewma",
+    "Per-user EWMA of daily event volume (half-life one day, bounded "
+    "14-day lookback) — the smoothed activity signal behind rate "
+    "limiting and engagement scoring. One shuffle to (user, day) "
+    "counts, then a RANGE-framed window per user collects the ≤14 "
+    "in-window days and a higher-order aggregate folds them with "
+    "exact power-of-two weights (every term and partial sum is an "
+    "integer < 2^53, where double arithmetic is exact): numerator and "
+    "denominator are exact, the single division deterministic. Window "
+    "state is bounded "
+    "by the lookback (14 structs), not the user's history, and "
+    "parallelism is ∝ distinct users — no self-join (the oracle's "
+    "quadratic form) ever runs on the Spark side.",
+    f"""WITH d AS (
+         SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS x
+         FROM events GROUP BY user_id, day
+       ),
+       dd AS (
+         SELECT user_id, day,
+                date_diff('day', DATE '1970-01-01', day) AS dn, x
+         FROM d
+       )
+       SELECT a.user_id, CAST(a.day AS VARCHAR) AS day, a.x AS n_events,
+              CAST(SUM(b.x * (CAST(1 AS BIGINT)
+                     << ({EWMA_WINDOW_DAYS} - (a.dn - b.dn)))) AS DOUBLE)
+                / SUM(CAST(1 AS BIGINT)
+                     << ({EWMA_WINDOW_DAYS} - (a.dn - b.dn))) AS ewma
+       FROM dd a JOIN dd b
+         ON a.user_id = b.user_id
+        AND b.dn BETWEEN a.dn - {EWMA_WINDOW_DAYS} AND a.dn
+       GROUP BY a.user_id, a.day, a.x
+       ORDER BY a.user_id, a.day""",
+)
+def q_events_ewma(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, "events", sf)
+    daily = (
+        ev.select("user_id", F.to_date("ts").alias("day"))
+        .groupBy("user_id", "day")
+        .agg(F.count(F.lit(1)).alias("x"))
+        .withColumn("dn", F.datediff("day", F.lit("1970-01-01")).cast("long"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("dn")
+        .rangeBetween(-EWMA_WINDOW_DAYS, 0)
+    )
+    hist = F.collect_list(F.struct("dn", "x")).over(w)
+    zero = F.lit(0.0)
+    # 2^(13-(dn_cur-dn_j)) via pow: every term and partial sum is an
+    # integer < 2^53, where IEEE double arithmetic is EXACT — bit-equal
+    # to the oracle's BIGINT shifts
+    weight = lambda e: F.pow(F.lit(2.0), F.lit(EWMA_WINDOW_DAYS) - (F.col("dn") - e["dn"]))  # noqa: E731
+    numer = F.aggregate(hist, zero, lambda acc, e: acc + e["x"] * weight(e))
+    denom = F.aggregate(hist, zero, lambda acc, e: acc + weight(e))
+    return (
+        daily.select(
+            "user_id",
+            "day",
+            F.col("x").alias("n_events"),
+            (numer / denom).alias("ewma"),
+        )
+        .orderBy("user_id", "day")
+    )

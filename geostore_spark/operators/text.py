@@ -1181,3 +1181,81 @@ def pipeline_dataset_card(spark: SparkSession, sf: str) -> DataFrame:
         .alias("n_exact_dupes"),
         F.sum((n_words >= GOPHER_MIN_WORDS).cast("bigint")).alias("n_pass_min_words"),
     )
+
+
+# -- Zipf rank-frequency fit -------------------------------------------------
+
+ZIPF_TOP = 200
+ZIPF_SCALE = 1_000_000  # ln values quantize to micro-units → exact int sums
+
+
+@register(
+    "x_text_zipf",
+    "Zipf's-law fit over the corpus vocabulary: whitespace token "
+    "counts (one explode + one partial-aggregated shuffle), top-200 "
+    "types by (count desc, token) — a TakeOrdered top-k, never a "
+    "global sort — then the OLS slope of ln(freq) on ln(rank). A "
+    "natural-text corpus fits slope ≈ -1; synthetic or heavily "
+    "templated text bends the tail, making the slope a corpus-level "
+    "quality screen. ln terms quantize to micro-units so the five "
+    "regression sums are exact BIGINTs (order-free); the slope "
+    "division is one deterministic float op on exact inputs.",
+    f"""WITH tok AS (
+         SELECT unnest(string_split_regex(trim(text), '\\s+')) AS t
+         FROM documents
+       ),
+       cnt AS (SELECT t, COUNT(*) AS c FROM tok WHERE t <> '' GROUP BY t),
+       top AS (
+         SELECT t, c, ROW_NUMBER() OVER (ORDER BY c DESC, t) AS r
+         FROM cnt ORDER BY c DESC, t LIMIT {ZIPF_TOP}
+       ),
+       q AS (
+         SELECT CAST(round(ln(r) * {ZIPF_SCALE}) AS BIGINT) AS xq,
+                CAST(round(ln(c) * {ZIPF_SCALE}) AS BIGINT) AS yq
+         FROM top
+       ),
+       s AS (
+         SELECT COUNT(*) AS n,
+                CAST(SUM(xq) AS BIGINT) AS sx, CAST(SUM(yq) AS BIGINT) AS sy,
+                CAST(SUM(xq * yq) AS BIGINT) AS sxy,
+                CAST(SUM(xq * xq) AS BIGINT) AS sxx
+         FROM q
+       )
+       SELECT n,
+              (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                AS zipf_slope
+       FROM s""",
+)
+def q_zipf(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf)
+    tok = docs.select(
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("t")
+    ).filter(F.col("t") != "")
+    cnt = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    top = cnt.orderBy(F.desc("c"), F.asc("t")).limit(ZIPF_TOP)
+    from pyspark.sql.window import Window
+
+    # rank over the 200 collected-to-one-task survivors (constant-size)
+    r = F.row_number().over(Window.orderBy(F.desc("c"), F.asc("t")))
+    q = top.select(
+        F.round(F.log(r.cast("double")) * ZIPF_SCALE, 0).cast("bigint").alias("xq"),
+        F.round(F.log(F.col("c").cast("double")) * ZIPF_SCALE, 0)
+        .cast("bigint")
+        .alias("yq"),
+    )
+    s = q.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xq").cast("bigint").alias("sx"),
+        F.sum("yq").cast("bigint").alias("sy"),
+        F.sum(F.col("xq") * F.col("yq")).cast("bigint").alias("sxy"),
+        F.sum(F.col("xq") * F.col("xq")).cast("bigint").alias("sxx"),
+    )
+    n_d = F.col("n").cast("double")
+    return s.select(
+        "n",
+        (
+            (n_d * F.col("sxy") - F.col("sx").cast("double") * F.col("sy"))
+            / (n_d * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+        ).alias("zipf_slope"),
+    )

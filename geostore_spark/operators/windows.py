@@ -304,3 +304,45 @@ def win_dense_rank_topn(spark: SparkSession, sf: str) -> DataFrame:
         .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
         .orderBy("o_custkey", "rnk", "o_orderkey")
     )
+
+
+@register(
+    "x_win_cume_dist",
+    "Distribution-position windows — percent_rank and cume_dist of "
+    "customer balance within (nation, segment) cells: the per-cohort "
+    "percentile position used for within-stratum normalization before "
+    "cross-stratum comparison. 125 window partitions (25 nations x 5 "
+    "segments) — parallelism ∝ cell count, an order of magnitude above "
+    "the segment-only shape the two-phase rank helper exists for; both "
+    "rank fractions are pure (rank-1)/(n-1)-style ratios of exact "
+    "integers, deterministic across engines.",
+    """SELECT c_nationkey, c_mktsegment, c_custkey,
+              CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents,
+              PERCENT_RANK() OVER w AS pct_rank,
+              CUME_DIST() OVER w AS cume
+       FROM customer
+       WINDOW w AS (PARTITION BY c_nationkey, c_mktsegment
+                    ORDER BY round(c_acctbal * 100), c_custkey)
+       QUALIFY c_custkey <= 300
+       ORDER BY c_nationkey, c_mktsegment, c_custkey""",
+)
+def win_cume_dist(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    cust = load_table(spark, "customer", sf)
+    cents = F.round(F.col("c_acctbal") * 100, 0).cast("bigint")
+    w = Window.partitionBy("c_nationkey", "c_mktsegment").orderBy(
+        cents, "c_custkey"
+    )
+    return (
+        cust.select(
+            "c_nationkey",
+            "c_mktsegment",
+            "c_custkey",
+            cents.alias("bal_cents"),
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+        )
+        .filter(F.col("c_custkey") <= 300)
+        .orderBy("c_nationkey", "c_mktsegment", "c_custkey")
+    )

@@ -80,6 +80,7 @@ def all_queries() -> dict[str, RegisteredQuery]:
         ml,
         multimodal,
         retention,
+        runtime_filters,
         sampling,
         similarity,
         skew,

@@ -363,3 +363,49 @@ def test_paragraph_dedup_is_digest_rollup_topk(spark):
     plan = _plan(spark, "x_dedup_paragraph")
     assert "TakeOrderedAndProject" in plan
     assert "Join" not in plan
+
+
+def test_bloom_semi_prefilter_is_in_scan_stage(spark):
+    plan = _plan(spark, "x_join_bloom_semi")
+    # the Bloom membership probe must be a plain Filter over the orders
+    # scan (bit_get against the broadcast bitmap literal), and the exact
+    # verify must stay a broadcast semi join — fact side never shuffles
+    assert "bit_get" in plan
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_kcore_rounds_reuse_checkpointed_edges(spark):
+    plan = _plan(spark, "x_graph_kcore")
+    # peeled edge lists are checkpointed between rounds: the lineitem
+    # scan + distinct must not be re-derived once per round
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ewma_is_bounded_window_not_self_join(spark):
+    plan = _plan(spark, "x_events_ewma")
+    # the Spark side must run the RANGE-framed window + higher-order
+    # aggregate — never the oracle's quadratic self-join
+    assert "Join" not in plan
+    assert "RunningWindowFunction" in plan or "Window" in plan
+
+
+def test_zipf_topk_is_take_ordered(spark):
+    plan = _plan(spark, "x_text_zipf")
+    # top-200 vocabulary cut must be a TakeOrdered, not a global sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_mutual_info_marginals_broadcast(spark):
+    plan = _plan(spark, "x_stats_mutual_info")
+    # marginals and total re-aggregate the tiny cell table and join back
+    # broadcast — the event stream is shuffled exactly once
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_shard_assign_is_one_shuffle_plus_broadcast_total(spark):
+    plan = _plan(spark, "x_pipeline_shard_assign")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
