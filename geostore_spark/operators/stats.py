@@ -836,3 +836,100 @@ def stats_mutual_info(spark: SparkSession, sf: str) -> DataFrame:
         .cast("bigint")
         .alias("contrib_nanonats"),
     ).orderBy("event_type", "k_decile")
+
+
+# -- covariance matrix -------------------------------------------------------
+
+COV_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+COV_SCALE = 100  # all four columns quantize exactly to 1/100 units
+
+
+@register(
+    "x_stats_cov_matrix",
+    "Pairwise covariance matrix of four lineitem measures in ONE pass "
+    "— the feature-correlation screen before PCA/whitening. All 4 "
+    "first moments accumulate as exact BIGINTs and the 10 distinct "
+    "second moments as exact DECIMAL(38,0)/HUGEINT (price-squared sums "
+    "overflow 64 bits already at sf0.1 — 128-bit accumulation holds to "
+    "~1e12 rows), all in a single partially-aggregated reduce (no "
+    "per-pair passes, no two-pass mean-then-residual); the 10 "
+    "covariance floats are per-cell functions of those exact sums. "
+    "Output is the upper triangle as rows — the layout a "
+    "broadcast-join consumer wants.",
+    f"""WITH q AS (
+         SELECT CAST(round(l_quantity * {COV_SCALE}) AS BIGINT) AS x0,
+                CAST(round(l_extendedprice * {COV_SCALE}) AS BIGINT) AS x1,
+                CAST(round(l_discount * {COV_SCALE}) AS BIGINT) AS x2,
+                CAST(round(l_tax * {COV_SCALE}) AS BIGINT) AS x3
+         FROM lineitem
+       ),
+       s AS (
+         SELECT COUNT(*) AS n,
+                SUM(x0) AS s0, SUM(x1) AS s1, SUM(x2) AS s2, SUM(x3) AS s3,
+                SUM(CAST(x0 AS HUGEINT)*x0) AS s00,
+                SUM(CAST(x0 AS HUGEINT)*x1) AS s01,
+                SUM(CAST(x0 AS HUGEINT)*x2) AS s02,
+                SUM(CAST(x0 AS HUGEINT)*x3) AS s03,
+                SUM(CAST(x1 AS HUGEINT)*x1) AS s11,
+                SUM(CAST(x1 AS HUGEINT)*x2) AS s12,
+                SUM(CAST(x1 AS HUGEINT)*x3) AS s13,
+                SUM(CAST(x2 AS HUGEINT)*x2) AS s22,
+                SUM(CAST(x2 AS HUGEINT)*x3) AS s23,
+                SUM(CAST(x3 AS HUGEINT)*x3) AS s33
+         FROM q
+       ),
+       cells(i, j, sij, si, sj) AS (
+         SELECT 0, 0, (SELECT s00 FROM s), (SELECT s0 FROM s), (SELECT s0 FROM s)
+         UNION ALL SELECT 0, 1, (SELECT s01 FROM s), (SELECT s0 FROM s), (SELECT s1 FROM s)
+         UNION ALL SELECT 0, 2, (SELECT s02 FROM s), (SELECT s0 FROM s), (SELECT s2 FROM s)
+         UNION ALL SELECT 0, 3, (SELECT s03 FROM s), (SELECT s0 FROM s), (SELECT s3 FROM s)
+         UNION ALL SELECT 1, 1, (SELECT s11 FROM s), (SELECT s1 FROM s), (SELECT s1 FROM s)
+         UNION ALL SELECT 1, 2, (SELECT s12 FROM s), (SELECT s1 FROM s), (SELECT s2 FROM s)
+         UNION ALL SELECT 1, 3, (SELECT s13 FROM s), (SELECT s1 FROM s), (SELECT s3 FROM s)
+         UNION ALL SELECT 2, 2, (SELECT s22 FROM s), (SELECT s2 FROM s), (SELECT s2 FROM s)
+         UNION ALL SELECT 2, 3, (SELECT s23 FROM s), (SELECT s2 FROM s), (SELECT s3 FROM s)
+         UNION ALL SELECT 3, 3, (SELECT s33 FROM s), (SELECT s3 FROM s), (SELECT s3 FROM s)
+       )
+       SELECT cells.i, cells.j,
+              (CAST(sij AS DOUBLE) - CAST(si AS DOUBLE) * sj / (SELECT n FROM s))
+                / ((SELECT n FROM s) - 1) / ({COV_SCALE} * {COV_SCALE})
+                AS cov
+       FROM cells ORDER BY i, j""",
+)
+def stats_cov_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf)
+    xs = [
+        F.round(F.col(c) * COV_SCALE, 0).cast("bigint").alias(f"x{i}")
+        for i, c in enumerate(COV_COLS)
+    ]
+    q = li.select(*xs)
+    aggs = [F.count(F.lit(1)).alias("n")]
+    aggs += [F.sum(f"x{i}").alias(f"s{i}") for i in range(4)]
+    pairs = [(i, j) for i in range(4) for j in range(i, 4)]
+    aggs += [
+        F.sum(F.col(f"x{i}").cast("decimal(19,0)") * F.col(f"x{j}").cast("decimal(19,0)"))
+        .alias(f"s{i}{j}")
+        for i, j in pairs
+    ]
+    s = q.agg(*aggs)
+    n_d = F.col("n").cast("double")
+    cells = [
+        F.struct(
+            F.lit(i).alias("i"),
+            F.lit(j).alias("j"),
+            (
+                (
+                    F.col(f"s{i}{j}").cast("double")
+                    - F.col(f"s{i}").cast("double") * F.col(f"s{j}") / n_d
+                )
+                / (n_d - 1)
+                / (COV_SCALE * COV_SCALE)
+            ).alias("cov"),
+        )
+        for i, j in pairs
+    ]
+    return (
+        s.select(F.explode(F.array(*cells)).alias("c"))
+        .select("c.i", "c.j", "c.cov")
+        .orderBy("i", "j")
+    )

@@ -227,3 +227,55 @@ def q_events_ewma(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("user_id", "day")
     )
+
+
+# -- event-sequence transition matrix ----------------------------------------
+
+
+@register(
+    "x_events_markov",
+    "First-order Markov transition matrix over per-user event "
+    "sequences — the sequence-model prior (and funnel generalization: "
+    "every A→B conversion rate at once). One user_id-keyed shuffle "
+    "feeds a LAG window ordered by (ts, event_id); transition counts "
+    "partially aggregate on the ≤25 (prev, next) keys; row "
+    "normalization derives from the transition table itself (tiny "
+    "re-aggregation, broadcast back) — the event stream is read and "
+    "shuffled exactly once. Probabilities are single divisions of "
+    "exact counts.",
+    """WITH seq AS (
+         SELECT user_id, event_type,
+                LAG(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS prev
+         FROM events
+       ),
+       t AS (
+         SELECT prev, event_type AS next, COUNT(*) AS n
+         FROM seq WHERE prev IS NOT NULL GROUP BY prev, next
+       ),
+       m AS (SELECT prev, CAST(SUM(n) AS BIGINT) AS n_prev FROM t GROUP BY prev)
+       SELECT t.prev, t.next, t.n,
+              CAST(t.n AS DOUBLE) / m.n_prev AS p
+       FROM t JOIN m ON t.prev = m.prev
+       ORDER BY t.prev, t.next""",
+)
+def q_events_markov(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, "events", sf)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev"),
+    )
+    t = (
+        seq.filter(F.col("prev").isNotNull())
+        .groupBy("prev", F.col("event_type").alias("next"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    t = t.localCheckpoint(eager=False)
+    m = t.groupBy("prev").agg(F.sum("n").cast("bigint").alias("n_prev"))
+    return (
+        t.join(F.broadcast(m), "prev")
+        .select("prev", "next", "n", (F.col("n").cast("double") / F.col("n_prev")).alias("p"))
+        .orderBy("prev", "next")
+    )

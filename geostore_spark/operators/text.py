@@ -1259,3 +1259,96 @@ def q_zipf(spark: SparkSession, sf: str) -> DataFrame:
             / (n_d * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
         ).alias("zipf_slope"),
     )
+
+
+# -- Kneser-Ney smoothed bigram LM -------------------------------------------
+
+KN_DISCOUNT_X4 = 3  # D = 0.75 expressed as 3/4 — exact in binary doubles
+KN_TOP = 50
+
+
+@register(
+    "x_text_kneser_ney",
+    "Interpolated Kneser-Ney bigram probabilities — the smoothing "
+    "actually used by n-gram quality-filter LMs (raw conditional "
+    "P(w2|w1), x_text_bigram_lm, assigns zero mass to unseen pairs; "
+    "KN discounts every seen bigram by D=0.75 and backs off to the "
+    "CONTINUATION unigram — how many contexts a word follows, not how "
+    "often it occurs). Everything derives from ONE bigram-count "
+    "shuffle: context totals, per-context type counts, continuation "
+    "counts and the global bigram-type total are all tiny "
+    "re-aggregations of that table, broadcast back. D=3/4 is exact in "
+    "binary, so the per-row float is a deterministic function of "
+    "exact integer counts.",
+    f"""WITH w AS (
+         SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents
+       ),
+       bg AS (
+         SELECT unnest(list_transform(range(1, len(ws)),
+                                      i -> ws[i] || ' ' || ws[i+1])) AS g,
+                unnest(list_transform(range(1, len(ws)), i -> ws[i])) AS w1,
+                unnest(list_transform(range(1, len(ws)), i -> ws[i+1])) AS w2
+         FROM w WHERE len(ws) >= 2
+       ),
+       bgc AS (SELECT w1, w2, g, COUNT(*) AS c FROM bg GROUP BY w1, w2, g),
+       ctx AS (
+         SELECT w1, CAST(SUM(c) AS BIGINT) AS cw1,
+                COUNT(*) AS n_types_after
+         FROM bgc GROUP BY w1
+       ),
+       cont AS (SELECT w2, COUNT(*) AS n_contexts_before FROM bgc GROUP BY w2),
+       tot AS (SELECT COUNT(*) AS n_bigram_types FROM bgc)
+       SELECT bgc.g AS bigram, bgc.c AS cnt,
+              (CAST(bgc.c AS DOUBLE) - {KN_DISCOUNT_X4}.0 / 4) / ctx.cw1
+              + ({KN_DISCOUNT_X4}.0 / 4) * ctx.n_types_after / ctx.cw1
+                * (CAST(cont.n_contexts_before AS DOUBLE) / tot.n_bigram_types)
+                AS p_kn
+       FROM bgc JOIN ctx ON bgc.w1 = ctx.w1
+                JOIN cont ON bgc.w2 = cont.w2
+                CROSS JOIN tot
+       ORDER BY cnt DESC, bigram LIMIT {KN_TOP}""",
+)
+def text_kneser_ney(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf)
+    ws = F.split(F.trim("text"), " ")
+    pairs = (
+        docs.filter(F.size(ws) >= 2)
+        .select(
+            F.explode(
+                F.zip_with(
+                    F.slice(ws, 1, F.size(ws) - 1),
+                    F.slice(ws, 2, F.size(ws) - 1),
+                    lambda a, b: F.struct(
+                        a.alias("w1"),
+                        b.alias("w2"),
+                        F.concat_ws(" ", a, b).alias("g"),
+                    ),
+                )
+            ).alias("z")
+        )
+        .select("z.w1", "z.w2", "z.g")
+    )
+    bgc = pairs.groupBy("w1", "w2", "g").agg(F.count(F.lit(1)).alias("cnt"))
+    # every smoothing statistic is a re-aggregation of the bigram table —
+    # the corpus is exploded and shuffled exactly once
+    bgc = bgc.localCheckpoint(eager=False)
+    ctx = bgc.groupBy("w1").agg(
+        F.sum("cnt").cast("bigint").alias("cw1"),
+        F.count(F.lit(1)).alias("n_types_after"),
+    )
+    cont = bgc.groupBy("w2").agg(F.count(F.lit(1)).alias("n_contexts_before"))
+    tot = bgc.agg(F.count(F.lit(1)).alias("n_bigram_types"))
+    d = F.lit(KN_DISCOUNT_X4 / 4.0)
+    p_kn = (
+        (F.col("cnt").cast("double") - d) / F.col("cw1")
+        + d * F.col("n_types_after") / F.col("cw1")
+        * (F.col("n_contexts_before").cast("double") / F.col("n_bigram_types"))
+    )
+    return (
+        bgc.join(F.broadcast(ctx), "w1")
+        .join(F.broadcast(cont), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(F.col("g").alias("bigram"), "cnt", p_kn.alias("p_kn"))
+        .orderBy(F.col("cnt").desc(), "bigram")
+        .limit(KN_TOP)
+    )

@@ -409,3 +409,27 @@ def test_shard_assign_is_one_shuffle_plus_broadcast_total(spark):
     plan = _plan(spark, "x_pipeline_shard_assign")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_cov_matrix_is_single_aggregate_pass(spark):
+    plan = _plan(spark, "x_stats_cov_matrix")
+    # all 14 moments in one partial+final aggregate — no per-pair passes
+    assert plan.count("HashAggregate") == 2
+    assert "Join" not in plan
+
+
+def test_markov_normalizer_broadcasts(spark):
+    plan = _plan(spark, "x_events_markov")
+    # row normalizer re-aggregates the transition table, broadcast back;
+    # the event stream is shuffled once (the LAG window)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_kneser_ney_stats_all_broadcast(spark):
+    plan = _plan(spark, "x_text_kneser_ney")
+    # ctx/cont/total all broadcast; the exploded corpus shuffles once
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "BroadcastNestedLoopJoin" in plan or plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
