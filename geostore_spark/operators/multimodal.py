@@ -6,16 +6,20 @@ materialized whole-table; decode/feature work happens in Arrow-batched
 ``mapInPandas`` so each task holds one batch of payloads at a time and
 partitioning carries straight through.
 
-The container has no image/audio libraries, so fixture payloads use a
-deterministic synthetic media container — ``GSM1|<width>|<height>|<body>``
-— whose header the decode step genuinely PARSES from the bytes (not a
-hash-derived fake): the decode output is a pure function of the payload,
-so a DuckDB SQL oracle can reproduce every field and the driver
-hash-checks all three queries end to end. Real codecs remain a
-try-import away (``_select_decoder`` prefers PIL when the payload isn't
-GSM1-containerized); swapping them in changes no plan shape — the
-mapInPandas schema, batch shape, and partition behavior are the real,
-tested plumbing.
+Two REAL codec paths run with nothing beyond the standard library:
+``x_mm_wav_decode`` synthesizes and parses genuine RIFF/WAVE PCM16 via
+the stdlib ``wave`` module, and ``x_mm_bmp_decode`` parses genuine
+uncompressed 24-bit BMP headers + pixel arrays via ``struct`` — any
+real mono PCM WAV / bottom-up 24-bit BMP decodes through the same
+functions. The remaining three queries use a deterministic synthetic
+container — ``GSM1|<width>|<height>|<body>`` — whose header the decode
+step genuinely PARSES from the bytes: in every case the decode output
+is a pure function of the payload, so a DuckDB SQL oracle reproduces
+every field and the driver hash-checks all five queries end to end.
+Heavier codecs (JPEG/MP4) remain a try-import away (``_select_decoder``
+prefers PIL when the payload isn't GSM1-containerized); swapping them
+in changes no plan shape — the mapInPandas schema, batch shape, and
+partition behavior are the same tested plumbing.
 
 Payload text is ASCII in the fixtures, so the oracle's char-indexed
 ``substr``/``strlen`` agree with Python's byte slicing; the Python side
@@ -330,3 +334,223 @@ def q_mm_frames(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("doc_id", "frame_index")
         .limit(200)
     )
+
+
+# -- real codec paths: WAV (stdlib wave) and BMP (struct) --------------------
+#
+# The GSM1 container above is the toy fixture format; these two paths
+# synthesize and decode REAL formats with nothing but the standard
+# library: RIFF/WAVE PCM16 parsed by ``wave`` (any real mono PCM WAV
+# decodes through the same function) and uncompressed 24-bit BMP parsed
+# by ``struct`` from the actual BITMAPFILEHEADER/BITMAPINFOHEADER.
+# Sample/pixel data derives deterministically from the document text
+# bytes, so a closed-form SQL oracle reproduces every decoded statistic
+# — the driver hash-checks a genuine codec round-trip end to end.
+
+WAV_FRAMERATE = 8000
+WAV_SCHEMA = (
+    "doc_id long, n_channels int, sample_width int, framerate int, "
+    "n_frames long, sum_sq long, rms double, duration_ms double"
+)
+BMP_SCHEMA = (
+    "doc_id long, width int, height int, bpp int, file_size long, "
+    "n_pixel_bytes long, pix_sum long, mean_gray double"
+)
+
+
+def _synth_wav(text: bytes) -> bytes:
+    """Render text bytes as a real mono PCM16 WAV: sample_i =
+    (byte_i - 128) * 256."""
+    import io
+    import wave as wave_mod
+
+    samples = (np.frombuffer(text, dtype=np.uint8).astype(np.int16) - 128) * 256
+    buf = io.BytesIO()
+    with wave_mod.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(WAV_FRAMERATE)
+        w.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def _decode_wav(payload: bytes) -> tuple[int, int, int, int, int]:
+    """REAL codec: parse the RIFF/WAVE header and PCM frames with the
+    stdlib ``wave`` module (works on any mono/stereo PCM WAV, not just
+    the synthesized fixtures)."""
+    import io
+    import wave as wave_mod
+
+    with wave_mod.open(io.BytesIO(payload), "rb") as w:
+        nch = w.getnchannels()
+        sw = w.getsampwidth()
+        fr = w.getframerate()
+        nf = w.getnframes()
+        raw = w.readframes(nf)
+    arr = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+    return nch, sw, fr, nf, int((arr * arr).sum())
+
+
+def wav_pipeline(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Synthesize → decode real WAV payloads in Arrow batches. The
+    decode step never sees the source text — only the WAV bytes."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                payload = _synth_wav(text.encode("utf-8"))
+                nch, sw, fr, nf, sum_sq = _decode_wav(payload)
+                rms = (sum_sq / nf) ** 0.5 if nf else 0.0
+                rows.append(
+                    (doc_id, nch, sw, fr, nf, sum_sq, rms, nf * 1000.0 / fr)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_channels", "sample_width", "framerate",
+                    "n_frames", "sum_sq", "rms", "duration_ms",
+                ],
+            )
+
+    return df.select("doc_id", text_col).mapInPandas(batches, WAV_SCHEMA)
+
+
+def _synth_bmp(text: bytes) -> bytes:
+    """Render text bytes as a real uncompressed 24-bit BMP. Width is a
+    multiple of 4 so rows need no padding; pixel bytes tile the text
+    cyclically."""
+    import struct
+
+    length = len(text)
+    width = 16 + 4 * (length % 8)
+    height = 16 + (3 * length) % 32
+    n = width * height * 3
+    reps = -(-n // length)
+    pixels = (text * reps)[:n]
+    header = struct.pack("<2sIHHI", b"BM", 54 + n, 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, n, 2835, 2835, 0, 0
+    )
+    return header + info + pixels
+
+
+def _decode_bmp(payload: bytes) -> tuple[int, int, int, int, int, int]:
+    """REAL codec: parse BITMAPFILEHEADER + BITMAPINFOHEADER with
+    ``struct`` and read the pixel array at the declared offset (any
+    uncompressed bottom-up 24-bit BMP decodes through this)."""
+    import struct
+
+    magic, file_size, _r1, _r2, offset = struct.unpack_from("<2sIHHI", payload, 0)
+    if magic != b"BM":
+        raise ValueError(f"not a BMP: {magic!r}")
+    (_hsz, width, height, _planes, bpp, comp, img_size) = struct.unpack_from(
+        "<IiiHHII", payload, 14
+    )
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported BMP variant: bpp={bpp} comp={comp}")
+    n = img_size or width * abs(height) * 3
+    arr = np.frombuffer(payload, dtype=np.uint8, count=n, offset=offset).astype(
+        np.int64
+    )
+    return width, abs(height), bpp, file_size, n, int(arr.sum())
+
+
+def bmp_pipeline(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Synthesize → decode real BMP payloads in Arrow batches."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                payload = _synth_bmp(text.encode("utf-8"))
+                width, height, bpp, fsz, n, pix_sum = _decode_bmp(payload)
+                rows.append(
+                    (doc_id, width, height, bpp, fsz, n, pix_sum, pix_sum / n)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "bpp", "file_size",
+                    "n_pixel_bytes", "pix_sum", "mean_gray",
+                ],
+            )
+
+    return df.select("doc_id", text_col).mapInPandas(batches, BMP_SCHEMA)
+
+
+@register(
+    "x_mm_wav_decode",
+    "REAL audio codec path: document bytes rendered as mono PCM16 "
+    "RIFF/WAVE, then decoded by the stdlib wave parser inside "
+    "Arrow-batched mapInPandas — header fields (channels, sample "
+    "width, framerate, frame count) come from the actual WAV header, "
+    "energy (sum of squared samples, RMS) from the actual PCM frames. "
+    "Samples are a fixed affine map of text bytes, so the oracle "
+    "reproduces every statistic in closed form. Batch-bounded memory, "
+    "partitioning carries through — the same plan at 100 TB.",
+    f"""WITH s AS (
+         SELECT doc_id, strlen(text) AS nf,
+                list_sum(list_transform(
+                  range(1, strlen(text) + 1),
+                  i -> CAST((ascii(substr(text, i, 1)) - 128) * 256 AS BIGINT)
+                       * ((ascii(substr(text, i, 1)) - 128) * 256)
+                )) AS sum_sq
+         FROM documents
+       )
+       SELECT doc_id, 1 AS n_channels, 2 AS sample_width,
+              {WAV_FRAMERATE} AS framerate,
+              CAST(nf AS BIGINT) AS n_frames,
+              CAST(sum_sq AS BIGINT) AS sum_sq,
+              sqrt(CAST(sum_sq AS DOUBLE) / nf) AS rms,
+              nf * 1000.0 / {WAV_FRAMERATE} AS duration_ms
+       FROM s ORDER BY doc_id LIMIT 200""",
+)
+def q_mm_wav(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf)
+    return wav_pipeline(docs).orderBy("doc_id").limit(200)
+
+
+@register(
+    "x_mm_bmp_decode",
+    "REAL image codec path: document bytes tiled into an uncompressed "
+    "24-bit BMP, then decoded by parsing the genuine "
+    "BITMAPFILEHEADER/BITMAPINFOHEADER with struct and reading the "
+    "pixel array at the declared offset — width/height/bpp/file size "
+    "from the real header, intensity statistics from the real pixel "
+    "bytes. Cyclic tiling gives the oracle a closed form "
+    "(full_cycles * byte_sum + prefix remainder). Same mapInPandas "
+    "plumbing as every media op.",
+    """WITH b AS (
+         SELECT doc_id, text, strlen(text) AS len,
+                16 + 4 * (strlen(text) % 8) AS w,
+                16 + (3 * strlen(text)) % 32 AS h,
+                list_sum(list_transform(
+                  range(1, strlen(text) + 1),
+                  i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)
+                )) AS byte_sum
+         FROM documents
+       ),
+       c AS (
+         SELECT doc_id, text, w, h, len, byte_sum,
+                CAST(w * h * 3 AS BIGINT) AS n
+         FROM b
+       ),
+       p AS (
+         SELECT doc_id, w, h, n,
+                (n // len) * byte_sum
+                + COALESCE(list_sum(list_transform(
+                    range(1, CAST(n % len AS INT) + 1),
+                    i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))), 0)
+                  AS pix_sum
+         FROM c
+       )
+       SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+              24 AS bpp, CAST(54 + n AS BIGINT) AS file_size,
+              n AS n_pixel_bytes, CAST(pix_sum AS BIGINT) AS pix_sum,
+              CAST(pix_sum AS DOUBLE) / n AS mean_gray
+       FROM p ORDER BY doc_id LIMIT 200""",
+)
+def q_mm_bmp(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf)
+    return bmp_pipeline(docs).orderBy("doc_id").limit(200)

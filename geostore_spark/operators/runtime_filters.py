@@ -55,13 +55,15 @@ def _positions(key: Column) -> list[Column]:
 def build_bloom_words(keys: DataFrame, key_col: str) -> list[int]:
     """Distill a key set into a 1024-long bitmap.
 
-    The aggregation is distributed (distinct bit positions, bounded by
-    BLOOM_BITS); only the ≤65536 distinct positions reach the driver —
-    constant-size, like a k-means centroid collect.
+    Positions reach the driver bounded by 2x the build-side key count
+    (and by construction < BLOOM_BITS distinct values) — constant-size,
+    like a k-means centroid collect. No distinct() shuffle: OR-ing into
+    the bitmap is idempotent, so duplicate positions cost nothing and
+    the build is a single scan stage.
     """
     pos = keys.select(
         F.explode(F.array(*_positions(F.col(key_col)))).alias("pos")
-    ).distinct()
+    )
     words = [0] * _WORDS
     for row in pos.collect():
         p = int(row["pos"])

@@ -55,3 +55,38 @@ def test_resize_bounds_and_aspect(spark):
         # aspect preserved within integer truncation
         assert abs(r["r_width"] / r["r_height"] - r["width"] / r["height"]) < 0.1
         assert len(r["thumb_hash"]) == 32
+
+
+def test_wav_codec_round_trip():
+    """The WAV path writes and parses genuine RIFF/WAVE bytes."""
+    from geostore_spark.operators.multimodal import _decode_wav, _synth_wav
+
+    payload = _synth_wav(b"hello world")
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+    nch, sw, fr, nf, sum_sq = _decode_wav(payload)
+    assert (nch, sw, fr, nf) == (1, 2, 8000, 11)
+    expected = sum(((b - 128) * 256) ** 2 for b in b"hello world")
+    assert sum_sq == expected
+
+
+def test_bmp_codec_round_trip():
+    """The BMP path writes and parses a genuine 24-bit BMP header."""
+    from geostore_spark.operators.multimodal import _decode_bmp, _synth_bmp
+
+    text = b"x" * 50
+    payload = _synth_bmp(text)
+    assert payload[:2] == b"BM"
+    width, height, bpp, fsz, n, pix_sum = _decode_bmp(payload)
+    assert bpp == 24 and width % 4 == 0
+    assert n == width * height * 3
+    assert fsz == 54 + n == len(payload)
+    assert pix_sum == ord("x") * n  # constant tile
+
+
+def test_bmp_decoder_rejects_non_bmp():
+    import pytest
+
+    from geostore_spark.operators.multimodal import _decode_bmp
+
+    with pytest.raises(ValueError, match="not a BMP"):
+        _decode_bmp(b"PN" + b"\x00" * 60)
