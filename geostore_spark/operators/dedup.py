@@ -1492,3 +1492,151 @@ def q_paragraph_dedup(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("n_copies").desc(), "digest")
         .limit(20)
     )
+
+
+# -- estimator-quality audit: MinHash vs exact Jaccard -----------------------
+
+EVAL_TAU_NUM, EVAL_TAU_DEN = 1, 2  # tau = 0.5, held as a ratio → integer tests
+EVAL_ERR_SCALE = 10_000
+
+
+def _minhash_eval_oracle() -> str:
+    """Composes the minhash CTE chain (agree counts, not rounded
+    estimates) with exact bigram Jaccard on the candidate pairs."""
+    perm_mins = ",\n              ".join(
+        f"MIN(({_A[i]} * b + {_B[i]}) % {P}) AS m{i}" for i in range(NUM_PERM)
+    )
+    band_rows = "\n         UNION ALL\n         ".join(
+        "SELECT doc_id, {b} AS band, md5(concat_ws(',', {cols})) AS bh FROM sig".format(
+            b=b,
+            cols=", ".join(f"m{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)),
+        )
+        for b in range(BANDS)
+    )
+    agree = " + ".join(
+        f"CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END" for i in range(NUM_PERM)
+    )
+    tau_est = f"ex.agree * {EVAL_TAU_DEN} >= {NUM_PERM} * {EVAL_TAU_NUM}"
+    tau_ex = f"ex.inter * {EVAL_TAU_DEN} >= ex.u * {EVAL_TAU_NUM}"
+    return f"""
+       WITH w AS (
+         SELECT doc_id,
+                list_distinct(list_transform(
+                  range(1, len(string_split(text, ' '))),
+                  i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+                )) AS grams
+         FROM documents
+       ),
+       tok AS (SELECT doc_id, unnest(grams) AS sh FROM w),
+       h AS (
+         SELECT doc_id, {_duck_md5_32("sh")} % {P} AS b FROM tok
+       ),
+       sig AS (
+         SELECT doc_id,
+              {perm_mins}
+         FROM h GROUP BY doc_id
+       ),
+       band AS (
+         {band_rows}
+       ),
+       pair AS (
+         SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         FROM band x JOIN band y
+           ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
+       ),
+       ag AS (
+         SELECT p.doc_a, p.doc_b, ({agree}) AS agree
+         FROM pair p JOIN sig sa ON p.doc_a = sa.doc_id
+                     JOIN sig sb ON p.doc_b = sb.doc_id
+       ),
+       ex AS (
+         SELECT ag.doc_a, ag.doc_b, ag.agree,
+                len(list_intersect(ga.grams, gb.grams)) AS inter,
+                len(ga.grams) + len(gb.grams)
+                  - len(list_intersect(ga.grams, gb.grams)) AS u
+         FROM ag JOIN w ga ON ag.doc_a = ga.doc_id
+                 JOIN w gb ON ag.doc_b = gb.doc_id
+       )
+       SELECT COUNT(*) AS n_candidates,
+              CAST(SUM(CASE WHEN {tau_est} THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_est_pos,
+              CAST(SUM(CASE WHEN {tau_ex} THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_exact_pos,
+              CAST(SUM(CASE WHEN ({tau_est}) AND NOT ({tau_ex}) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_pos,
+              CAST(SUM(CASE WHEN NOT ({tau_est}) AND ({tau_ex}) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_missed_by_est,
+              CAST(SUM(CAST(round(
+                  abs(ex.agree * ex.u - {NUM_PERM} * ex.inter) * {EVAL_ERR_SCALE}.0
+                  / ({NUM_PERM} * ex.u)) AS BIGINT)) AS BIGINT) AS sum_err_q
+       FROM ex"""
+
+
+@register(
+    "x_dedup_minhash_eval",
+    "Estimator-quality audit of the MinHash/LSH screen itself: every "
+    "candidate pair's 32-perm agreement count is compared against the "
+    "EXACT bigram Jaccard of that pair — the precision / estimator- "
+    "error measurement a production dedup pipeline runs before "
+    "trusting a sketch at 100 TB (recall of the banding is a separate "
+    "planted-pair property test). Exact verification joins only the "
+    "candidate set (LSH-bucket-bounded, never O(N^2)); threshold "
+    "tests are integer cross-products (agree*2 >= 32, inter*2 >= "
+    "union) and the error sum quantizes per pair from exact integers, "
+    "so the one-row audit is deterministic across engines.",
+    _minhash_eval_oracle(),
+)
+def q_minhash_eval(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf)
+    sig = minhash_signatures(docs, "doc_id", "text").localCheckpoint(eager=False)
+    bands = band_table(sig, "doc_id")
+    x, y = bands.alias("x"), bands.alias("y")
+    pairs = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bh") == F.col("y.bh"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    agree = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda p, q: p == q), lambda eq: eq)
+    )
+    ag = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", agree.alias("agree"))
+    )
+    grams = docs.select("doc_id", _bigrams("text").alias("grams"))
+    ga = grams.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("grams_a"))
+    gb = grams.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("grams_b"))
+    inter = F.size(F.array_intersect("grams_a", "grams_b"))
+    ex = (
+        ag.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .select(
+            "agree",
+            inter.alias("inter"),
+            (F.size("grams_a") + F.size("grams_b") - inter).alias("u"),
+        )
+    )
+    est_pos = F.col("agree") * EVAL_TAU_DEN >= NUM_PERM * EVAL_TAU_NUM
+    ex_pos = F.col("inter") * EVAL_TAU_DEN >= F.col("u") * EVAL_TAU_NUM
+    err_q = F.round(
+        F.abs(F.col("agree") * F.col("u") - NUM_PERM * F.col("inter"))
+        * float(EVAL_ERR_SCALE)
+        / (NUM_PERM * F.col("u")),
+        0,
+    ).cast("bigint")
+    return ex.agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum(est_pos.cast("bigint")).cast("bigint").alias("n_est_pos"),
+        F.sum(ex_pos.cast("bigint")).cast("bigint").alias("n_exact_pos"),
+        F.sum((est_pos & ~ex_pos).cast("bigint")).cast("bigint").alias("n_false_pos"),
+        F.sum((~est_pos & ex_pos).cast("bigint")).cast("bigint").alias("n_missed_by_est"),
+        F.sum(err_q).cast("bigint").alias("sum_err_q"),
+    )

@@ -74,3 +74,113 @@ def emb_quantize(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("vec_id")
         .limit(500)
     )
+
+
+# -- distributed Gram matrix (the PCA building block) ------------------------
+
+GRAM_DIMS = 16  # upper-triangle output: 136 cells
+GRAM_SCALE = 1024  # |x| < 1 in the fixtures; q = round(x*1024) is lossless-ish
+
+
+def _gram_pairs() -> list[tuple[int, int]]:
+    return [(i, j) for i in range(1, GRAM_DIMS + 1) for j in range(i, GRAM_DIMS + 1)]
+
+
+@register(
+    "x_emb_gram",
+    "Distributed Gram / scatter matrix over the first 16 embedding "
+    "dimensions — THE communication pattern behind distributed PCA and "
+    "whitening: the N x d data never moves, only d(d+1)/2 scalar "
+    "accumulators do. All 136 moments accumulate in ONE "
+    "partially-aggregated reduce over codegen expressions (map-side "
+    "partials shrink every partition to 136 numbers; the shuffle "
+    "carries partitions x 136 scalars, independent of N). Elements "
+    "quantize to round(x*1024) BIGINTs so sums are exact and "
+    "order-free; products accumulate as DECIMAL(38,0)/HUGEINT, good to "
+    "~1e12 rows. The d x d result is driver-eigensolve-sized — the "
+    "constant-size collect contract every iterative-ML operator here "
+    "follows.",
+    f"""WITH q AS (
+         SELECT list_transform(embedding,
+                  x -> CAST(round(CAST(x AS DOUBLE) * {GRAM_SCALE}) AS BIGINT))
+                AS v
+         FROM embeddings
+       ),
+       s AS (
+         SELECT COUNT(*) AS n,
+                {", ".join(
+                    f"SUM(CAST(v[{i}] AS HUGEINT) * v[{j}]) AS g_{i}_{j}"
+                    for i in range(1, GRAM_DIMS + 1)
+                    for j in range(i, GRAM_DIMS + 1)
+                )}
+         FROM q
+       ),
+       cells(i, j, g) AS (
+         {" UNION ALL ".join(
+             f"SELECT {i}, {j}, (SELECT g_{i}_{j} FROM s)"
+             for i in range(1, GRAM_DIMS + 1)
+             for j in range(i, GRAM_DIMS + 1)
+         )}
+       )
+       SELECT i, j, CAST(g AS BIGINT) AS gram_q,
+              CAST(g AS DOUBLE) / ((SELECT n FROM s)
+                * {GRAM_SCALE}.0 * {GRAM_SCALE}) AS gram
+       FROM cells ORDER BY i, j""",
+)
+def emb_gram(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf)
+    q = emb.select(
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * GRAM_SCALE, 0).cast("bigint"),
+        ).alias("v")
+    )
+    pairs = _gram_pairs()
+    aggs = [F.count(F.lit(1)).alias("n")]
+    aggs += [
+        F.sum(
+            F.element_at("v", i).cast("decimal(19,0)")
+            * F.element_at("v", j).cast("decimal(19,0)")
+        ).alias(f"g_{i}_{j}")
+        for i, j in pairs
+    ]
+    s = q.agg(*aggs)
+    n_d = F.col("n").cast("double")
+    cells = [
+        F.struct(
+            F.lit(i).alias("i"),
+            F.lit(j).alias("j"),
+            F.col(f"g_{i}_{j}").cast("bigint").alias("gram_q"),
+            (F.col(f"g_{i}_{j}").cast("double") / (n_d * GRAM_SCALE * GRAM_SCALE)).alias(
+                "gram"
+            ),
+        )
+        for i, j in pairs
+    ]
+    return (
+        s.select(F.explode(F.array(*cells)).alias("c"))
+        .select("c.i", "c.j", "c.gram_q", "c.gram")
+        .orderBy("i", "j")
+    )
+
+
+def pca_top_component(spark: SparkSession, sf: str, iters: int = 20):
+    """Driver-composed power iteration on the collected Gram matrix: the
+    distributed pass is the single-shuffle Gram above (data never
+    moves); the eigensolve runs on the d x d driver-side array —
+    constant work, like the k-means centroid update. Returns
+    (eigenvalue, eigenvector) for the top principal direction of the
+    first GRAM_DIMS dimensions."""
+    import numpy as np
+
+    rows = emb_gram(spark, sf).collect()
+    d = GRAM_DIMS
+    g = np.zeros((d, d))
+    for r in rows:
+        g[r["i"] - 1, r["j"] - 1] = r["gram"]
+        g[r["j"] - 1, r["i"] - 1] = r["gram"]
+    v = np.ones(d) / d**0.5
+    for _ in range(iters):
+        w = g @ v
+        v = w / np.linalg.norm(w)
+    return float(v @ g @ v), v

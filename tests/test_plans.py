@@ -433,3 +433,20 @@ def test_kneser_ney_stats_all_broadcast(spark):
     assert "BroadcastNestedLoopJoin" in plan or plan.count("BroadcastHashJoin") >= 3
     assert "SortMergeJoin" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_gram_matrix_is_single_aggregate_pass(spark):
+    plan = _plan(spark, "x_emb_gram")
+    # 136 moments in one partial+final aggregate over the scan — the
+    # N x d data shrinks to 136 scalars map-side; no join, no explode
+    # before the aggregate
+    assert plan.count("HashAggregate") == 2
+    assert "Join" not in plan
+
+
+def test_minhash_eval_verify_joins_only_candidates(spark):
+    plan = _plan(spark, "x_dedup_minhash_eval")
+    # the exact-Jaccard verify must join against the LSH candidate set,
+    # never cross documents
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan
