@@ -1,0 +1,196 @@
+"""Warehouse-analytics classics: RFM segmentation, market-basket lift.
+
+The reference's catalogue answers "what datasets exist" (dataset CRUD,
+``geostore/api_responses.py``); a warehouse engine also has to answer
+"which entities matter" — the customer-value and product-affinity
+rollups every retail/engagement stack runs. Both operators here follow
+the repo's scale rules: global ranks go through the two-phase
+``distributed_row_number`` (parallelism ∝ data, not ∝ 4 quartiles),
+pair generation is per-order blocked (orders are small — never an
+all-pairs pass over parts), and every probability/lift is a per-row
+float over exact integer counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from geostore_spark.operators.util import distributed_row_number
+from geostore_spark.registry import register
+from geostore_spark.sources.tables import load_table
+
+RFM_ANCHOR = "2026-01-01"  # fixed recency anchor → deterministic across runs
+RFM_Q = 4
+
+BASKET_MIN_SUPPORT = 2
+BASKET_TOP = 20
+LIFT_SCALE = 1_000_000
+
+
+def _quartile(rn: str, n: str):
+    # explicit floor formula, NOT NTILE: NTILE's "first buckets get one
+    # extra row" tie layout differs between engines' docs; (rn-1)*Q//n+1
+    # is one integer expression with identical semantics everywhere
+    return (
+        ((F.col(rn) - 1) * RFM_Q / F.col(n)).cast("bigint") + 1
+    )
+
+
+@register(
+    "x_orders_rfm",
+    "RFM (recency / frequency / monetary) customer segmentation — the "
+    "classic customer-value rollup. One shuffle to per-customer "
+    "aggregates, then THREE two-phase distributed ranks (recency, "
+    "frequency, monetary — each range-partitioned, locally ranked, "
+    "offset by broadcast prefix sums: parallelism ∝ customers, never "
+    "the 1-partition global-window ceiling), explicit floor-formula "
+    "quartiles (identical tie semantics on both engines), and a "
+    "64-cell segment rollup. Monetary sums are exact cents.",
+    f"""WITH base AS (
+         SELECT o_custkey AS c,
+                date_diff('day', MAX(o_orderdate), TIMESTAMP '{RFM_ANCHOR}')
+                  AS rec_days,
+                COUNT(*) AS freq,
+                CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                  AS cents
+         FROM orders GROUP BY o_custkey
+       ),
+       n AS (SELECT COUNT(*) AS n FROM base),
+       r AS (
+         SELECT c, rec_days, freq, cents,
+                ROW_NUMBER() OVER (ORDER BY rec_days, c) AS rn_r,
+                ROW_NUMBER() OVER (ORDER BY freq DESC, c) AS rn_f,
+                ROW_NUMBER() OVER (ORDER BY cents DESC, c) AS rn_m
+         FROM base
+       ),
+       q AS (
+         SELECT c, cents,
+                (rn_r - 1) * {RFM_Q} // n.n + 1 AS rq,
+                (rn_f - 1) * {RFM_Q} // n.n + 1 AS fq,
+                (rn_m - 1) * {RFM_Q} // n.n + 1 AS mq
+         FROM r CROSS JOIN n
+       )
+       SELECT rq, fq, mq, COUNT(*) AS n_customers,
+              CAST(SUM(cents) AS BIGINT) AS seg_cents
+       FROM q GROUP BY rq, fq, mq ORDER BY rq, fq, mq""",
+)
+def q_rfm(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf)
+    base = orders.groupBy(F.col("o_custkey").alias("c")).agg(
+        F.datediff(F.lit(RFM_ANCHOR), F.max("o_orderdate")).alias("rec_days"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    # per-customer frame feeds three rank passes, and each pass feeds two
+    # consumers (the ranged data and its offsets side table) — checkpoint
+    # between passes or the plan re-derives every earlier pass per branch
+    base = base.localCheckpoint(eager=False)
+    ranked, counts = distributed_row_number(base, [], ["rec_days", "c"], "rn_r")
+    total = counts.select(F.sum("_n").cast("bigint").alias("n"))
+    ranked = ranked.withColumn("neg_f", -F.col("freq")).localCheckpoint(eager=False)
+    ranked, _ = distributed_row_number(ranked, [], ["neg_f", "c"], "rn_f")
+    ranked = ranked.withColumn("neg_m", -F.col("cents")).localCheckpoint(eager=False)
+    ranked, _ = distributed_row_number(ranked, [], ["neg_m", "c"], "rn_m")
+    q = ranked.crossJoin(F.broadcast(total)).select(
+        "c",
+        "cents",
+        _quartile("rn_r", "n").alias("rq"),
+        _quartile("rn_f", "n").alias("fq"),
+        _quartile("rn_m", "n").alias("mq"),
+    )
+    return (
+        q.groupBy("rq", "fq", "mq")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("cents").cast("bigint").alias("seg_cents"),
+        )
+        .orderBy("rq", "fq", "mq")
+    )
+
+
+@register(
+    "x_orders_basket_lift",
+    "Market-basket association mining over part co-purchases: support, "
+    "confidence and lift for every part pair sharing an order (min "
+    "support 2), top-20 by lift. Pair generation is per-order blocked "
+    "— orders are small, so the self-join never approaches all-pairs; "
+    "pair counts and item supports are two partially-aggregated "
+    "shuffles, item supports join back BROADCAST (vocabulary-sized), "
+    "and the final cut is a TakeOrdered with an integer-quantized "
+    "lift sort key (float lift never orders rows).",
+    f"""WITH op AS (
+         SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+       ),
+       n AS (SELECT COUNT(DISTINCT o) AS n_orders FROM op),
+       item AS (SELECT p, COUNT(*) AS n_p FROM op GROUP BY p),
+       pair AS (
+         SELECT a.p AS pa, b.p AS pb, COUNT(*) AS n_ab
+         FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+         GROUP BY a.p, b.p
+         HAVING COUNT(*) >= {BASKET_MIN_SUPPORT}
+       ),
+       scored AS (
+         SELECT pair.pa, pair.pb, pair.n_ab, ia.n_p AS n_a, ib.n_p AS n_b,
+                CAST(round(CAST(pair.n_ab AS DOUBLE) * n.n_orders
+                           * {LIFT_SCALE} / (ia.n_p * ib.n_p)) AS BIGINT)
+                  AS lift_q
+         FROM pair JOIN item ia ON pair.pa = ia.p
+                   JOIN item ib ON pair.pb = ib.p
+                   CROSS JOIN n
+       )
+       SELECT pa, pb, n_ab, n_a, n_b,
+              CAST(lift_q AS DOUBLE) / {LIFT_SCALE} AS lift,
+              CAST(n_ab AS DOUBLE) / n_a AS confidence
+       FROM scored
+       ORDER BY lift_q DESC, pa, pb LIMIT {BASKET_TOP}""",
+)
+def q_basket_lift(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf)
+    op = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")).distinct()
+    # order-part pairs feed pair counts AND item supports; one scan each
+    # would re-run the distinct — materialize once
+    op = op.localCheckpoint(eager=False)
+    n = op.agg(F.count_distinct("o").alias("n_orders"))
+    item = op.groupBy("p").agg(F.count(F.lit(1)).alias("n_p"))
+    a, b = op.alias("a"), op.alias("b")
+    pair = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= BASKET_MIN_SUPPORT)
+    )
+    ia = item.select(F.col("p").alias("pa"), F.col("n_p").alias("n_a"))
+    ib = item.select(F.col("p").alias("pb"), F.col("n_p").alias("n_b"))
+    scored = (
+        pair.join(F.broadcast(ia), "pa")
+        .join(F.broadcast(ib), "pb")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "lift_q",
+            F.round(
+                F.col("n_ab").cast("double")
+                * F.col("n_orders")
+                * LIFT_SCALE
+                / (F.col("n_a") * F.col("n_b")),
+                0,
+            ).cast("bigint"),
+        )
+    )
+    return (
+        scored.select(
+            "pa",
+            "pb",
+            "n_ab",
+            "n_a",
+            "n_b",
+            "lift_q",
+            (F.col("lift_q").cast("double") / LIFT_SCALE).alias("lift"),
+            (F.col("n_ab").cast("double") / F.col("n_a")).alias("confidence"),
+        )
+        .orderBy(F.desc("lift_q"), "pa", "pb")
+        .limit(BASKET_TOP)
+        .drop("lift_q")
+    )

@@ -74,6 +74,7 @@ def all_queries() -> dict[str, RegisteredQuery]:
     """
     # Imports are effectful: each module registers its queries on import.
     from geostore_spark.operators import (  # noqa: F401
+        analytics,
         dedup,
         embeddings,
         graph,

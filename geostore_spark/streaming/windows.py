@@ -695,3 +695,59 @@ def streaming_psi_drift(stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# -- streaming Markov transitions --------------------------------------------
+
+MARKOV_SCHEMA = "user_id long, prev string, next string, n long"
+_MARKOV_STATE_SCHEMA = "last_type string, last_epoch long"
+
+
+def _update_markov(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-user last-event-type pointer: each arriving event emits one
+    (prev, next) transition increment against the previous event —
+    the streaming twin of the batch x_events_markov LAG window. One
+    scalar of state per user; summed over batches the increments equal
+    the batch transition counts whenever each user's events arrive in
+    event-time order."""
+    last_type, last_epoch = state.get if state.exists else (None, 0)
+    counts: dict[tuple[str, str], int] = {}
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for et, ts in zip(pdf["event_type"], pdf["ts"]):
+            epoch = int(pd.Timestamp(ts).value)
+            if last_type is not None:
+                k = (last_type, et)
+                counts[k] = counts.get(k, 0) + 1
+            last_type, last_epoch = et, epoch
+    state.update((last_type, last_epoch))
+    keys = sorted(counts)
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]] * len(keys),
+            "prev": [k[0] for k in keys],
+            "next": [k[1] for k in keys],
+            "n": [counts[k] for k in keys],
+        }
+    ).astype({"user_id": "int64", "prev": "object", "next": "object", "n": "int64"})
+
+
+def streaming_markov(stream: DataFrame) -> DataFrame:
+    """Streaming twin of ``operators.temporal.q_events_markov``: per-user
+    transition-count increments via ``applyInPandasWithState`` (append
+    mode). The corpus-level matrix is a downstream foreachBatch rollup
+    of the increments — SUM(n) GROUP BY (prev, next) over all emissions
+    reproduces the batch transition table."""
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _update_markov,
+        outputStructType=MARKOV_SCHEMA,
+        stateStructType=_MARKOV_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -253,3 +253,40 @@ def test_incremental_dedup_flags_planted_duplicates(spark):
         assert out[i]["exact_dup"] == 1 and out[i]["keep"] == 0
     for i in novel:
         assert out[i]["exact_dup"] == 0  # disjoint vocab → never exact
+
+
+def test_bloom_filter_never_false_negative(spark):
+    """Every inserted key must probe True — Bloom correctness depends on
+    no-false-negatives; false positives are the verify join's job.
+    One build + ONE probe job over a generated key batch."""
+    from geostore_spark.operators.runtime_filters import (
+        bloom_might_contain,
+        build_bloom_words,
+    )
+
+    rng = random.Random(20260814)
+    keys = sorted(rng.sample(range(10_000_000), 500))
+    keys_df = spark.createDataFrame([(k,) for k in keys], "k long")
+    words = build_bloom_words(keys_df, "k")
+    hits = keys_df.filter(bloom_might_contain(F.col("k"), words)).count()
+    assert hits == len(keys)
+
+
+def test_ewma_bounded_by_window_extremes(spark):
+    """EWMA is a convex combination of in-window counts: every output
+    must lie within [min, max] of that user's daily counts."""
+    from geostore_spark.registry import all_queries
+
+    df = all_queries()["x_events_ewma"].spark(spark, "/root/testdata/sf0.001")
+    bad = (
+        df.groupBy("user_id")
+        .agg(
+            F.min("n_events").alias("lo"),
+            F.max("n_events").alias("hi"),
+            F.min("ewma").alias("elo"),
+            F.max("ewma").alias("ehi"),
+        )
+        .filter((F.col("elo") < F.col("lo") - 1e-9) | (F.col("ehi") > F.col("hi") + 1e-9))
+        .count()
+    )
+    assert bad == 0

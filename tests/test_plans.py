@@ -450,3 +450,22 @@ def test_minhash_eval_verify_joins_only_candidates(spark):
     # never cross documents
     assert "CartesianProduct" not in plan
     assert "Join" in plan
+
+
+def test_rfm_ranks_are_two_phase(spark):
+    plan = _plan(spark, "x_orders_rfm")
+    # the three global ranks must be two-phase: range partition + a
+    # row_number window LOCAL to (_pid) — never row_number over all rows
+    # (the tiny offsets prefix-sum window over ≤32 per-pid counts is the
+    # helper's intended constant-size global step)
+    assert "rangepartitioning" in plan.lower()
+    for line in plan.splitlines():
+        if "row_number()" in line:
+            assert "_pid" in line, f"global row_number found: {line[:120]}"
+
+
+def test_basket_lift_supports_broadcast_and_topk(spark):
+    plan = _plan(spark, "x_orders_basket_lift")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan

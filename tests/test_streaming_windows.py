@@ -520,3 +520,35 @@ def test_streaming_psi_drift_flags_shifted_distribution(spark, tmp_path):
     # x_stats_psi_drift surfaces the same way (n_degenerate, guarded PSI)
     assert by_key2["click"]["n_degenerate"] == 4  # 2 ref + 2 cur buckets
     assert by_key2["click"]["n_degenerate"] > by_key2["view"]["n_degenerate"]
+
+
+def test_streaming_markov_matches_batch_transitions(spark, tmp_path):
+    from geostore_spark.streaming.windows import streaming_markov
+
+    events = str(tmp_path / "events")
+    ckpt = str(tmp_path / "ckpt")
+
+    # u1: click -> view -> click ; u2: signup (no transition yet)
+    _write_events(
+        events,
+        "b1.json",
+        [
+            {**_event(1, 1, _ts(1, 5)), "event_type": "click"},
+            {**_event(2, 1, _ts(1, 6)), "event_type": "view"},
+            {**_event(3, 1, _ts(1, 7)), "event_type": "click"},
+            {**_event(4, 2, _ts(1, 8)), "event_type": "signup"},
+        ],
+    )
+    first = drain_collect(streaming_markov(event_stream(spark, events)), ckpt)
+    got = {(r["user_id"], r["prev"], r["next"], r["n"]) for r in first}
+    assert got == {(1, "click", "view", 1), (1, "view", "click", 1)}
+
+    # the last-type pointer survives the restart: u2's next event emits
+    # the cross-batch transition
+    _write_events(
+        events, "b2.json", [{**_event(5, 2, _ts(2, 8)), "event_type": "purchase"}]
+    )
+    second = drain_collect(streaming_markov(event_stream(spark, events)), ckpt)
+    assert {(r["user_id"], r["prev"], r["next"], r["n"]) for r in second} == {
+        (2, "signup", "purchase", 1)
+    }
