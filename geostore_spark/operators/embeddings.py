@@ -96,8 +96,9 @@ def _gram_pairs() -> list[tuple[int, int]]:
     "partials shrink every partition to 136 numbers; the shuffle "
     "carries partitions x 136 scalars, independent of N). Elements "
     "quantize to round(x*1024) BIGINTs so sums are exact and "
-    "order-free; products accumulate as DECIMAL(38,0)/HUGEINT, good to "
-    "~1e12 rows. The d x d result is driver-eigensolve-sized — the "
+    "order-free; with |x| <= 1 every product is < 2^20, so BIGINT "
+    "accumulation holds beyond 1e12 rows (the oracle uses HUGEINT "
+    "for headroom). The d x d result is driver-eigensolve-sized — the "
     "constant-size collect contract every iterative-ML operator here "
     "follows.",
     f"""WITH q AS (
@@ -128,38 +129,31 @@ def _gram_pairs() -> list[tuple[int, int]]:
        FROM cells ORDER BY i, j""",
 )
 def emb_gram(spark: SparkSession, sf: str) -> DataFrame:
+    # expressions are generated as SQL STRINGS, not Column chains: 137
+    # aggregates + 136 output cells as Column objects cost ~2500 py4j
+    # round trips (~4 s of pure driver chatter per call, measured);
+    # as two selectExpr calls the whole plan builds in ~50 ms
     emb = load_table(spark, "embeddings", sf)
-    q = emb.select(
-        F.transform(
-            "embedding",
-            lambda x: F.round(x.cast("double") * GRAM_SCALE, 0).cast("bigint"),
-        ).alias("v")
-    )
     pairs = _gram_pairs()
-    aggs = [F.count(F.lit(1)).alias("n")]
-    aggs += [
-        F.sum(
-            F.element_at("v", i).cast("decimal(19,0)")
-            * F.element_at("v", j).cast("decimal(19,0)")
-        ).alias(f"g_{i}_{j}")
+    q = emb.selectExpr(
+        f"transform(embedding, x -> cast(round(cast(x as double) * {GRAM_SCALE})"
+        " as bigint)) as v"
+    )
+    s = q.selectExpr(
+        "count(1) as n",
+        *[
+            f"sum(element_at(v, {i}) * element_at(v, {j})) as g_{i}_{j}"
+            for i, j in pairs
+        ],
+    )
+    denom = f"(cast(n as double) * {GRAM_SCALE} * {GRAM_SCALE})"
+    cells = ", ".join(
+        f"struct({i} as i, {j} as j, cast(g_{i}_{j} as bigint) as gram_q,"
+        f" cast(g_{i}_{j} as double) / {denom} as gram)"
         for i, j in pairs
-    ]
-    s = q.agg(*aggs)
-    n_d = F.col("n").cast("double")
-    cells = [
-        F.struct(
-            F.lit(i).alias("i"),
-            F.lit(j).alias("j"),
-            F.col(f"g_{i}_{j}").cast("bigint").alias("gram_q"),
-            (F.col(f"g_{i}_{j}").cast("double") / (n_d * GRAM_SCALE * GRAM_SCALE)).alias(
-                "gram"
-            ),
-        )
-        for i, j in pairs
-    ]
+    )
     return (
-        s.select(F.explode(F.array(*cells)).alias("c"))
-        .select("c.i", "c.j", "c.gram_q", "c.gram")
+        s.selectExpr(f"inline(array({cells}))")
         .orderBy("i", "j")
     )
 

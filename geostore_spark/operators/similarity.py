@@ -779,3 +779,71 @@ def q_range_search(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf)
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     return cosine_range_search(emb, queries).orderBy("q_id", "n_id")
+
+
+# -- ANN recall audit: IVF vs exact brute force ------------------------------
+
+
+_RECALL_ORACLE = f"""
+       WITH brute AS ({_BRUTE_ORACLE}),
+       ivf AS ({_IVF_ORACLE}),
+       hit AS (
+         SELECT b.q_id FROM brute b JOIN ivf i
+           ON b.q_id = i.q_id AND b.n_id = i.n_id
+       ),
+       per_q AS (
+         SELECT b.q_id, COUNT(*) AS n_true FROM brute b GROUP BY b.q_id
+       ),
+       hits_q AS (SELECT q_id, COUNT(*) AS n_hits FROM hit GROUP BY q_id)
+       SELECT per_q.q_id, per_q.n_true,
+              COALESCE(hits_q.n_hits, 0) AS n_hits,
+              CAST(COALESCE(hits_q.n_hits, 0) AS DOUBLE) / per_q.n_true
+                AS recall_at_k
+       FROM per_q LEFT JOIN hits_q ON per_q.q_id = hits_q.q_id
+       ORDER BY per_q.q_id"""
+
+
+@register(
+    "x_sim_recall_eval",
+    "ANN recall audit: the IVF index's top-k is scored against the "
+    "exact brute-force top-k, per query — recall@k is THE number that "
+    "decides whether an approximate index is shippable, and at 100 TB "
+    "it is measured exactly this way on a query sample while the "
+    "corpus-side work stays the two existing partition-local BLAS "
+    "paths (nothing new shuffles; the audit join touches k-row-per- "
+    "query outputs only). Hit counts are exact integers; recall is "
+    "one division per query row.",
+    _RECALL_ORACLE,
+)
+def q_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    truth = cosine_topk(emb, queries).select(
+        F.col("q_id").alias("tq"), F.col("n_id").alias("tn")
+    )
+    centroids = emb.filter(F.col("vec_id") < NUM_CELLS).select(
+        F.col("vec_id").alias("cell_id"), "embedding"
+    )
+    approx = ivf_topk(emb, centroids, queries).select(
+        F.col("q_id").alias("aq"), F.col("n_id").alias("an")
+    )
+    per_q = truth.groupBy("tq").agg(F.count(F.lit(1)).alias("n_true"))
+    hits = (
+        truth.join(
+            approx, (F.col("tq") == F.col("aq")) & (F.col("tn") == F.col("an"))
+        )
+        .groupBy("tq")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        per_q.join(F.broadcast(hits), "tq", "left")
+        .select(
+            F.col("tq").alias("q_id"),
+            "n_true",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (
+                F.coalesce("n_hits", F.lit(0)).cast("double") / F.col("n_true")
+            ).alias("recall_at_k"),
+        )
+        .orderBy("q_id")
+    )

@@ -933,3 +933,85 @@ def stats_cov_matrix(spark: SparkSession, sf: str) -> DataFrame:
         .select("c.i", "c.j", "c.cov")
         .orderBy("i", "j")
     )
+
+
+# -- higher moments: skewness / kurtosis -------------------------------------
+
+MOM_SCALE = 100  # l_quantity quantizes exactly to 1/100 units
+
+
+@register(
+    "x_stats_skew_kurtosis",
+    "Per-group skewness and excess kurtosis of lineitem quantity from "
+    "raw moments — the distribution-shape screen that catches "
+    "truncated or synthetic numeric columns (a clamped distribution "
+    "shows in the fourth moment long before a mean/σ check moves). "
+    "One partially-aggregated shuffle carries n and four raw power "
+    "sums (exact: centi-unit BIGINTs for Σx, Σx², 128-bit for Σx³, "
+    "Σx⁴ — x⁴ sums overflow 64 bits at ~1e10 rows); the central-moment "
+    "algebra runs per group row on those exact inputs with explicit "
+    "formulas, identical on both engines (no library skewness() with "
+    "engine-specific bias correction).",
+    f"""WITH q AS (
+         SELECT l_returnflag AS flag,
+                CAST(round(l_quantity * {MOM_SCALE}) AS BIGINT) AS x
+         FROM lineitem
+       ),
+       s AS (
+         SELECT flag, COUNT(*) AS n,
+                SUM(x) AS s1,
+                SUM(CAST(x AS HUGEINT) * x) AS s2,
+                SUM(CAST(x AS HUGEINT) * x * x) AS s3,
+                SUM(CAST(x AS HUGEINT) * x * x * x) AS s4
+         FROM q GROUP BY flag
+       ),
+       m AS (
+         SELECT flag, n,
+                CAST(s1 AS DOUBLE) / n AS m1,
+                CAST(s2 AS DOUBLE) / n AS r2,
+                CAST(s3 AS DOUBLE) / n AS r3,
+                CAST(s4 AS DOUBLE) / n AS r4
+         FROM s
+       )
+       SELECT flag, n,
+              (r2 - m1 * m1) / ({MOM_SCALE} * {MOM_SCALE}.0) AS variance,
+              (r3 - 3 * m1 * r2 + 2 * m1 * m1 * m1)
+                / pow(r2 - m1 * m1, 1.5) AS skewness,
+              (r4 - 4 * m1 * r3 + 6 * m1 * m1 * r2 - 3 * m1 * m1 * m1 * m1)
+                / pow(r2 - m1 * m1, 2) - 3 AS excess_kurtosis
+       FROM m ORDER BY flag""",
+)
+def stats_skew_kurtosis(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf)
+    x = F.round(F.col("l_quantity") * MOM_SCALE, 0).cast("bigint")
+    q = li.select(F.col("l_returnflag").alias("flag"), x.alias("x"))
+    d19 = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+    s = q.groupBy("flag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s1"),
+        F.sum(d19(F.col("x")) * F.col("x")).alias("s2"),
+        F.sum(d19(F.col("x")) * F.col("x") * F.col("x")).alias("s3"),
+        F.sum(d19(F.col("x")) * F.col("x") * F.col("x") * F.col("x")).alias("s4"),
+    )
+    n_d = F.col("n").cast("double")
+    m1 = F.col("s1").cast("double") / n_d
+    r2 = F.col("s2").cast("double") / n_d
+    r3 = F.col("s3").cast("double") / n_d
+    r4 = F.col("s4").cast("double") / n_d
+    var_q = r2 - m1 * m1
+    return (
+        s.select(
+            "flag",
+            "n",
+            (var_q / float(MOM_SCALE * MOM_SCALE)).alias("variance"),
+            ((r3 - 3 * m1 * r2 + 2 * m1 * m1 * m1) / F.pow(var_q, 1.5)).alias(
+                "skewness"
+            ),
+            (
+                (r4 - 4 * m1 * r3 + 6 * m1 * m1 * r2 - 3 * m1 * m1 * m1 * m1)
+                / F.pow(var_q, 2.0)
+                - 3
+            ).alias("excess_kurtosis"),
+        )
+        .orderBy("flag")
+    )

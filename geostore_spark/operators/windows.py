@@ -346,3 +346,59 @@ def win_cume_dist(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("c_custkey") <= 300)
         .orderBy("c_nationkey", "c_mktsegment", "c_custkey")
     )
+
+
+@register(
+    "x_win_first_last",
+    "Frame-edge window functions — FIRST_VALUE / LAST_VALUE / "
+    "NTH_VALUE over each customer's order history (full-partition "
+    "frame): first order price, latest order price, second order "
+    "price, and the latest-vs-first delta. The unbounded frame is "
+    "evaluated once per partition (running-frame rewrite), one keyed "
+    "window shuffle; prices compare as exact cents.",
+    """SELECT o_custkey,
+              COUNT(*) OVER w AS n_orders,
+              FIRST_VALUE(cents) OVER w AS first_cents,
+              LAST_VALUE(cents) OVER w AS last_cents,
+              NTH_VALUE(cents, 2) OVER w AS second_cents,
+              LAST_VALUE(cents) OVER w - FIRST_VALUE(cents) OVER w AS delta_cents
+       FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+                    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+             FROM orders)
+       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+       QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) = 1
+       ORDER BY o_custkey LIMIT 300""",
+)
+def win_first_last(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, "orders", sf)
+    base = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    w_rn = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        base.select(
+            "o_custkey",
+            F.count(F.lit(1)).over(w).alias("n_orders"),
+            F.first("cents").over(w).alias("first_cents"),
+            F.last("cents").over(w).alias("last_cents"),
+            F.nth_value("cents", 2).over(w).alias("second_cents"),
+            (F.last("cents").over(w) - F.first("cents").over(w)).alias("delta_cents"),
+            F.row_number().over(w_rn).alias("_rn"),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .orderBy("o_custkey")
+        .limit(300)
+    )

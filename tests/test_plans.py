@@ -469,3 +469,17 @@ def test_basket_lift_supports_broadcast_and_topk(spark):
     assert "TakeOrderedAndProject" in plan
     assert plan.count("BroadcastHashJoin") >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_skew_kurtosis_is_single_aggregate_pass(spark):
+    plan = _plan(spark, "x_stats_skew_kurtosis")
+    assert plan.count("HashAggregate") == 2
+    assert "Join" not in plan
+
+
+def test_recall_eval_join_is_audit_sized(spark):
+    plan = _plan(spark, "x_sim_recall_eval")
+    # the recall join runs over the two k-per-query outputs, broadcast,
+    # never a shuffle of score space
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
