@@ -1103,3 +1103,137 @@ def o6(spark: SparkSession, sf: str) -> DataFrame:
     a = li.filter(F.col("l_linenumber") <= 2).select(F.col("l_suppkey").alias("k"))
     b = li.filter(F.col("l_linenumber") == 1).select(F.col("l_suppkey").alias("k"))
     return a.exceptAll(b).orderBy("k").limit(100)
+
+
+@_register(
+    "x_join_full_outer",
+    "FULL OUTER reconciliation join — the audit shape that finds BOTH "
+    "sides' orphans in one pass (customers who order but never appear "
+    "in the event stream, event users with no purchase history, and "
+    "the matched middle). One co-partitioned shuffle per side on the "
+    "join key; the COALESCE key recovery and null-flag classification "
+    "are per-row expressions. At scale this replaces two anti-joins + "
+    "an inner join (three shuffles) with one.",
+    """WITH o AS (
+         SELECT o_custkey AS k, COUNT(*) AS n_orders FROM orders
+         GROUP BY o_custkey
+       ),
+       e AS (
+         SELECT user_id AS k, COUNT(*) AS n_events FROM events
+         GROUP BY user_id
+       )
+       SELECT COALESCE(o.k, e.k) AS k,
+              COALESCE(o.n_orders, 0) AS n_orders,
+              COALESCE(e.n_events, 0) AS n_events,
+              CASE WHEN o.k IS NULL THEN 'events_only'
+                   WHEN e.k IS NULL THEN 'orders_only'
+                   ELSE 'both' END AS side
+       FROM o FULL OUTER JOIN e ON o.k = e.k
+       ORDER BY k LIMIT 300""",
+)
+def x_full_outer(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf)
+    events = load_table(spark, "events", sf)
+    o = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    e = events.groupBy(F.col("user_id").alias("k")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    oa, ea = o.alias("o"), e.alias("e")
+    side = (
+        F.when(F.col("o.k").isNull(), F.lit("events_only"))
+        .when(F.col("e.k").isNull(), F.lit("orders_only"))
+        .otherwise(F.lit("both"))
+    )
+    return (
+        oa.join(ea, F.col("o.k") == F.col("e.k"), "full_outer")
+        .select(
+            F.coalesce(F.col("o.k"), F.col("e.k")).alias("k"),
+            F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+            F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+            side.alias("side"),
+        )
+        .orderBy("k")
+        .limit(300)
+    )
+
+
+@_register(
+    "x_unpivot_melt",
+    "UNPIVOT/melt — wide part attributes to long (attribute, value) "
+    "rows, the dual of a10's PIVOT and the reshape every "
+    "feature-store export runs. Spark's stack() expression expands "
+    "per-row with zero shuffle; the only exchange is the final "
+    "per-attribute rollup.",
+    """WITH m AS (
+         SELECT p_partkey, 'retail_cents' AS attr,
+                CAST(round(p_retailprice * 100) AS BIGINT) AS val
+         FROM part
+         UNION ALL
+         SELECT p_partkey, 'size', CAST(p_size AS BIGINT) FROM part
+       )
+       SELECT attr, COUNT(*) AS n,
+              MIN(val) AS min_val, MAX(val) AS max_val,
+              CAST(SUM(val) AS BIGINT) AS sum_val
+       FROM m GROUP BY attr ORDER BY attr""",
+)
+def x_unpivot(spark: SparkSession, sf: str) -> DataFrame:
+    part = load_table(spark, "part", sf)
+    m = part.selectExpr(
+        "p_partkey",
+        "stack(2, 'retail_cents', cast(round(p_retailprice * 100) as bigint),"
+        " 'size', cast(p_size as bigint)) as (attr, val)",
+    )
+    return (
+        m.groupBy("attr")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("val").alias("min_val"),
+            F.max("val").alias("max_val"),
+            F.sum("val").cast("bigint").alias("sum_val"),
+        )
+        .orderBy("attr")
+    )
+
+
+@_register(
+    "x_posexplode_ordinality",
+    "Ordered UDTF expansion — posexplode with ordinality over the "
+    "embedding arrays (the WITH ORDINALITY lateral join of ANSI SQL): "
+    "element position survives the expansion, so downstream joins can "
+    "reference 'dimension 3 of vector 7'. Zero-shuffle Generate node "
+    "fused into the scan stage; the rollup keyed on position is the "
+    "only exchange.",
+    """WITH x AS (
+         SELECT vec_id, t.i - 1 AS pos,
+                CAST(round(CAST(embedding[t.i] AS DOUBLE) * 1000) AS BIGINT) AS q
+         FROM embeddings
+              CROSS JOIN (SELECT unnest(range(1, 9)) AS i) t
+       )
+       SELECT pos, COUNT(*) AS n,
+              CAST(SUM(q) AS BIGINT) AS sum_q,
+              MIN(q) AS min_q, MAX(q) AS max_q
+       FROM x GROUP BY pos ORDER BY pos""",
+)
+def x_posexplode(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf)
+    x = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "x")
+    ).filter(F.col("pos") < 8)
+    return (
+        x.groupBy("pos")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("x").cast("double") * 1000, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("sum_q"),
+            F.min(F.round(F.col("x").cast("double") * 1000, 0).cast("bigint")).alias(
+                "min_q"
+            ),
+            F.max(F.round(F.col("x").cast("double") * 1000, 0).cast("bigint")).alias(
+                "max_q"
+            ),
+        )
+        .orderBy("pos")
+    )

@@ -483,3 +483,16 @@ def test_recall_eval_join_is_audit_sized(spark):
     # never a shuffle of score space
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_unpivot_expansion_is_zero_shuffle(spark):
+    plan = _plan(spark, "x_unpivot_melt")
+    # stack() expands in the scan stage; only the rollup exchanges
+    assert plan.count("Exchange") <= 2
+    assert "Join" not in plan
+
+
+def test_posexplode_generate_fused_into_scan(spark):
+    plan = _plan(spark, "x_posexplode_ordinality")
+    assert "Generate" in plan
+    assert "Join" not in plan
