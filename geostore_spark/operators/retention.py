@@ -171,3 +171,65 @@ def q_dau_mau(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("m")
     )
+
+
+# -- cohort lifetime value ---------------------------------------------------
+
+
+@register(
+    "x_events_cohort_ltv",
+    "Cohort lifetime-value curve: customers grouped by first-purchase "
+    "quarter, revenue accumulated by quarters-since-acquisition — the "
+    "retention triangle's revenue twin and the payback-period input. "
+    "The acquisition table derives from ONE customer-keyed aggregate "
+    "of orders; it joins back BROADCAST (one row per customer — the "
+    "small side of a fact join by construction); revenue buckets "
+    "partially aggregate on (cohort_q, quarters_since) — at 100 TB "
+    "nothing but cohort-sized rollups ever reach a single node. "
+    "Revenue sums are exact cents.",
+    """WITH acq AS (
+         SELECT o_custkey AS c, MIN(CAST(o_orderdate AS DATE)) AS first_day
+         FROM orders GROUP BY o_custkey
+       ),
+       rev AS (
+         SELECT CAST(date_trunc('quarter', a.first_day) AS VARCHAR) AS cohort_q,
+                (year(o.o_orderdate) * 4 + quarter(o.o_orderdate))
+                  - (year(a.first_day) * 4 + quarter(a.first_day))
+                  AS quarters_since,
+                CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+         FROM orders o JOIN acq a ON o.o_custkey = a.c
+       )
+       SELECT cohort_q, CAST(quarters_since AS BIGINT) AS quarters_since,
+              COUNT(*) AS n_orders,
+              CAST(SUM(cents) AS BIGINT) AS revenue_cents
+       FROM rev GROUP BY cohort_q, quarters_since
+       ORDER BY cohort_q, quarters_since
+       LIMIT 400""",
+)
+def q_cohort_ltv(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf)
+    acq = orders.groupBy(F.col("o_custkey").alias("c")).agg(
+        F.min(F.to_date("o_orderdate")).alias("first_day")
+    )
+    q_idx = lambda col: F.year(col) * 4 + F.quarter(col)  # noqa: E731
+    rev = (
+        orders.join(F.broadcast(acq), orders["o_custkey"] == acq["c"])
+        .select(
+            F.date_trunc("quarter", "first_day").cast("date").cast("string").alias(
+                "cohort_q"
+            ),
+            (q_idx(F.col("o_orderdate")) - q_idx(F.col("first_day")))
+            .cast("bigint")
+            .alias("quarters_since"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+        )
+    )
+    return (
+        rev.groupBy("cohort_q", "quarters_since")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("revenue_cents"),
+        )
+        .orderBy("cohort_q", "quarters_since")
+        .limit(400)
+    )

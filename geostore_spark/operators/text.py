@@ -1352,3 +1352,53 @@ def text_kneser_ney(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), "bigram")
         .limit(KN_TOP)
     )
+
+
+# -- BPE tokenizer training: merge-pair counting -----------------------------
+
+BPE_TOP_PAIRS = 30
+
+
+@register(
+    "x_text_bpe_pairs",
+    "The inner loop of BPE tokenizer training at corpus scale: count "
+    "adjacent symbol pairs inside whitespace words (character level — "
+    "the state of round 0, before any merge), rank by frequency. The "
+    "top pair IS the next BPE merge rule; iterating this counting job "
+    "with a growing merge table is exactly how corpus-scale "
+    "tokenizers are trained. One explode to (pair) rows with map-side "
+    "partial counts — the corpus shuffles pair-count partials, never "
+    "raw text; TakeOrdered keeps the driver k-row-bounded. Word "
+    "boundaries never pair (standard BPE pre-tokenization).",
+    f"""WITH w AS (
+         SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+         FROM documents
+       ),
+       p AS (
+         SELECT unnest(list_transform(
+                  range(1, length(word)),
+                  i -> substr(word, i, 1) || ' ' || substr(word, i + 1, 1)
+                )) AS pair
+         FROM w WHERE length(word) >= 2
+       )
+       SELECT pair, COUNT(*) AS n
+       FROM p GROUP BY pair
+       ORDER BY n DESC, pair LIMIT {BPE_TOP_PAIRS}""",
+)
+def text_bpe_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf)
+    words = docs.select(
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("word")
+    ).filter(F.length("word") >= 2)
+    # expr form: the DataFrame API's substring takes Python ints only,
+    # and the pair position is a per-element lambda variable
+    pairs = words.selectExpr(
+        "explode(transform(sequence(1, length(word) - 1),"
+        " i -> concat(substr(word, i, 1), ' ', substr(word, i + 1, 1)))) as pair"
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(BPE_TOP_PAIRS)
+    )
