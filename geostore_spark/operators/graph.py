@@ -685,3 +685,95 @@ def q_kcore(spark: SparkSession, sf: str) -> DataFrame:
     for s in stats[1:]:
         out = out.unionAll(s)
     return out.orderBy("round")
+
+
+# -- BFS frontier layers -----------------------------------------------------
+
+BFS_ROUNDS = 3
+BFS_SEED_MAX = 10  # seeds: suppliers with s_suppkey < 10
+
+
+def _bfs_oracle() -> str:
+    parts = [
+        """e AS (
+             SELECT DISTINCT l_partkey * 2 AS u, l_suppkey * 2 + 1 AS v
+             FROM lineitem
+           ),
+           sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+           """
+        + f"r0 AS (SELECT DISTINCT l_suppkey * 2 + 1 AS node FROM lineitem WHERE l_suppkey < {BFS_SEED_MAX})"
+    ]
+    for r in range(1, BFS_ROUNDS + 1):
+        prev = " UNION ".join(f"SELECT node FROM r{i}" for i in range(r))
+        parts.append(
+            f"""r{r} AS (
+                 SELECT DISTINCT sym.v AS node
+                 FROM sym JOIN r{r - 1} ON sym.u = r{r - 1}.node
+                 WHERE sym.v NOT IN ({prev})
+               )"""
+        )
+    rows = [
+        f"SELECT {r} AS depth, CAST((SELECT COUNT(*) FROM r{r}) AS BIGINT) AS n_nodes"
+        for r in range(BFS_ROUNDS + 1)
+    ]
+    return (
+        "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(rows)
+        + "\nORDER BY depth"
+    )
+
+
+@register(
+    "x_graph_bfs_layers",
+    "BFS frontier expansion from a seed set over the (symmetrized) "
+    "supply graph — the reachability probe behind blast-radius and "
+    "recall-path analyses, and the reference's traversal semantics "
+    "(pipeline/traversal.py once-per-URL frontier) lifted onto a "
+    "graph measured in edges, not files. Per round: frontier ⋈ edges "
+    "(frontier is the SMALL side — broadcast), minus already-visited "
+    "via anti-join; visited and frontier sets are |V|-bounded and "
+    "checkpointed so round r never replays rounds 0..r-1. Output is "
+    "the depth-layer size profile (exact integers).",
+    _bfs_oracle(),
+)
+def q_bfs_layers(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf)
+    e = (
+        li.select(
+            (F.col("l_partkey") * 2).alias("u"),
+            (F.col("l_suppkey") * 2 + 1).alias("v"),
+        )
+        .distinct()
+    )
+    sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    sym = sym.localCheckpoint(eager=False)
+    frontier = (
+        li.filter(F.col("l_suppkey") < BFS_SEED_MAX)
+        .select((F.col("l_suppkey") * 2 + 1).alias("node"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    visited = frontier
+    layers = [
+        frontier.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes")).select(
+            F.lit(0).alias("depth"), "n_nodes"
+        )
+    ]
+    for depth in range(1, BFS_ROUNDS + 1):
+        nxt = (
+            sym.join(F.broadcast(frontier), sym["u"] == frontier["node"])
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .localCheckpoint(eager=False)
+        )
+        layers.append(
+            nxt.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes")).select(
+                F.lit(depth).alias("depth"), "n_nodes"
+            )
+        )
+        visited = visited.unionAll(nxt).localCheckpoint(eager=False)
+        frontier = nxt
+    out = layers[0]
+    for s in layers[1:]:
+        out = out.unionAll(s)
+    return out.orderBy("depth")

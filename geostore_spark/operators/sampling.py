@@ -527,3 +527,73 @@ def q_shard_assign(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# -- temperature-scaled language mix -----------------------------------------
+
+MIX_ALPHA_NUM, MIX_ALPHA_DEN = 3, 10  # alpha = 0.3, the mT5 default
+MIX_SCALE = 1_000_000_000
+
+
+@register(
+    "x_pipeline_mix_temperature",
+    "Temperature-scaled sampling weights per language (w_l ∝ p_l^0.3, "
+    "the mT5/multilingual-pretraining default): upweights scarce "
+    "languages without letting any dominate. One corpus rollup to "
+    "per-language token counts (map-side partials); the power/normalize "
+    "math runs on the language-count-sized aggregate — the corpus is "
+    "read once and never shuffled beyond the rollup. The normalizer "
+    "sums integer-quantized powered shares (exact, order-free), so "
+    "every weight is deterministic across engines.",
+    f"""WITH l AS (
+         SELECT lang,
+                CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+                  AS toks
+         FROM documents GROUP BY lang
+       ),
+       tot AS (SELECT CAST(SUM(toks) AS BIGINT) AS t FROM l),
+       p AS (
+         SELECT lang, toks,
+                CAST(round(pow(CAST(toks AS DOUBLE) / tot.t,
+                               {MIX_ALPHA_NUM}.0 / {MIX_ALPHA_DEN})
+                           * {MIX_SCALE}) AS BIGINT) AS pw_q
+         FROM l CROSS JOIN tot
+       ),
+       z AS (SELECT CAST(SUM(pw_q) AS BIGINT) AS z FROM p)
+       SELECT p.lang, p.toks,
+              CAST(p.pw_q AS DOUBLE) / {MIX_SCALE} AS powered_share,
+              CAST(p.pw_q AS DOUBLE) / z.z AS sample_weight
+       FROM p CROSS JOIN z ORDER BY p.lang""",
+)
+def q_mix_temperature(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf)
+    toks = F.size(F.split(F.trim("text"), r"\s+"))
+    lang = docs.groupBy("lang").agg(F.sum(toks).cast("bigint").alias("toks"))
+    lang = lang.localCheckpoint(eager=False)
+    tot = lang.agg(F.sum("toks").cast("bigint").alias("t"))
+    p = lang.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "toks",
+        F.round(
+            F.pow(
+                F.col("toks").cast("double") / F.col("t"),
+                MIX_ALPHA_NUM / MIX_ALPHA_DEN,
+            )
+            * MIX_SCALE,
+            0,
+        )
+        .cast("bigint")
+        .alias("pw_q"),
+    )
+    p = p.localCheckpoint(eager=False)
+    z = p.agg(F.sum("pw_q").cast("bigint").alias("z"))
+    return (
+        p.crossJoin(F.broadcast(z))
+        .select(
+            "lang",
+            "toks",
+            (F.col("pw_q").cast("double") / MIX_SCALE).alias("powered_share"),
+            (F.col("pw_q").cast("double") / F.col("z")).alias("sample_weight"),
+        )
+        .orderBy("lang")
+    )

@@ -1402,3 +1402,75 @@ def text_bpe_pairs(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.desc("n"), "pair")
         .limit(BPE_TOP_PAIRS)
     )
+
+
+# -- sliding-window chunking (RAG / long-context prep) -----------------------
+
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48  # 16-token overlap between consecutive chunks
+
+
+@register(
+    "x_text_chunk_windows",
+    "Sliding-window chunking for retrieval / long-context prep: each "
+    "document splits into 64-token windows with stride 48 (16-token "
+    "overlap), the shape every RAG index and long-context packer "
+    "ingests. Chunk generation is a per-row sequence/transform "
+    "expression — zero shuffle, chunk rows never exist before the "
+    "explode in the same codegen stage; the per-doc rollup "
+    "(n_chunks, boundary digests) partially aggregates. Chunk count "
+    "and per-chunk token math are pure integer functions of the token "
+    "count.",
+    f"""WITH t AS (
+         SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+         FROM documents
+       ),
+       c AS (
+         SELECT doc_id, len(ws) AS n_tok, u.s AS start_tok,
+                array_to_string(ws[u.s + 1 : u.s + {CHUNK_TOKENS}], ' ') AS chunk
+         FROM t CROSS JOIN (
+           SELECT unnest(range(0, 2000, {CHUNK_STRIDE})) AS s
+         ) u
+         WHERE u.s < len(ws) AND (u.s = 0 OR u.s + {CHUNK_TOKENS} <= len(ws)
+                                  + {CHUNK_STRIDE} - 1)
+       )
+       SELECT doc_id, n_tok, COUNT(*) AS n_chunks,
+              CAST(SUM(length(chunk)) AS BIGINT) AS sum_chunk_chars,
+              md5(string_agg(chunk, '|' ORDER BY start_tok)) AS chunks_digest
+       FROM c GROUP BY doc_id, n_tok
+       ORDER BY doc_id LIMIT 300""",
+)
+def text_chunk_windows(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf)
+    t = docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("ws"))
+    c = t.selectExpr(
+        "doc_id",
+        "size(ws) as n_tok",
+        f"""explode(transform(
+              filter(sequence(0, 1999, {CHUNK_STRIDE}),
+                     s -> s < size(ws) AND (s = 0 OR s + {CHUNK_TOKENS}
+                                            <= size(ws) + {CHUNK_STRIDE} - 1)),
+              s -> struct(s as start_tok,
+                          array_join(slice(ws, s + 1, {CHUNK_TOKENS}), ' ')
+                            as chunk))) as w""",
+    ).select("doc_id", "n_tok", "w.start_tok", "w.chunk")
+    return (
+        c.groupBy("doc_id", "n_tok")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.length("chunk")).cast("bigint").alias("sum_chunk_chars"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("start_tok", "chunk"))
+                        ),
+                        lambda s: s["chunk"],
+                    ),
+                    "|",
+                ).cast("binary")
+            ).alias("chunks_digest"),
+        )
+        .orderBy("doc_id")
+        .limit(300)
+    )

@@ -496,3 +496,20 @@ def test_posexplode_generate_fused_into_scan(spark):
     plan = _plan(spark, "x_posexplode_ordinality")
     assert "Generate" in plan
     assert "Join" not in plan
+
+
+def test_chunk_windows_expansion_is_zero_shuffle(spark):
+    plan = _plan(spark, "x_text_chunk_windows")
+    # chunk generation must be a Generate in the scan stage; only the
+    # per-doc rollup exchanges
+    assert "Generate" in plan
+    assert "Join" not in plan
+
+
+def test_bfs_rounds_are_checkpointed(spark):
+    plan = _plan(spark, "x_graph_bfs_layers")
+    # each round's frontier/visited materializes at build (checkpoint),
+    # so the returned plan is a union of counts over cached layers —
+    # round r never replays rounds 0..r-1's joins at execution
+    assert "ExistingRDD" in plan
+    assert "Join" not in plan and "CartesianProduct" not in plan
