@@ -83,6 +83,14 @@ def _build_parser() -> argparse.ArgumentParser:
     tc = tb.add_parser("compact")
     tc.add_argument("name")
     tc.add_argument("--target-files", type=int, default=1)
+    tc.add_argument(
+        "--cluster-by", nargs="+", default=None, metavar="COL",
+        help="sort rows on these columns before the rewrite",
+    )
+    tc.add_argument(
+        "--zorder-by", nargs=2, default=None, metavar=("X", "Y"),
+        help="Morton-interleave two integer columns as the sort key",
+    )
     tv = tb.add_parser("vacuum")
     tv.add_argument("name")
     tv.add_argument("--keep-last", type=int, default=1)
@@ -132,7 +140,16 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps(store.history(args.name), indent=2))
             return EXIT_SUCCESS
         if args.cmd == "compact":
-            print(json.dumps(store.compact(args.name, args.target_files)))
+            print(
+                json.dumps(
+                    store.compact(
+                        args.name,
+                        args.target_files,
+                        cluster_by=args.cluster_by,
+                        zorder_by=tuple(args.zorder_by) if args.zorder_by else None,
+                    )
+                )
+            )
             return EXIT_SUCCESS
         if args.cmd == "vacuum":
             print(json.dumps({"removed": store.vacuum(args.name, args.keep_last)}))

@@ -184,17 +184,52 @@ class MetadataStore:
             out.append({"version": version, "n_files": len(files), "bytes": size})
         return sorted(out, key=lambda r: r["version"])
 
-    def compact(self, table: str, target_files: int = 1) -> dict:
+    def compact(
+        self,
+        table: str,
+        target_files: int = 1,
+        cluster_by: list[str] | None = None,
+        zorder_by: tuple[str, str] | None = None,
+    ) -> dict:
         """Rewrite the current snapshot into ``target_files`` files as a
         NEW snapshot (history preserved; readers of the old snapshot are
         unaffected — the small-files fix for high-frequency appends).
-        Returns {files_in, files_out}."""
+
+        ``cluster_by`` sorts rows on the given columns before the write
+        (linear clustering: parquet min/max row-group stats become
+        selective on those columns, so later point/range scans skip
+        row groups). ``zorder_by`` interleaves the low bits of TWO
+        integer columns into a Morton key and sorts on it — locality in
+        both dimensions at once, the OPTIMIZE ZORDER BY shape. Returns
+        {files_in, files_out}."""
+        from pyspark.sql import functions as F
+
+        from geostore_spark.functions.geo import zorder_key
+
         hist = {h["version"]: h for h in self.history(table)}
         base = self.current_version(table)
         files_in = hist.get(base, {}).get("n_files", 0)
-        self._write_snapshot(
-            table, self.read(table, base).coalesce(target_files), base
-        )
+        df = self.read(table, base)
+        if zorder_by is not None:
+            x, y = zorder_by
+            df = (
+                df.withColumn(
+                    "_zk", zorder_key(F.col(x).cast("long"), F.col(y).cast("long"))
+                )
+                # range-partition on the Morton key → each output file owns
+                # a contiguous z-range; sort within → row groups inside a
+                # file are z-contiguous too
+                .repartitionByRange(target_files, "_zk")
+                .sortWithinPartitions("_zk")
+                .drop("_zk")
+            )
+        elif cluster_by:
+            df = df.repartitionByRange(target_files, *cluster_by).sortWithinPartitions(
+                *cluster_by
+            )
+        else:
+            df = df.coalesce(target_files)
+        self._write_snapshot(table, df, base)
         return {"files_in": files_in, "files_out": target_files}
 
     def vacuum(self, table: str, keep_last: int = 1) -> list[int]:

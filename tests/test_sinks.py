@@ -206,3 +206,46 @@ def test_store_stale_read_version_cannot_silently_win(spark, tmp_path):
         store._write_snapshot(t, b_data, b_base)  # B: pinned to its read
     assert store.current_version(t) == 1
     assert not os.path.exists(str(tmp_path / "store" / t / "v2"))
+
+
+def test_compact_cluster_by_orders_rows(spark, tmp_path, monkeypatch):
+    from geostore_spark.sources.store import SCHEMAS, MetadataStore
+
+    monkeypatch.setitem(SCHEMAS, "pts", "id long, x long, y long")
+    store = MetadataStore(spark, str(tmp_path / "store"))
+    rows = [(i, (i * 37) % 100, (i * 53) % 100) for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    store.overwrite("pts", df)
+    out = store.compact("pts", target_files=2, cluster_by=["x"])
+    assert out["files_out"] == 2
+    # rows inside each parquet file must be sorted on x
+    import glob
+
+    import pandas as pd
+
+    files = sorted(
+        glob.glob(str(tmp_path / "store" / "pts" / "v*" / "*.parquet"))
+    )
+    latest_dir = max({f.rsplit("/", 2)[1] for f in files}, key=lambda v: int(v[1:]))
+    latest = [f for f in files if f"/{latest_dir}/" in f]
+    assert len(latest) == 2
+    for f in latest:
+        xs = pd.read_parquet(f)["x"].tolist()
+        assert xs == sorted(xs)
+    # clustered rewrite preserves content exactly
+    assert store.read("pts").count() == 400
+
+
+def test_compact_zorder_by_clusters_both_dims(spark, tmp_path, monkeypatch):
+    from geostore_spark.sources.store import SCHEMAS, MetadataStore
+
+    monkeypatch.setitem(SCHEMAS, "pts", "id long, x long, y long")
+    store = MetadataStore(spark, str(tmp_path / "store"))
+    rows = [(i, (i * 37) % 64, (i * 53) % 64) for i in range(512)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    store.overwrite("pts", df)
+    out = store.compact("pts", target_files=2, zorder_by=("x", "y"))
+    assert out["files_out"] == 2
+    got = store.read("pts")
+    assert got.count() == 512
+    assert set(got.columns) == {"id", "x", "y"}

@@ -552,3 +552,39 @@ def test_streaming_markov_matches_batch_transitions(spark, tmp_path):
     assert {(r["user_id"], r["prev"], r["next"], r["n"]) for r in second} == {
         (2, "signup", "purchase", 1)
     }
+
+
+def test_streaming_parquet_sink_is_exactly_once_across_restarts(spark, tmp_path):
+    """File-sink exactly-once: the checkpoint's committed-batch log plus
+    the sink's file manifest mean a restart neither re-emits batch 1's
+    rows nor loses batch 2's — the durable-output contract the
+    reference's append-only catalog sink (S11) relies on."""
+    from geostore_spark.streaming.windows import event_stream
+
+    events = str(tmp_path / "events")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        q = (
+            event_stream(spark, events)
+            .select("event_id", "user_id", "event_type")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    _write_events(events, "b1.json", [_event(1, 1, _ts(1)), _event(2, 2, _ts(1, 1))])
+    run_once()
+    got1 = {r["event_id"] for r in spark.read.parquet(out).collect()}
+    assert got1 == {1, 2}
+
+    # restart from the same checkpoint with one new file: batch 1 must
+    # not duplicate, batch 2 must land
+    _write_events(events, "b2.json", [_event(3, 1, _ts(2))])
+    run_once()
+    rows = spark.read.parquet(out).collect()
+    assert sorted(r["event_id"] for r in rows) == [1, 2, 3]
