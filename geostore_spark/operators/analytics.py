@@ -194,3 +194,77 @@ def q_basket_lift(spark: SparkSession, sf: str) -> DataFrame:
         .limit(BASKET_TOP)
         .drop("lift_q")
     )
+
+
+# -- ABC / Pareto revenue classification -------------------------------------
+
+ABC_A, ABC_B = 50, 80  # cumulative-share breakpoints (percent)
+
+
+@register(
+    "x_part_abc_pareto",
+    "ABC (Pareto) classification of parts by revenue: parts sorted by "
+    "revenue descending, cumulative share computed, class A = first "
+    "50% of revenue, B = next 30%, C = the tail — the 80/20 inventory "
+    "screen. The global cumulative sum runs through the two-phase "
+    "distributed prefix sum (range partition + local running sums + "
+    "broadcast slice offsets — parallelism ∝ parts, never a 1-task "
+    "global window); revenue is exact cents so every prefix is "
+    "layout-independent. Class thresholds compare integer "
+    "cross-products (cum*100 vs total*pct).",
+    f"""WITH r AS (
+         SELECT l_partkey AS p,
+                CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                     AS BIGINT) AS cents
+         FROM lineitem GROUP BY l_partkey
+       ),
+       c AS (
+         SELECT p, cents,
+                SUM(cents) OVER (ORDER BY cents DESC, p
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS cum,
+                SUM(cents) OVER () AS total
+         FROM r
+       ),
+       k AS (
+         SELECT p, cents,
+                CASE WHEN cum * 100 <= total * {ABC_A} THEN 'A'
+                     WHEN cum * 100 <= total * {ABC_B} THEN 'B'
+                     ELSE 'C' END AS klass
+         FROM c
+       )
+       SELECT klass, COUNT(*) AS n_parts,
+              CAST(SUM(cents) AS BIGINT) AS class_cents,
+              MIN(cents) AS min_cents, MAX(cents) AS max_cents
+       FROM k GROUP BY klass ORDER BY klass""",
+)
+def q_abc_pareto(spark: SparkSession, sf: str) -> DataFrame:
+    from geostore_spark.operators.util import distributed_prefix_sum
+
+    li = load_table(spark, "lineitem", sf)
+    r = li.groupBy(F.col("l_partkey").alias("p")).agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    r = r.withColumn("neg", -F.col("cents")).localCheckpoint(eager=False)
+    total = r.agg(F.sum("cents").cast("bigint").alias("total"))
+    c = distributed_prefix_sum(r, [], ["neg", "p"], "cents", out_name="cum")
+    k = c.crossJoin(F.broadcast(total)).select(
+        "p",
+        "cents",
+        F.when(F.col("cum") * 100 <= F.col("total") * ABC_A, "A")
+        .when(F.col("cum") * 100 <= F.col("total") * ABC_B, "B")
+        .otherwise("C")
+        .alias("klass"),
+    )
+    return (
+        k.groupBy("klass")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("cents").cast("bigint").alias("class_cents"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+        )
+        .orderBy("klass")
+    )

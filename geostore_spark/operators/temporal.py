@@ -279,3 +279,75 @@ def q_events_markov(spark: SparkSession, sf: str) -> DataFrame:
         .select("prev", "next", "n", (F.col("n").cast("double") / F.col("n_prev")).alias("p"))
         .orderBy("prev", "next")
     )
+
+
+# -- calendar gap-fill + forward-fill ----------------------------------------
+
+GAPFILL_USERS = 20  # bounded demo slice; the shape is per-user at any scale
+
+
+@register(
+    "x_events_gapfill",
+    "Calendar gap-filling with forward-fill — the time-series "
+    "regularization every downstream window/EWMA expects (a user with "
+    "no events on a day must contribute an explicit row, carrying the "
+    "last observed daily value). The day spine is a per-user "
+    "sequence()/explode between that user's own first and last day — "
+    "generated inside the scan stage, no calendar dimension join; the "
+    "fill is one LAST_VALUE IGNORE NULLS window per user. Output "
+    "marks which rows are observed vs filled; all values exact "
+    "integers.",
+    f"""WITH d AS (
+         SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS x
+         FROM events WHERE user_id < {GAPFILL_USERS}
+         GROUP BY user_id, day
+       ),
+       bounds AS (
+         SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM d GROUP BY user_id
+       ),
+       spine AS (
+         SELECT b.user_id, CAST(u.day AS DATE) AS day
+         FROM bounds b, UNNEST(generate_series(b.d0, b.d1, INTERVAL 1 DAY))
+           AS u(day)
+       )
+       SELECT s.user_id, CAST(s.day AS VARCHAR) AS day,
+              d.x IS NOT NULL AS observed,
+              COALESCE(d.x,
+                LAST_VALUE(d.x IGNORE NULLS) OVER (
+                  PARTITION BY s.user_id ORDER BY s.day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                AS x_filled
+       FROM spine s LEFT JOIN d ON s.user_id = d.user_id AND s.day = d.day
+       ORDER BY s.user_id, s.day""",
+)
+def q_events_gapfill(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, "events", sf).filter(F.col("user_id") < GAPFILL_USERS)
+    d = (
+        ev.select("user_id", F.to_date("ts").alias("day"))
+        .groupBy("user_id", "day")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    d = d.localCheckpoint(eager=False)
+    spine = (
+        d.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("d0", "d1")).alias("day"),
+        )
+    )
+    j = spine.join(d, ["user_id", "day"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        j.select(
+            "user_id",
+            F.col("day").cast("string").alias("day"),
+            F.col("x").isNotNull().alias("observed"),
+            F.coalesce("x", F.last("x", ignorenulls=True).over(w)).alias("x_filled"),
+        )
+        .orderBy("user_id", "day")
+    )

@@ -94,3 +94,56 @@ def distributed_row_number(
         .drop("_pid", "_lrn", "_off")
     )
     return ranked, group_counts
+
+
+def distributed_prefix_sum(
+    df: DataFrame,
+    part_cols: list[str],
+    order_cols: list[str],
+    val_col: str,
+    out_name: str = "cum",
+    num_partitions: int | None = None,
+):
+    """Two-phase distributed cumulative SUM — same scale argument as
+    ``distributed_row_number``: a running total OVER a low-cardinality
+    (or empty) partition key is a 1-task global window; this computes
+    identical inclusive prefix sums with parallelism ∝ data.
+
+    1. range-partition on (part_cols, order_cols);
+    2. local running sum per (spark_partition_id, part_cols);
+    3. per-(pid, key) slice totals roll into broadcast prefix offsets;
+       global cum = offset + local running sum.
+
+    ``val_col`` should be an exact (integer/decimal) column — float
+    prefix sums would depend on slice boundaries.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    if num_partitions is None:
+        num_partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    ranged = df.repartitionByRange(
+        num_partitions, *part_cols, *order_cols
+    ).withColumn("_pid", F.spark_partition_id())
+    local_w = (
+        Window.partitionBy("_pid", *part_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = ranged.withColumn("_lcum", F.sum(val_col).over(local_w))
+    totals = ranged.groupBy("_pid", *part_cols).agg(F.sum(val_col).alias("_tot"))
+    off_w = (
+        Window.partitionBy(*part_cols)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.withColumn(
+        "_off", F.coalesce(F.sum("_tot").over(off_w), F.lit(0))
+    ).select("_pid", *part_cols, "_off")
+    return (
+        local.join(F.broadcast(offsets), ["_pid", *part_cols])
+        .withColumn(out_name, F.col("_off") + F.col("_lcum"))
+        .drop("_pid", "_lcum", "_off")
+    )

@@ -513,3 +513,23 @@ def test_bfs_rounds_are_checkpointed(spark):
     # round r never replays rounds 0..r-1's joins at execution
     assert "ExistingRDD" in plan
     assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+def test_gapfill_spine_is_generate_no_calendar_dim(spark):
+    plan = _plan(spark, "x_events_gapfill")
+    # the day spine must come from sequence()/explode (Generate), not a
+    # joined calendar dimension table scan
+    assert "Generate" in plan
+    assert plan.count("Scan parquet") <= 1 or plan.count("FileScan") <= 1
+
+
+def test_abc_pareto_prefix_sum_is_two_phase(spark):
+    plan = _plan(spark, "x_part_abc_pareto")
+    # the global cumulative sum must be two-phase: range partition +
+    # per-pid local running sums; a SUM window over all rows in one
+    # partition must not exist
+    assert "rangepartitioning" in plan.lower()
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line and "_pid" not in line:
+            # only the ≤32-row offsets window may be global
+            assert "_tot" in line or "_cnt" in line, line[:140]
