@@ -751,3 +751,73 @@ def streaming_markov(stream: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# -- transformWithStateInPandas (Spark 4 stateful API) -----------------------
+
+PEAK_SCHEMA = "user_id long, event_id long, value double"
+
+
+def _load_stateful_processor():
+    """The Spark 4 ``StatefulProcessor`` API — imported lazily so the
+    module stays importable on older runtimes."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class PeakTracker(StatefulProcessor):
+        """Per-user high-watermark tracker: emits a row ONLY when an
+        event sets a new personal maximum ``value`` — the alerting
+        primitive behind record-breaker / anomaly-first notification
+        feeds. One ValueState scalar per user in the RocksDB store;
+        emission is append-mode and exactly-once across restarts
+        (the high watermark survives in the state store, so a replayed
+        batch re-derives identical outputs)."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.peak = handle.getValueState("peak", "value double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            best = self.peak.get()[0] if self.peak.exists() else None
+            out_ids, out_vals = [], []
+            for pdf in rows:
+                pdf = pdf.sort_values(["ts", "event_id"])
+                for eid, val in zip(pdf["event_id"], pdf["value"]):
+                    if best is None or val > best:
+                        best = float(val)
+                        out_ids.append(int(eid))
+                        out_vals.append(best)
+            self.peak.update((best,))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(out_ids),
+                    "event_id": out_ids,
+                    "value": out_vals,
+                }
+            ).astype({"user_id": "int64", "event_id": "int64", "value": "float64"})
+
+        def close(self) -> None:
+            pass
+
+    return PeakTracker
+
+
+def streaming_peak_tracker(stream: DataFrame) -> DataFrame:
+    """Per-user record-breaker feed on the Spark 4
+    ``transformWithStateInPandas`` API (typed ValueState in the RocksDB
+    state store — the successor to ``applyInPandasWithState``'s
+    tuple-schema state). Requires the RocksDB state store provider
+    (caller's session config) AND a working ``google.protobuf`` (the
+    state-server wire protocol; the test importorskips it — this
+    container ships a broken protobuf, so the production-ready path
+    here is the ``applyInPandasWithState`` twins above)."""
+    PeakTracker = _load_stateful_processor()
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        PeakTracker(),
+        outputStructType=PEAK_SCHEMA,
+        outputMode="append",
+        timeMode="none",
+    )

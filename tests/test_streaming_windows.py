@@ -588,3 +588,50 @@ def test_streaming_parquet_sink_is_exactly_once_across_restarts(spark, tmp_path)
     run_once()
     rows = spark.read.parquet(out).collect()
     assert sorted(r["event_id"] for r in rows) == [1, 2, 3]
+
+
+def test_transform_with_state_peak_tracker(spark, tmp_path):
+    """Spark 4 transformWithStateInPandas: per-user high-watermark state
+    survives restarts in the RocksDB store; only record-setting events
+    emit."""
+    import pytest
+
+    # the transformWithState protocol speaks protobuf to the JVM state
+    # server; without a working google.protobuf the worker cannot start
+    pytest.importorskip("google.protobuf.descriptor")
+
+    from geostore_spark.streaming.windows import streaming_peak_tracker
+
+    events = str(tmp_path / "events")
+    ckpt = str(tmp_path / "ckpt")
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        _write_events(
+            events,
+            "b1.json",
+            [
+                _event(1, 1, _ts(1, 5), value=1.0),
+                _event(2, 1, _ts(1, 6), value=3.0),
+                _event(3, 1, _ts(1, 7), value=2.0),  # below peak → no emit
+            ],
+        )
+        first = drain_collect(streaming_peak_tracker(event_stream(spark, events)), ckpt)
+        assert [(r["event_id"], r["value"]) for r in first] == [(1, 1.0), (2, 3.0)]
+
+        # restart: the 3.0 watermark persists — only 4.0 emits
+        _write_events(
+            events,
+            "b2.json",
+            [_event(4, 1, _ts(2), value=2.5), _event(5, 1, _ts(2, 1), value=4.0)],
+        )
+        second = drain_collect(streaming_peak_tracker(event_stream(spark, events)), ckpt)
+        assert [(r["event_id"], r["value"]) for r in second] == [(5, 4.0)]
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
