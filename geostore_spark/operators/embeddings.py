@@ -178,3 +178,79 @@ def pca_top_component(spark: SparkSession, sf: str, iters: int = 20):
         w = g @ v
         v = w / np.linalg.norm(w)
     return float(v @ g @ v), v
+
+
+# -- embedding-space outliers (diagonal Mahalanobis) -------------------------
+
+OUTLIER_TOP = 25
+OUT_SCALE = 1024
+
+
+@register(
+    "x_emb_outliers",
+    "Embedding-space outlier screen: per-vector diagonal Mahalanobis "
+    "distance (squared deviation from the corpus mean, normalized by "
+    "per-dimension variance) over the first 16 dims, top-25 most "
+    "anomalous — the curation pass that surfaces mis-embedded or "
+    "out-of-distribution documents before training. Two passes: a "
+    "64-scalar moment aggregate (map-side partials), then a "
+    "zero-join scan where the broadcast moments score every vector "
+    "with a higher-order fold; ranking is an integer-quantized "
+    "TakeOrdered. All moments exact quantized BIGINTs.",
+    f"""WITH q AS (
+         SELECT vec_id,
+                list_transform(embedding[1:16],
+                  x -> CAST(round(CAST(x AS DOUBLE) * {OUT_SCALE}) AS BIGINT))
+                  AS v
+         FROM embeddings
+       ),
+       m AS (
+         SELECT COUNT(*) AS n,
+                {", ".join(
+                    f"SUM(v[{i}]) AS s_{i}, SUM(CAST(v[{i}] AS HUGEINT) * v[{i}]) AS ss_{i}"
+                    for i in range(1, 17)
+                )}
+         FROM q
+       ),
+       scored AS (
+         SELECT q.vec_id,
+                CAST(round(({" + ".join(
+                    f'''pow(CAST(q.v[{i}] AS DOUBLE) - CAST(m.s_{i} AS DOUBLE) / m.n, 2)
+                        / nullif(CAST(m.ss_{i} AS DOUBLE) / m.n
+                                 - pow(CAST(m.s_{i} AS DOUBLE) / m.n, 2), 0)'''
+                    for i in range(1, 17)
+                )}) * 1000000) AS BIGINT) AS d2_q
+         FROM q CROSS JOIN m
+       )
+       SELECT vec_id, CAST(d2_q AS DOUBLE) / 1000000 AS mahalanobis2
+       FROM scored ORDER BY d2_q DESC, vec_id LIMIT {OUTLIER_TOP}""",
+)
+def emb_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf)
+    q = emb.selectExpr(
+        "vec_id",
+        f"transform(slice(embedding, 1, 16),"
+        f" x -> cast(round(cast(x as double) * {OUT_SCALE}) as bigint)) as v",
+    )
+    moment_exprs = ["count(1) as n"]
+    for i in range(1, 17):
+        moment_exprs.append(f"sum(element_at(v, {i})) as s_{i}")
+        moment_exprs.append(
+            f"sum(cast(element_at(v, {i}) as decimal(19,0)) * element_at(v, {i}))"
+            f" as ss_{i}"
+        )
+    m = q.selectExpr(*moment_exprs)
+    d2 = " + ".join(
+        f"pow(cast(element_at(v, {i}) as double) - cast(s_{i} as double) / n, 2)"
+        f" / nullif(cast(ss_{i} as double) / n"
+        f"          - pow(cast(s_{i} as double) / n, 2), 0)"
+        for i in range(1, 17)
+    )
+    scored = q.crossJoin(F.broadcast(m)).selectExpr(
+        "vec_id", f"cast(round(({d2}) * 1000000) as bigint) as d2_q"
+    )
+    return (
+        scored.orderBy(F.desc("d2_q"), "vec_id")
+        .limit(OUTLIER_TOP)
+        .selectExpr("vec_id", "cast(d2_q as double) / 1000000 as mahalanobis2")
+    )

@@ -351,3 +351,60 @@ def q_events_gapfill(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("user_id", "day")
     )
+
+
+# -- inter-order survival / churn --------------------------------------------
+
+SURVIVAL_DAYS = (30, 90, 180, 365)
+
+
+@register(
+    "x_orders_survival",
+    "Inter-purchase survival curve: the distribution of gaps between "
+    "a customer's consecutive orders, summarized as P(next order "
+    "within d) for d in {30, 90, 180, 365} — the churn-model baseline "
+    "(a customer whose current silence exceeds the observed p90 gap "
+    "is at risk). One customer-keyed LAG window produces the gaps; "
+    "the survival points are exact count ratios from one global "
+    "aggregate.",
+    f"""WITH g AS (
+         SELECT o_custkey,
+                date_diff('day',
+                          LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                                 ORDER BY o_orderdate,
+                                                          o_orderkey),
+                          o_orderdate) AS gap_days
+         FROM orders
+       ),
+       gg AS (SELECT gap_days FROM g WHERE gap_days IS NOT NULL)
+       SELECT COUNT(*) AS n_gaps,
+              CAST(MIN(gap_days) AS BIGINT) AS min_gap,
+              CAST(MAX(gap_days) AS BIGINT) AS max_gap,
+              {", ".join(
+                  f'''CAST(SUM(CASE WHEN gap_days <= {d} THEN 1 ELSE 0 END)
+                       AS DOUBLE) / COUNT(*) AS p_within_{d}d'''
+                  for d in SURVIVAL_DAYS
+              )}
+       FROM gg""",
+)
+def q_orders_survival(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    g = orders.select(
+        F.datediff(
+            F.to_date("o_orderdate"), F.to_date(F.lag("o_orderdate").over(w))
+        ).alias("gap_days")
+    ).filter(F.col("gap_days").isNotNull())
+    aggs = [
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.min("gap_days").cast("bigint").alias("min_gap"),
+        F.max("gap_days").cast("bigint").alias("max_gap"),
+    ]
+    aggs += [
+        (
+            F.sum((F.col("gap_days") <= d).cast("bigint")).cast("double")
+            / F.count(F.lit(1))
+        ).alias(f"p_within_{d}d")
+        for d in SURVIVAL_DAYS
+    ]
+    return g.agg(*aggs)

@@ -402,3 +402,76 @@ def win_first_last(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("o_custkey")
         .limit(300)
     )
+
+
+@register(
+    "x_win_streaks",
+    "Longest consecutive-active-day streak per user — the classic "
+    "gaps-and-islands window pattern (day minus per-user ROW_NUMBER is "
+    "constant within an island, so islands fall out of one GROUP BY "
+    "with no self-join or recursion). Two user-keyed passes that reuse "
+    "one shuffle partitioning: the dedup-to-days aggregate and the "
+    "island window; island lengths are exact integers.",
+    """WITH d AS (
+         SELECT DISTINCT user_id,
+                date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS dn
+         FROM events
+       ),
+       i AS (
+         SELECT user_id, dn,
+                dn - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY dn)
+                  AS island
+         FROM d
+       ),
+       s AS (
+         SELECT user_id, island, COUNT(*) AS len,
+                MIN(dn) AS start_dn
+         FROM i GROUP BY user_id, island
+       )
+       , m AS (
+         SELECT user_id, MAX(len) AS longest, COUNT(*) AS n_streaks
+         FROM s GROUP BY user_id
+       )
+       SELECT m.user_id,
+              CAST(m.longest AS BIGINT) AS longest_streak,
+              CAST(m.n_streaks AS BIGINT) AS n_streaks,
+              CAST(MIN(s.start_dn) AS BIGINT) AS best_streak_start_dn
+       FROM m JOIN s ON s.user_id = m.user_id AND s.len = m.longest
+       GROUP BY m.user_id, m.longest, m.n_streaks
+       ORDER BY m.user_id""",
+)
+def win_streaks(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, "events", sf)
+    d = (
+        ev.select(
+            "user_id",
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("dn"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("dn")
+    i = d.withColumn("island", F.col("dn") - F.row_number().over(w))
+    s = i.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("len"), F.min("dn").alias("start_dn")
+    )
+    s = s.localCheckpoint(eager=False)
+    m = s.groupBy("user_id").agg(
+        F.max("len").alias("longest"), F.count(F.lit(1)).alias("n_streaks")
+    )
+    return (
+        m.join(
+            s,
+            (m["user_id"] == s["user_id"]) & (s["len"] == m["longest"]),
+        )
+        .groupBy(m["user_id"], "longest", "n_streaks")
+        .agg(F.min("start_dn").cast("bigint").alias("best_streak_start_dn"))
+        .select(
+            m["user_id"],
+            F.col("longest").cast("bigint").alias("longest_streak"),
+            F.col("n_streaks").cast("bigint").alias("n_streaks"),
+            "best_streak_start_dn",
+        )
+        .orderBy("user_id")
+    )
