@@ -1015,3 +1015,64 @@ def stats_skew_kurtosis(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("flag")
     )
+
+
+# -- Q-Q decile comparison ---------------------------------------------------
+
+QQ_A, QQ_B = "1-URGENT", "5-LOW"
+QQ_DECILES = tuple(i / 10 for i in range(1, 10))
+
+
+@register(
+    "x_stats_qq_deciles",
+    "Quantile-quantile comparison of two cohorts' price distributions "
+    "at each decile — the distribution-equality check behind A/B "
+    "sanity gates and stratified-sampling validation (a Q-Q line far "
+    "from y=x means the cohorts are NOT exchangeable even when means "
+    "agree). Each cohort's nine exact interpolated deciles "
+    "(percentile ≡ quantile_cont, parity proven by a9) come from one "
+    "partially-aggregated pass; the two 9-row profiles join on decile "
+    "index — comparison cost is decile-count-sized regardless of data "
+    "volume.",
+    f"""WITH a AS (
+         SELECT unnest(range(1, 10)) AS d,
+                unnest(quantile_cont(o_totalprice,
+                       {list(QQ_DECILES)})) AS qa
+         FROM orders WHERE o_orderpriority = '{QQ_A}'
+       ),
+       b AS (
+         SELECT unnest(range(1, 10)) AS d,
+                unnest(quantile_cont(o_totalprice,
+                       {list(QQ_DECILES)})) AS qb
+         FROM orders WHERE o_orderpriority = '{QQ_B}'
+       )
+       SELECT CAST(a.d AS INT) AS decile,
+              ROUND(a.qa, 4) AS q_urgent, ROUND(b.qb, 4) AS q_low,
+              ROUND(a.qa - b.qb, 4) AS diff
+       FROM a JOIN b ON a.d = b.d ORDER BY decile""",
+)
+def stats_qq_deciles(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf)
+
+    def profile(prio: str, out: str) -> DataFrame:
+        return (
+            orders.filter(F.col("o_orderpriority") == prio)
+            .agg(
+                F.percentile("o_totalprice", F.lit(list(QQ_DECILES))).alias("qs")
+            )
+            .select(F.posexplode("qs").alias("d0", out))
+            .select((F.col("d0") + 1).alias("d"), out)
+        )
+
+    a = profile(QQ_A, "qa")
+    b = profile(QQ_B, "qb")
+    return (
+        a.join(b, "d")
+        .select(
+            F.col("d").cast("int").alias("decile"),
+            F.round("qa", 4).alias("q_urgent"),
+            F.round("qb", 4).alias("q_low"),
+            F.round(F.col("qa") - F.col("qb"), 4).alias("diff"),
+        )
+        .orderBy("decile")
+    )

@@ -1474,3 +1474,60 @@ def text_chunk_windows(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("doc_id")
         .limit(300)
     )
+
+
+# -- readability scoring -----------------------------------------------------
+
+
+@register(
+    "x_text_readability",
+    "Flesch-Kincaid grade-level estimate per document: sentences from "
+    "terminal punctuation, words from whitespace, syllables from "
+    "vowel-group runs — the century-old readability heuristic quality "
+    "pipelines still use as a complexity gate (too-low grade = "
+    "template spam, too-high = OCR noise). Pure per-row regexp/count "
+    "codegen expressions, zero shuffle before the TakeOrdered slice; "
+    "the grade is one float expression over three exact integer "
+    "counts.",
+    """WITH c AS (
+         SELECT doc_id,
+                GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1)
+                  AS n_sent,
+                len(string_split_regex(trim(text), '\\s+')) AS n_words,
+                GREATEST(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1)
+                  AS n_syll
+         FROM documents
+       )
+       SELECT doc_id, CAST(n_sent AS BIGINT) AS n_sent,
+              CAST(n_words AS BIGINT) AS n_words,
+              CAST(n_syll AS BIGINT) AS n_syll,
+              0.39 * (CAST(n_words AS DOUBLE) / n_sent)
+                + 11.8 * (CAST(n_syll AS DOUBLE) / n_words) - 15.59 AS fk_grade
+       FROM c ORDER BY doc_id LIMIT 300""",
+)
+def text_readability(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf)
+    n_sent = F.greatest(
+        F.size(F.regexp_extract_all("text", F.lit("[.!?]+"), 0)), F.lit(1)
+    )
+    n_words = F.size(F.split(F.trim("text"), r"\s+"))
+    n_syll = F.greatest(
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit("[aeiouy]+"), 0)),
+        F.lit(1),
+    )
+    c = docs.select(
+        "doc_id",
+        n_sent.cast("bigint").alias("n_sent"),
+        n_words.cast("bigint").alias("n_words"),
+        n_syll.cast("bigint").alias("n_syll"),
+    )
+    grade = (
+        0.39 * (F.col("n_words").cast("double") / F.col("n_sent"))
+        + 11.8 * (F.col("n_syll").cast("double") / F.col("n_words"))
+        - 15.59
+    )
+    return (
+        c.select("doc_id", "n_sent", "n_words", "n_syll", grade.alias("fk_grade"))
+        .orderBy("doc_id")
+        .limit(300)
+    )

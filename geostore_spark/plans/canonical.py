@@ -1237,3 +1237,44 @@ def x_posexplode(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("pos")
     )
+
+
+@_register(
+    "x_q6_discount_revenue",
+    "TPC-H Q6-shaped forecast: revenue delta from discount changes — "
+    "three tight range predicates + one SUM, the canonical "
+    "predicate-pushdown showcase (all three filters reach the parquet "
+    "scan as PushedFilters; row groups outside the shipdate year are "
+    "never decompressed). The sum is exact decimal; one "
+    "partially-aggregated reduce to a single row.",
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+              ROUND(CAST(SUM(CAST(l_extendedprice * l_discount
+                                  AS DECIMAL(28, 6))) AS DOUBLE), 4) AS revenue
+       FROM lineitem
+       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         AND l_shipdate < TIMESTAMP '1997-01-01'
+         AND l_discount BETWEEN 0.05 AND 0.07
+         AND l_quantity < 24""",
+)
+def x_q6(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf)
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * F.col("l_discount")).cast(
+                        "decimal(28,6)"
+                    )
+                ).cast("double"),
+                4,
+            ).alias("revenue"),
+        )
+    )

@@ -533,3 +533,13 @@ def test_abc_pareto_prefix_sum_is_two_phase(spark):
         if "windowspecdefinition" in line and "_pid" not in line:
             # only the ≤32-row offsets window may be global
             assert "_tot" in line or "_cnt" in line, line[:140]
+
+
+def test_q6_prunes_scan_and_pushes_predicates(spark):
+    plan = _plan(spark, "x_q6_discount_revenue")
+    # the 16-column table must scan only the 4 referenced columns, with
+    # the range predicates as data filters on the scan (the toString
+    # abbreviates the long PushedFilters list, so pin via DataFilters)
+    assert "[l_quantity" in plan and "l_shipdate" in plan
+    assert "DataFilters: [isnotnull(l_shipdate" in plan
+    assert plan.count("HashAggregate") == 2
