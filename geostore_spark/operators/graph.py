@@ -777,3 +777,74 @@ def q_bfs_layers(spark: SparkSession, sf: str) -> DataFrame:
     for s in layers[1:]:
         out = out.unionAll(s)
     return out.orderBy("depth")
+
+
+# -- degree assortativity ----------------------------------------------------
+
+
+@register(
+    "x_graph_assortativity",
+    "Degree assortativity of the supply graph — the Pearson "
+    "correlation between the degrees at the two ends of every edge "
+    "(positive: hubs link hubs; negative: hub-and-spoke). THE "
+    "network-shape scalar that predicts whether degree-based "
+    "partitioning will balance. Per-node degrees (one partial-agg "
+    "shuffle) join back onto the symmetrized edge list — broadcast, "
+    "degree tables are |V|-sized — and the correlation reduces via "
+    "the integer-exact moment pattern (counts and degree products are "
+    "exact BIGINTs; one float expression at the end).",
+    """WITH e AS (
+         SELECT DISTINCT l_partkey * 2 AS u, l_suppkey * 2 + 1 AS v
+         FROM lineitem
+       ),
+       sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+       deg AS (SELECT u AS node, COUNT(*) AS d FROM sym GROUP BY u),
+       j AS (
+         SELECT du.d AS dx, dv.d AS dy
+         FROM sym JOIN deg du ON sym.u = du.node
+                  JOIN deg dv ON sym.v = dv.node
+       ),
+       s AS (
+         SELECT COUNT(*) AS n,
+                CAST(SUM(dx) AS BIGINT) AS sx, CAST(SUM(dy) AS BIGINT) AS sy,
+                CAST(SUM(dx * dx) AS BIGINT) AS sxx,
+                CAST(SUM(dy * dy) AS BIGINT) AS syy,
+                CAST(SUM(dx * dy) AS BIGINT) AS sxy
+         FROM j
+       )
+       SELECT n,
+              (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                   * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+                AS assortativity
+       FROM s""",
+)
+def q_assortativity(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf)
+    e = (
+        li.select(
+            (F.col("l_partkey") * 2).alias("u"),
+            (F.col("l_suppkey") * 2 + 1).alias("v"),
+        )
+        .distinct()
+    )
+    sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    sym = sym.localCheckpoint(eager=False)
+    deg = sym.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("dx"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dy"))
+    j = sym.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
+    s = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dx").cast("bigint").alias("sx"),
+        F.sum("dy").cast("bigint").alias("sy"),
+        F.sum(F.col("dx") * F.col("dx")).cast("bigint").alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).cast("bigint").alias("syy"),
+        F.sum(F.col("dx") * F.col("dy")).cast("bigint").alias("sxy"),
+    )
+    n_d = F.col("n").cast("double")
+    num = n_d * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    den = F.sqrt(n_d * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")) * F.sqrt(
+        n_d * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    )
+    return s.select("n", (num / den).alias("assortativity"))

@@ -1076,3 +1076,73 @@ def stats_qq_deciles(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# -- lag-1 autocorrelation ---------------------------------------------------
+
+
+@register(
+    "x_stats_autocorr",
+    "Lag-1 autocorrelation of the daily event-count series per "
+    "event_type — the 'is today predictive of tomorrow' diagnostic "
+    "that separates bursty from stationary streams (and the "
+    "sanity check before fitting any AR model). One shuffle to daily "
+    "counts, a LAG window per type pairs consecutive days, and the "
+    "correlation reduces via the integer-exact moment pattern (daily "
+    "counts are exact BIGINTs; one float expression per type row).",
+    """WITH d AS (
+         SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS x
+         FROM events GROUP BY event_type, day
+       ),
+       lagd AS (
+         SELECT event_type, x,
+                LAG(x) OVER (PARTITION BY event_type ORDER BY day) AS prev
+         FROM d
+       ),
+       pairs AS (SELECT event_type, x, prev FROM lagd WHERE prev IS NOT NULL),
+       s AS (
+         SELECT event_type, COUNT(*) AS n,
+                CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(prev) AS BIGINT) AS sy,
+                CAST(SUM(x * x) AS BIGINT) AS sxx,
+                CAST(SUM(prev * prev) AS BIGINT) AS syy,
+                CAST(SUM(x * prev) AS BIGINT) AS sxy
+         FROM pairs GROUP BY event_type
+       )
+       SELECT event_type, n,
+              (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                   * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+                AS r_lag1
+       FROM s ORDER BY event_type""",
+)
+def stats_autocorr(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, "events", sf)
+    d = (
+        ev.select("event_type", F.to_date("ts").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    pairs = (
+        d.withColumn("prev", F.lag("x").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select("event_type", "x", "prev")
+    )
+    s = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("prev").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("prev") * F.col("prev")).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("prev")).cast("bigint").alias("sxy"),
+    )
+    n_d = F.col("n").cast("double")
+    num = n_d * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    den = F.sqrt(n_d * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")) * F.sqrt(
+        n_d * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    )
+    return s.select("event_type", "n", (num / den).alias("r_lag1")).orderBy(
+        "event_type"
+    )

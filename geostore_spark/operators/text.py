@@ -1531,3 +1531,95 @@ def text_readability(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("doc_id")
         .limit(300)
     )
+
+
+# -- Jensen-Shannon divergence between language character profiles -----------
+
+JS_LANG_A, JS_LANG_B = "en", "de"
+JS_SCALE = 1_000_000_000
+
+
+@register(
+    "x_text_js_divergence",
+    "Jensen-Shannon divergence between two languages' character "
+    "distributions — the symmetric, bounded [0, ln 2] corpus-drift "
+    "metric (PSI's cousin without its zero-bucket blowups), the "
+    "standard check that two corpus slices are 'the same kind of "
+    "text'. One explode to (lang, char) counts with map-side "
+    "partials; both distributions and the mixture derive from the "
+    "SAME count table (alphabet-sized) joined full-outer so "
+    "one-sided characters contribute correctly; per-character KL "
+    "terms quantize to nano-nats and sum as exact integers.",
+    f"""WITH ch AS (
+         SELECT lang, unnest(string_split_regex(lower(text), '')) AS c
+         FROM documents WHERE lang IN ('{JS_LANG_A}', '{JS_LANG_B}')
+       ),
+       cnt AS (
+         SELECT lang, c, COUNT(*) AS n FROM ch WHERE c <> '' GROUP BY lang, c
+       ),
+       tot AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS t FROM cnt GROUP BY lang),
+       p AS (
+         SELECT cnt.c,
+                CAST(cnt.n AS DOUBLE) / tot.t AS p,
+                cnt.lang
+         FROM cnt JOIN tot ON cnt.lang = tot.lang
+       ),
+       w AS (
+         SELECT COALESCE(a.c, b.c) AS c,
+                COALESCE(a.p, 0) AS pa, COALESCE(b.p, 0) AS pb,
+                (COALESCE(a.p, 0) + COALESCE(b.p, 0)) / 2 AS m
+         FROM (SELECT c, p FROM p WHERE lang = '{JS_LANG_A}') a
+         FULL OUTER JOIN (SELECT c, p FROM p WHERE lang = '{JS_LANG_B}') b
+           ON a.c = b.c
+       ),
+       terms AS (
+         SELECT c,
+                CAST(round((CASE WHEN pa > 0
+                                 THEN pa * ln(pa / m) ELSE 0 END / 2
+                          + CASE WHEN pb > 0
+                                 THEN pb * ln(pb / m) ELSE 0 END / 2)
+                           * {JS_SCALE}) AS BIGINT) AS t_q
+         FROM w
+       )
+       SELECT COUNT(*) AS n_chars,
+              CAST(SUM(t_q) AS BIGINT) AS js_nanonats,
+              CAST(SUM(t_q) AS DOUBLE) / {JS_SCALE} AS js_divergence
+       FROM terms""",
+)
+def text_js_divergence(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf).filter(
+        F.col("lang").isin(JS_LANG_A, JS_LANG_B)
+    )
+    ch = docs.select(
+        "lang", F.explode(F.split(F.lower("text"), "")).alias("c")
+    ).filter(F.col("c") != "")
+    cnt = ch.groupBy("lang", "c").agg(F.count(F.lit(1)).alias("n"))
+    cnt = cnt.localCheckpoint(eager=False)
+    tot = cnt.groupBy("lang").agg(F.sum("n").cast("bigint").alias("t"))
+    p = cnt.join(F.broadcast(tot), "lang").select(
+        "lang", "c", (F.col("n").cast("double") / F.col("t")).alias("p")
+    )
+    a = p.filter(F.col("lang") == JS_LANG_A).select(
+        F.col("c").alias("ca"), F.col("p").alias("pa")
+    )
+    b = p.filter(F.col("lang") == JS_LANG_B).select(
+        F.col("c").alias("cb"), F.col("p").alias("pb")
+    )
+    w = (
+        a.join(b, a["ca"] == b["cb"], "full_outer")
+        .select(
+            F.coalesce("pa", F.lit(0.0)).alias("pa"),
+            F.coalesce("pb", F.lit(0.0)).alias("pb"),
+        )
+        .withColumn("m", (F.col("pa") + F.col("pb")) / 2)
+    )
+    term = (
+        F.when(F.col("pa") > 0, F.col("pa") * F.log(F.col("pa") / F.col("m"))).otherwise(0.0) / 2
+        + F.when(F.col("pb") > 0, F.col("pb") * F.log(F.col("pb") / F.col("m"))).otherwise(0.0) / 2
+    )
+    terms = w.select(F.round(term * JS_SCALE, 0).cast("bigint").alias("t_q"))
+    return terms.agg(
+        F.count(F.lit(1)).alias("n_chars"),
+        F.sum("t_q").cast("bigint").alias("js_nanonats"),
+        (F.sum("t_q").cast("double") / JS_SCALE).alias("js_divergence"),
+    )
