@@ -290,3 +290,32 @@ def test_ewma_bounded_by_window_extremes(spark):
         .count()
     )
     assert bad == 0
+
+
+def test_distributed_prefix_sum_matches_naive_window(spark):
+    """The two-phase prefix sum must equal the single-partition window
+    for any data layout — generated keys with duplicates and skew."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from geostore_spark.operators.util import distributed_prefix_sum
+
+    rng = random.Random(20260815)
+    rows = [
+        (rng.randint(0, 2), rng.randint(0, 50), i, rng.randint(1, 100))
+        for i in range(800)
+    ]
+    df = spark.createDataFrame(rows, "k int, o int, id int, v long")
+    got = distributed_prefix_sum(df, ["k"], ["o", "id"], "v", out_name="cum")
+    w = (
+        Window.partitionBy("k")
+        .orderBy("o", "id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = df.withColumn("cum", F.sum("v").over(w))
+    diff = (
+        got.select("id", "cum")
+        .exceptAll(want.select("id", "cum"))
+        .count()
+    )
+    assert diff == 0

@@ -249,3 +249,29 @@ def test_compact_zorder_by_clusters_both_dims(spark, tmp_path, monkeypatch):
     got = store.read("pts")
     assert got.count() == 512
     assert set(got.columns) == {"id", "x", "y"}
+
+
+def test_vacuum_respects_current_and_time_travel_window(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from geostore_spark.sources.store import MetadataStore
+
+    store = MetadataStore(spark, str(tmp_path / "store"))
+    t = "datasets"
+    row = {
+        "dataset_id": "d1", "title": "t0", "created_at": None,
+        "updated_at": None, "current_dataset_version": "v0",
+    }
+    store.append(t, spark.createDataFrame([row], store.schema(t)))
+    for i in range(1, 4):
+        store.update_where(
+            t, F.col("dataset_id") == "d1", {"title": F.lit(f"t{i}")}
+        )
+    assert store.current_version(t) == 3
+    removed = store.vacuum(t, keep_last=2)
+    assert removed == [0, 1]
+    # the retained window still time-travels; the current read is intact
+    assert store.read(t, 2).first()["title"] == "t2"
+    assert store.read(t).first()["title"] == "t3"
+    # vacuumed versions are gone from history
+    assert [h["version"] for h in store.history(t)] == [2, 3]
