@@ -1146,3 +1146,128 @@ def stats_autocorr(spark: SparkSession, sf: str) -> DataFrame:
     return s.select("event_type", "n", (num / den).alias("r_lag1")).orderBy(
         "event_type"
     )
+
+
+# -- Wilson lower-bound ranking ----------------------------------------------
+
+WILSON_Z = 1.96  # 95% interval
+
+
+@register(
+    "x_stats_wilson_rank",
+    "Return-rate ranking by Wilson score lower bound per brand — THE "
+    "correct way to rank proportions with unequal sample sizes (a "
+    "brand with 2/3 returns must not outrank one with 150/400; the "
+    "lower confidence bound penalizes small n). One partial-agg "
+    "shuffle to per-brand (returns, total) exact counts via a "
+    "broadcast part join; the Wilson algebra is one float expression "
+    "per brand row; ranking is a TakeOrdered on the quantized bound.",
+    f"""WITH j AS (
+         SELECT p.p_brand,
+                CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS ret
+         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+       ),
+       s AS (
+         SELECT p_brand, CAST(SUM(ret) AS BIGINT) AS n_ret,
+                COUNT(*) AS n
+         FROM j GROUP BY p_brand
+       ),
+       w AS (
+         SELECT p_brand, n_ret, n,
+                CAST(n_ret AS DOUBLE) / n AS p_hat,
+                (CAST(n_ret AS DOUBLE) / n + {WILSON_Z} * {WILSON_Z} / (2 * n)
+                 - {WILSON_Z} * sqrt((CAST(n_ret AS DOUBLE) / n
+                     * (1 - CAST(n_ret AS DOUBLE) / n)
+                     + {WILSON_Z} * {WILSON_Z} / (4 * n)) / n))
+                / (1 + {WILSON_Z} * {WILSON_Z} / n) AS wilson_lb
+         FROM s
+       )
+       SELECT p_brand, n_ret, n, p_hat, wilson_lb,
+              CAST(round(wilson_lb * 1000000) AS BIGINT) AS lb_q
+       FROM w ORDER BY lb_q DESC, p_brand LIMIT 15""",
+)
+def stats_wilson_rank(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf)
+    part = load_table(spark, "part", sf)
+    j = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"]).select(
+        "p_brand", (F.col("l_returnflag") == "R").cast("int").alias("ret")
+    )
+    s = j.groupBy("p_brand").agg(
+        F.sum("ret").cast("bigint").alias("n_ret"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    n_d = F.col("n").cast("double")
+    p_hat = F.col("n_ret").cast("double") / n_d
+    z2 = WILSON_Z * WILSON_Z
+    lb = (
+        p_hat
+        + z2 / (2 * n_d)
+        - WILSON_Z * F.sqrt((p_hat * (1 - p_hat) + z2 / (4 * n_d)) / n_d)
+    ) / (1 + z2 / n_d)
+    return (
+        s.select(
+            "p_brand",
+            "n_ret",
+            "n",
+            p_hat.alias("p_hat"),
+            lb.alias("wilson_lb"),
+            F.round(lb * 1_000_000, 0).cast("bigint").alias("lb_q"),
+        )
+        .orderBy(F.desc("lb_q"), "p_brand")
+        .limit(15)
+    )
+
+
+# -- per-column categorical entropy profile ----------------------------------
+
+ENTROPY_COLS = ("o_orderstatus", "o_orderpriority")
+
+
+@register(
+    "x_stats_column_entropy",
+    "Per-column Shannon entropy of the categorical order attributes — "
+    "the profiling signal that flags near-constant columns (entropy "
+    "≈ 0: drop or index) and high-cardinality keys (entropy ≈ ln "
+    "NDV). One Expand-based pass groups every (column, value) pair; "
+    "per-value -p ln p terms quantize to nano-nats and sum exactly, "
+    "so the per-column entropy is layout-independent.",
+    """WITH u AS (
+         SELECT 'o_orderstatus' AS col, o_orderstatus AS val FROM orders
+         UNION ALL
+         SELECT 'o_orderpriority', o_orderpriority FROM orders
+       ),
+       c AS (SELECT col, val, COUNT(*) AS n FROM u GROUP BY col, val),
+       t AS (SELECT col, CAST(SUM(n) AS BIGINT) AS tot FROM c GROUP BY col),
+       q AS (
+         SELECT c.col,
+                CAST(round(-(CAST(c.n AS DOUBLE) / t.tot)
+                           * ln(CAST(c.n AS DOUBLE) / t.tot)
+                           * 1000000000) AS BIGINT) AS h_q
+         FROM c JOIN t ON c.col = t.col
+       )
+       SELECT col, COUNT(*) AS n_values,
+              CAST(SUM(h_q) AS DOUBLE) / 1000000000 AS entropy_nats
+       FROM q GROUP BY col ORDER BY col""",
+)
+def stats_column_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf)
+    u = None
+    for c in ENTROPY_COLS:
+        part = orders.select(F.lit(c).alias("col"), F.col(c).alias("val"))
+        u = part if u is None else u.unionAll(part)
+    cnt = u.groupBy("col", "val").agg(F.count(F.lit(1)).alias("n"))
+    cnt = cnt.localCheckpoint(eager=False)
+    tot = cnt.groupBy("col").agg(F.sum("n").cast("bigint").alias("tot"))
+    p = F.col("n").cast("double") / F.col("tot")
+    q = cnt.join(F.broadcast(tot), "col").select(
+        "col",
+        F.round(-p * F.log(p) * 1_000_000_000, 0).cast("bigint").alias("h_q"),
+    )
+    return (
+        q.groupBy("col")
+        .agg(
+            F.count(F.lit(1)).alias("n_values"),
+            (F.sum("h_q").cast("double") / 1_000_000_000).alias("entropy_nats"),
+        )
+        .orderBy("col")
+    )

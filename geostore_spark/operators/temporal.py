@@ -408,3 +408,62 @@ def q_orders_survival(spark: SparkSession, sf: str) -> DataFrame:
         for d in SURVIVAL_DAYS
     ]
     return g.agg(*aggs)
+
+
+# -- period-over-period change -----------------------------------------------
+
+
+@register(
+    "x_win_pct_change",
+    "Month-over-month revenue change per order priority — the "
+    "period-over-period delta every finance/growth dashboard leads "
+    "with. One shuffle to (priority, month) exact-cent sums, a LAG "
+    "window over the ≤90-row monthly rollup (window input is "
+    "aggregate-sized, not fact-sized — the right decomposition at any "
+    "scale), and the percent change is one division of exact "
+    "integers.",
+    """WITH m AS (
+         SELECT o_orderpriority AS prio,
+                CAST(strftime(o_orderdate, '%Y-%m') AS VARCHAR) AS month,
+                CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                  AS cents
+         FROM orders GROUP BY prio, month
+       ),
+       l AS (
+         SELECT prio, month, cents,
+                LAG(cents) OVER (PARTITION BY prio ORDER BY month) AS prev
+         FROM m
+       )
+       SELECT prio, month, cents,
+              CAST(prev AS BIGINT) AS prev_cents,
+              (CAST(cents AS DOUBLE) - prev) / prev AS pct_change
+       FROM l WHERE prev IS NOT NULL
+       ORDER BY prio, month LIMIT 300""",
+)
+def q_pct_change(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf)
+    m = orders.groupBy(
+        F.col("o_orderpriority").alias("prio"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    w = Window.partitionBy("prio").orderBy("month")
+    l_ = m.withColumn("prev", F.lag("cents").over(w)).filter(
+        F.col("prev").isNotNull()
+    )
+    return (
+        l_.select(
+            "prio",
+            "month",
+            "cents",
+            F.col("prev").cast("bigint").alias("prev_cents"),
+            ((F.col("cents").cast("double") - F.col("prev")) / F.col("prev")).alias(
+                "pct_change"
+            ),
+        )
+        .orderBy("prio", "month")
+        .limit(300)
+    )
