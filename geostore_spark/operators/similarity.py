@@ -847,3 +847,48 @@ def q_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("q_id")
     )
+
+
+# -- kNN label purity (embedding-quality eval) -------------------------------
+
+
+@register(
+    "x_sim_label_purity",
+    "kNN label purity — the embedding-quality eval that needs no "
+    "model: for each query vector's exact top-k neighbors, the "
+    "fraction sharing the query's label (purity ≈ 1/n_labels means "
+    "the embedding carries no class signal; high purity predicts "
+    "linear-probe accuracy). Reuses the partition-local BLAS "
+    "brute-force top-k; the label join touches only the k-per-query "
+    "audit rows, broadcast. Counts exact; one division per query.",
+    f"""WITH knn AS ({_BRUTE_ORACLE}),
+       lab AS (SELECT vec_id, label FROM embeddings)
+       SELECT knn.q_id, ql.label AS q_label,
+              COUNT(*) AS k,
+              CAST(SUM(CASE WHEN nl.label = ql.label THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_same,
+              CAST(SUM(CASE WHEN nl.label = ql.label THEN 1 ELSE 0 END)
+                   AS DOUBLE) / COUNT(*) AS purity
+       FROM knn JOIN lab ql ON knn.q_id = ql.vec_id
+                JOIN lab nl ON knn.n_id = nl.vec_id
+       GROUP BY knn.q_id, ql.label ORDER BY knn.q_id""",
+)
+def q_label_purity(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    knn = cosine_topk(emb, queries)
+    lab = emb.select("vec_id", "label")
+    ql = lab.select(F.col("vec_id").alias("q_id"), F.col("label").alias("q_label"))
+    nl = lab.select(F.col("vec_id").alias("n_id"), F.col("label").alias("n_label"))
+    same = (F.col("n_label") == F.col("q_label")).cast("bigint")
+    return (
+        knn.join(F.broadcast(ql), "q_id")
+        .join(F.broadcast(nl), "n_id")
+        .groupBy("q_id", "q_label")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.sum(same).cast("bigint").alias("n_same"),
+            (F.sum(same).cast("double") / F.count(F.lit(1))).alias("purity"),
+        )
+        .orderBy("q_id")
+    )

@@ -467,3 +467,67 @@ def q_pct_change(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("prio", "month")
         .limit(300)
     )
+
+
+# -- Markov entropy rate -----------------------------------------------------
+
+
+@register(
+    "x_events_entropy_rate",
+    "Entropy rate of the event-sequence Markov chain — how predictable "
+    "the next event is given the current one (ln 5 ≈ 1.61 = pure "
+    "noise; 0 = deterministic flows). Complements x_events_markov: "
+    "the same one-LAG-window transition counts reduce to "
+    "H = -Σ p(prev,next) ln p(next|prev), every term a quantized "
+    "function of exact integer counts summed in integer space.",
+    """WITH seq AS (
+         SELECT user_id, event_type,
+                LAG(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS prev
+         FROM events
+       ),
+       t AS (
+         SELECT prev, event_type AS next, COUNT(*) AS n
+         FROM seq WHERE prev IS NOT NULL GROUP BY prev, next
+       ),
+       m AS (SELECT prev, CAST(SUM(n) AS BIGINT) AS n_prev FROM t GROUP BY prev),
+       tot AS (SELECT CAST(SUM(n) AS BIGINT) AS z FROM t),
+       q AS (
+         SELECT CAST(round(-(CAST(t.n AS DOUBLE) / tot.z)
+                           * ln(CAST(t.n AS DOUBLE) / m.n_prev)
+                           * 1000000000) AS BIGINT) AS h_q
+         FROM t JOIN m ON t.prev = m.prev CROSS JOIN tot
+       )
+       SELECT COUNT(*) AS n_transitions,
+              CAST(SUM(h_q) AS DOUBLE) / 1000000000 AS entropy_rate_nats
+       FROM q""",
+)
+def q_entropy_rate(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, "events", sf)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev")
+    ).filter(F.col("prev").isNotNull())
+    t = seq.groupBy("prev", F.col("event_type").alias("next")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    t = t.localCheckpoint(eager=False)
+    m = t.groupBy("prev").agg(F.sum("n").cast("bigint").alias("n_prev"))
+    tot = t.agg(F.sum("n").cast("bigint").alias("z"))
+    h_q = F.round(
+        -(F.col("n").cast("double") / F.col("z"))
+        * F.log(F.col("n").cast("double") / F.col("n_prev"))
+        * 1_000_000_000,
+        0,
+    ).cast("bigint")
+    return (
+        t.join(F.broadcast(m), "prev")
+        .crossJoin(F.broadcast(tot))
+        .select(h_q.alias("h_q"))
+        .agg(
+            F.count(F.lit(1)).alias("n_transitions"),
+            (F.sum("h_q").cast("double") / 1_000_000_000).alias(
+                "entropy_rate_nats"
+            ),
+        )
+    )
