@@ -1271,3 +1271,65 @@ def stats_column_entropy(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("col")
     )
+
+
+# -- Herfindahl-Hirschman concentration index --------------------------------
+
+
+@register(
+    "x_stats_hhi",
+    "Herfindahl-Hirschman concentration of supplier revenue within "
+    "each nation — the antitrust-style market-concentration scalar "
+    "(HHI = Σ share², 1/n for perfect competition, 1.0 for monopoly; "
+    "complements Gini, which measures inequality, not dominance). "
+    "One shuffle to per-(nation, supplier) exact-cent revenue; nation "
+    "totals re-aggregate that table (broadcast back); per-supplier "
+    "share² terms quantize to nano-units and sum exactly.",
+    """WITH r AS (
+         SELECT s.s_nationkey AS nation, l.l_suppkey AS supp,
+                CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                     AS BIGINT) AS cents
+         FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         GROUP BY nation, supp
+       ),
+       t AS (SELECT nation, CAST(SUM(cents) AS BIGINT) AS tot FROM r GROUP BY nation),
+       q AS (
+         SELECT r.nation,
+                CAST(round(pow(CAST(r.cents AS DOUBLE) / t.tot, 2)
+                           * 1000000000) AS BIGINT) AS h_q
+         FROM r JOIN t ON r.nation = t.nation
+       )
+       SELECT nation, COUNT(*) AS n_suppliers,
+              CAST(SUM(h_q) AS DOUBLE) / 1000000000 AS hhi
+       FROM q GROUP BY nation ORDER BY nation""",
+)
+def stats_hhi(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf)
+    sup = load_table(spark, "supplier", sf)
+    r = (
+        li.join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+        .groupBy(
+            F.col("s_nationkey").alias("nation"), F.col("l_suppkey").alias("supp")
+        )
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    r = r.localCheckpoint(eager=False)
+    t = r.groupBy("nation").agg(F.sum("cents").cast("bigint").alias("tot"))
+    h_q = F.round(
+        F.pow(F.col("cents").cast("double") / F.col("tot"), 2.0) * 1_000_000_000,
+        0,
+    ).cast("bigint")
+    return (
+        r.join(F.broadcast(t), "nation")
+        .select("nation", h_q.alias("h_q"))
+        .groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            (F.sum("h_q").cast("double") / 1_000_000_000).alias("hhi"),
+        )
+        .orderBy("nation")
+    )

@@ -1623,3 +1623,99 @@ def text_js_divergence(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("t_q").cast("bigint").alias("js_nanonats"),
         (F.sum("t_q").cast("double") / JS_SCALE).alias("js_divergence"),
     )
+
+
+# -- Heaps' law: vocabulary growth -------------------------------------------
+
+HEAPS_CHECKPOINTS = (100, 200, 300, 400, 500)
+HEAPS_SCALE = 1_000_000
+
+
+@register(
+    "x_text_heaps",
+    "Heaps'-law fit: vocabulary size V(n) at growing corpus prefixes, "
+    "then the log-log slope beta (V ~ K * n^beta; natural text sits "
+    "near 0.4-0.6 — a flat curve means the corpus is template spam, "
+    "a near-linear one means unbounded noise/IDs). All prefix "
+    "vocabularies come from ONE Expand-based multi-distinct pass "
+    "(each checkpoint is a conditional COUNT DISTINCT over doc_id < "
+    "N); the regression runs on the 5-point profile with quantized "
+    "exact sums, companion to x_text_zipf.",
+    f"""WITH tok AS (
+         SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
+         FROM documents WHERE doc_id < {max(HEAPS_CHECKPOINTS)}
+       ),
+       v AS (
+         SELECT {", ".join(
+             f"COUNT(DISTINCT CASE WHEN doc_id < {n} AND t <> '' THEN t END) AS v_{n},"
+             f" CAST(SUM(CASE WHEN doc_id < {n} AND t <> '' THEN 1 ELSE 0 END) AS BIGINT) AS n_{n}"
+             for n in HEAPS_CHECKPOINTS
+         )}
+         FROM tok
+       ),
+       pts(nt, vt) AS (
+         {" UNION ALL ".join(
+             f"SELECT (SELECT n_{n} FROM v), (SELECT v_{n} FROM v)"
+             for n in HEAPS_CHECKPOINTS
+         )}
+       ),
+       q AS (
+         SELECT CAST(round(ln(nt) * {HEAPS_SCALE}) AS BIGINT) AS xq,
+                CAST(round(ln(vt) * {HEAPS_SCALE}) AS BIGINT) AS yq
+         FROM pts
+       ),
+       s AS (
+         SELECT COUNT(*) AS k,
+                CAST(SUM(xq) AS BIGINT) AS sx, CAST(SUM(yq) AS BIGINT) AS sy,
+                CAST(SUM(xq * yq) AS BIGINT) AS sxy,
+                CAST(SUM(xq * xq) AS BIGINT) AS sxx
+         FROM q
+       )
+       SELECT k,
+              (CAST(k AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                / (CAST(k AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                AS heaps_beta
+       FROM s""",
+)
+def text_heaps(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf).filter(
+        F.col("doc_id") < max(HEAPS_CHECKPOINTS)
+    )
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("t")
+    )
+    aggs = []
+    for n in HEAPS_CHECKPOINTS:
+        keep = (F.col("doc_id") < n) & (F.col("t") != "")
+        aggs.append(
+            F.count_distinct(F.when(keep, F.col("t"))).alias(f"v_{n}")
+        )
+        aggs.append(F.sum(keep.cast("bigint")).cast("bigint").alias(f"n_{n}"))
+    v = tok.agg(*aggs)
+    pts = v.selectExpr(
+        "inline(array({}))".format(
+            ", ".join(
+                f"struct(cast(n_{n} as double) as nt, cast(v_{n} as double) as vt)"
+                for n in HEAPS_CHECKPOINTS
+            )
+        )
+    )
+    q = pts.select(
+        F.round(F.log("nt") * HEAPS_SCALE, 0).cast("bigint").alias("xq"),
+        F.round(F.log("vt") * HEAPS_SCALE, 0).cast("bigint").alias("yq"),
+    )
+    s = q.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("xq").cast("bigint").alias("sx"),
+        F.sum("yq").cast("bigint").alias("sy"),
+        F.sum(F.col("xq") * F.col("yq")).cast("bigint").alias("sxy"),
+        F.sum(F.col("xq") * F.col("xq")).cast("bigint").alias("sxx"),
+    )
+    k_d = F.col("k").cast("double")
+    return s.select(
+        "k",
+        (
+            (k_d * F.col("sxy") - F.col("sx").cast("double") * F.col("sy"))
+            / (k_d * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+        ).alias("heaps_beta"),
+    )

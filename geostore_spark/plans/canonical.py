@@ -1278,3 +1278,60 @@ def x_q6(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("revenue"),
         )
     )
+
+
+@_register(
+    "x_shipping_lag",
+    "Order-to-ship lag distribution per priority — the operational "
+    "SLA rollup (does priority actually predict shipping speed?). "
+    "The orders x lineitem join is the big-big shape left to AQE "
+    "(sort-merge + skew split); lag buckets are per-row integer "
+    "day-diffs; the rollup partially aggregates on ≤5 x 6 keys.",
+    """WITH j AS (
+         SELECT o.o_orderpriority AS prio,
+                date_diff('day', o.o_orderdate, l.l_shipdate) AS lag_days
+         FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+       ),
+       b AS (
+         SELECT prio,
+                CASE WHEN lag_days < 0 THEN 'pre'
+                     WHEN lag_days <= 7 THEN 'w1'
+                     WHEN lag_days <= 30 THEN 'm1'
+                     WHEN lag_days <= 90 THEN 'q1'
+                     ELSE 'late' END AS bucket,
+                lag_days
+         FROM j
+       )
+       SELECT prio, bucket, COUNT(*) AS n,
+              CAST(MIN(lag_days) AS BIGINT) AS min_lag,
+              CAST(MAX(lag_days) AS BIGINT) AS max_lag,
+              CAST(SUM(lag_days) AS BIGINT) AS sum_lag
+       FROM b GROUP BY prio, bucket ORDER BY prio, bucket""",
+)
+def x_shipping_lag(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf)
+    li = load_table(spark, "lineitem", sf)
+    j = orders.join(li, orders["o_orderkey"] == li["l_orderkey"]).select(
+        F.col("o_orderpriority").alias("prio"),
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")).alias(
+            "lag_days"
+        ),
+    )
+    bucket = (
+        F.when(F.col("lag_days") < 0, "pre")
+        .when(F.col("lag_days") <= 7, "w1")
+        .when(F.col("lag_days") <= 30, "m1")
+        .when(F.col("lag_days") <= 90, "q1")
+        .otherwise("late")
+    )
+    return (
+        j.select("prio", bucket.alias("bucket"), "lag_days")
+        .groupBy("prio", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("lag_days").cast("bigint").alias("min_lag"),
+            F.max("lag_days").cast("bigint").alias("max_lag"),
+            F.sum("lag_days").cast("bigint").alias("sum_lag"),
+        )
+        .orderBy("prio", "bucket")
+    )
