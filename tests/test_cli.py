@@ -105,3 +105,18 @@ def test_cli_table_admin_surface(spark, capsys, roots):
 
     code, out, _ = _run(capsys, roots, "table", "show", "datasets")
     assert code == 0 and "Admin_DS2" in out
+
+
+def test_cli_compact_cluster_flags(spark, capsys, roots):
+    """`table compact --cluster-by` routes through the clustered rewrite
+    and still produces a readable, content-identical snapshot."""
+    code, out, _ = _run(capsys, roots, "dataset", "create", "--title", "Cl_DS")
+    assert code == 0
+    code, out, _ = _run(
+        capsys, roots, "table", "compact", "datasets",
+        "--target-files", "1", "--cluster-by", "dataset_id",
+    )
+    assert code == 0
+    assert json.loads(out)["files_out"] == 1
+    code, out, _ = _run(capsys, roots, "table", "show", "datasets")
+    assert code == 0 and "Cl_DS" in out
