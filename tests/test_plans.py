@@ -543,3 +543,63 @@ def test_q6_prunes_scan_and_pushes_predicates(spark):
     assert "[l_quantity" in plan and "l_shipdate" in plan
     assert "DataFilters: [isnotnull(l_shipdate" in plan
     assert plan.count("HashAggregate") == 2
+
+
+def test_mm_codecs_are_arrow_batched_map_in_pandas(spark):
+    for name in ("x_mm_wav_decode", "x_mm_bmp_decode"):
+        plan = _plan(spark, name)
+        assert "MapInPandas" in plan
+        assert "Join" not in plan
+
+
+def test_cohort_ltv_acquisition_dim_broadcasts(spark):
+    plan = _plan(spark, "x_events_cohort_ltv")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_wilson_rank_part_dim_broadcasts_and_takes_topk(spark):
+    plan = _plan(spark, "x_stats_wilson_rank")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_hhi_totals_broadcast(spark):
+    plan = _plan(spark, "x_stats_hhi")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_heaps_checkpoints_are_one_expand_pass(spark):
+    plan = _plan(spark, "x_text_heaps")
+    # five prefix vocabularies from ONE multi-distinct aggregate
+    assert "Expand" in plan
+    assert "Join" not in plan
+
+
+def test_streaks_islands_need_no_self_join(spark):
+    plan = _plan(spark, "x_win_streaks")
+    # the island window materializes inside the checkpointed summary
+    # (ExistingRDD); the only live join is the longest-vs-islands match
+    # on the tiny per-user summary — broadcast, never a fact self-join
+    assert "ExistingRDD" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+
+
+def test_js_divergence_totals_broadcast(spark):
+    plan = _plan(spark, "x_text_js_divergence")
+    # language totals broadcast onto the count table; the one SMJ is the
+    # FULL OUTER profile merge (broadcast-hash cannot do full outer),
+    # over two alphabet-sized inputs — constant work at any scale
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("SortMergeJoin") <= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_pct_change_lag_runs_over_rollup_not_fact(spark):
+    plan = _plan(spark, "x_win_pct_change")
+    # the LAG window's input must be the aggregated monthly table: the
+    # window sits above a final HashAggregate, never directly on the scan
+    assert "Window" in plan and "HashAggregate" in plan
