@@ -268,3 +268,58 @@ def q_abc_pareto(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("klass")
     )
+
+
+# -- new vs returning revenue split ------------------------------------------
+
+
+@register(
+    "x_orders_repeat_rate",
+    "New-vs-returning revenue split per quarter — the growth metric "
+    "every subscription/commerce dashboard leads with (a rising "
+    "returning share is retention working; a new-dominated mix is "
+    "paid acquisition). The first-order timestamp per customer is one "
+    "aggregate, broadcast back onto orders; the quarterly split "
+    "partially aggregates exact cents on ≤2 x #quarters keys.",
+    """WITH first_o AS (
+         SELECT o_custkey AS c, MIN(o_orderdate) AS first_dt
+         FROM orders GROUP BY o_custkey
+       ),
+       t AS (
+         SELECT CAST(date_trunc('quarter', o.o_orderdate) AS VARCHAR) AS q,
+                CASE WHEN o.o_orderdate = f.first_dt THEN 'new'
+                     ELSE 'returning' END AS cohort,
+                CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+         FROM orders o JOIN first_o f ON o.o_custkey = f.c
+       )
+       SELECT q, cohort, COUNT(*) AS n_orders,
+              CAST(SUM(cents) AS BIGINT) AS revenue_cents
+       FROM t GROUP BY q, cohort ORDER BY q, cohort LIMIT 200""",
+)
+def q_repeat_rate(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf)
+    first_o = orders.groupBy(F.col("o_custkey").alias("c")).agg(
+        F.min("o_orderdate").alias("first_dt")
+    )
+    t = (
+        orders.join(F.broadcast(first_o), orders["o_custkey"] == first_o["c"])
+        .select(
+            F.date_trunc("quarter", "o_orderdate")
+            .cast("date")
+            .cast("string")
+            .alias("q"),
+            F.when(F.col("o_orderdate") == F.col("first_dt"), "new")
+            .otherwise("returning")
+            .alias("cohort"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+        )
+    )
+    return (
+        t.groupBy("q", "cohort")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("revenue_cents"),
+        )
+        .orderBy("q", "cohort")
+        .limit(200)
+    )

@@ -254,3 +254,89 @@ def emb_outliers(spark: SparkSession, sf: str) -> DataFrame:
         .limit(OUTLIER_TOP)
         .selectExpr("vec_id", "cast(d2_q as double) / 1000000 as mahalanobis2")
     )
+
+
+# -- Fisher discriminant ratio (class separation) ----------------------------
+
+FISHER_DIMS = 16
+
+
+@register(
+    "x_emb_fisher_ratio",
+    "Per-dimension Fisher discriminant ratio of the embedding space — "
+    "between-class scatter over within-class scatter (the LDA "
+    "criterion): dimensions with high ratios carry the label signal, "
+    "near-zero ones are noise — the feature-selection companion to "
+    "x_sim_label_purity's neighborhood view. One exploded "
+    "(label, dim) shuffle to exact quantized moment sums (map-side "
+    "partials); the scatter algebra runs on the classes x dims "
+    "aggregate, never the vectors.",
+    f"""WITH q AS (
+         SELECT label, t.i AS dim,
+                CAST(round(CAST(embedding[t.i] AS DOUBLE) * 1024) AS BIGINT) AS v
+         FROM embeddings
+              CROSS JOIN (SELECT unnest(range(1, {FISHER_DIMS + 1})) AS i) t
+       ),
+       cls AS (
+         SELECT label, dim, COUNT(*) AS n,
+                CAST(SUM(v) AS BIGINT) AS s,
+                CAST(SUM(CAST(v AS HUGEINT) * v) AS BIGINT) AS ss
+         FROM q GROUP BY label, dim
+       ),
+       tot AS (
+         SELECT dim, CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(s) AS BIGINT) AS st
+         FROM cls GROUP BY dim
+       ),
+       parts AS (
+         SELECT cls.dim,
+                cls.n * pow(CAST(cls.s AS DOUBLE) / cls.n
+                            - CAST(tot.st AS DOUBLE) / tot.nt, 2) AS btwn,
+                CAST(cls.ss AS DOUBLE)
+                  - CAST(cls.s AS DOUBLE) * cls.s / cls.n AS wthn
+         FROM cls JOIN tot ON cls.dim = tot.dim
+       )
+       SELECT CAST(dim AS INT) AS dim,
+              CAST(round(SUM(btwn)) AS BIGINT) AS between_q,
+              CAST(round(SUM(wthn)) AS BIGINT) AS within_q,
+              CAST(round(SUM(btwn)) AS DOUBLE)
+                / nullif(CAST(round(SUM(wthn)) AS DOUBLE), 0) AS fisher_ratio
+       FROM parts GROUP BY dim ORDER BY dim""",
+)
+def emb_fisher_ratio(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf)
+    q = emb.selectExpr(
+        "label",
+        f"""explode(transform(sequence(1, {FISHER_DIMS}),
+             i -> struct(i as dim,
+                         cast(round(cast(element_at(embedding, i) as double)
+                                    * 1024) as bigint) as v))) as z""",
+    ).select("label", "z.dim", "z.v")
+    cls = q.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").cast("bigint").alias("s"),
+        F.sum(F.col("v").cast("decimal(19,0)") * F.col("v")).cast("bigint").alias("ss"),
+    )
+    cls = cls.localCheckpoint(eager=False)
+    tot = cls.groupBy("dim").agg(
+        F.sum("n").cast("bigint").alias("nt"), F.sum("s").cast("bigint").alias("st")
+    )
+    j = cls.join(F.broadcast(tot), "dim")
+    mu_c = F.col("s").cast("double") / F.col("n")
+    mu = F.col("st").cast("double") / F.col("nt")
+    between = F.col("n") * F.pow(mu_c - mu, 2.0)
+    within = F.col("ss").cast("double") - F.col("s").cast("double") * F.col("s") / F.col("n")
+    parts = j.select("dim", between.alias("b"), within.alias("w"))
+    bq = F.round(F.sum("b"), 0).cast("bigint")
+    wq = F.round(F.sum("w"), 0).cast("bigint")
+    return (
+        parts.groupBy("dim")
+        .agg(
+            bq.alias("between_q"),
+            wq.alias("within_q"),
+            (bq.cast("double") / F.nullif(wq.cast("double"), F.lit(0.0))).alias(
+                "fisher_ratio"
+            ),
+        )
+        .select(F.col("dim").cast("int").alias("dim"), "between_q", "within_q", "fisher_ratio")
+        .orderBy("dim")
+    )
