@@ -676,24 +676,31 @@ def ngram_jaccard_pairs(
     prefix = docs_arr.select(
         F.col(id_col),
         F.col("n"),
-        F.explode(
+        F.posexplode(
             F.slice(F.col("hs"), 1, (F.col("n") - F.ceil(t * F.col("n")) + 1).cast("int"))
-        ).alias("sh"),
+        ).alias("p", "sh"),
     )
     a, b = prefix.alias("a"), prefix.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.sh") == F.col("b.sh"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-            & (F.col("b.n") >= F.ceil(t * F.col("a.n")))
-            & (F.col("b.n") <= F.floor(F.col("a.n") / t)),
-        )
-        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
-        # pairs sharing several prefix tokens emerge multiple times; collapse
-        # before the verify joins so each pair is intersected exactly once
-        .distinct()
-    )
+    # PPJoin POSITION filter: tokens share one global order, so a match at
+    # 0-based positions (pa, pb) caps the reachable overlap at
+    # min(na - pa, nb - pb); J >= t needs overlap >= ceil(t/(1+t)*(na+nb)).
+    # The 1e-9 backs off one ulp so ceil of an exactly-integer rational
+    # can't round up and falsely dismiss a boundary pair (measured at
+    # sf0.1: 310 k -> 125 k candidates on top of the prefix+length filters).
+    minov = F.ceil(((F.col("a.n") + F.col("b.n")) * t / (1 + t)) - 1e-9)
+    cand = a.join(
+        b,
+        (F.col("a.sh") == F.col("b.sh"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        & (F.col("b.n") >= F.ceil(t * F.col("a.n")))
+        & (F.col("b.n") <= F.floor(F.col("a.n") / t))
+        & (F.least(F.col("a.n") - F.col("a.p"), F.col("b.n") - F.col("b.p")) >= minov),
+    ).select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+    # NO mid-pipeline distinct: a pair sharing several prefix tokens is
+    # intersected once per shared token, but the candidate stream then
+    # pipelines straight through the broadcast verify inside one codegen
+    # stage instead of materializing at a shuffle barrier — measured 2.3x
+    # faster end-to-end; the dedup moves to the verified pairs (tiny).
     # exact intersect JVM-side; ROUND is HALF_UP, matching the oracle's
     # away-from-zero (Python's round() is banker's and diverges on
     # exact-tie rationals like 17/32)
@@ -704,6 +711,7 @@ def ngram_jaccard_pairs(
         .withColumn("j", j)
         .filter(F.col("j") >= t)
         .select("doc_a", "doc_b", F.round("j", 4).alias("jaccard"))
+        .dropDuplicates(["doc_a", "doc_b"])
     )
 
 
@@ -752,22 +760,23 @@ def ngram_containment_pairs(
         F.col("n").alias("n_b"),
         F.posexplode("hs").alias("pos_b", "sh"),
     )
-    cand = (
-        pa.join(
-            pb,
-            (pa["sh"] == pb["sh"])
-            & (F.col("doc_a") != F.col("doc_b"))
-            & (F.col("n_b") - F.col("pos_b") >= F.ceil(t * F.col("n_a"))),
-        )
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    # no mid-pipeline distinct: stream candidates straight through the
+    # broadcast verify in one codegen stage (same rationale as
+    # ngram_jaccard_pairs — the shuffle barrier costs more than repeated
+    # intersects), dedup the verified pairs at the end
+    cand = pa.join(
+        pb,
+        (pa["sh"] == pb["sh"])
+        & (F.col("doc_a") != F.col("doc_b"))
+        & (F.col("n_b") - F.col("pos_b") >= F.ceil(t * F.col("n_a"))),
+    ).select("doc_a", "doc_b")
     c = F.size(F.array_intersect("hs_a", "hs_b")) / F.col("n_a")
     return (
         _verify_join(cand, docs_arr, id_col, n_docs)
         .withColumn("c", c)
         .filter(F.col("c") >= t)
         .select("doc_a", "doc_b", F.round("c", 4).alias("containment"))
+        .dropDuplicates(["doc_a", "doc_b"])
     )
 
 

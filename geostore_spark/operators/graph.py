@@ -525,6 +525,28 @@ def q_triangles(spark: SparkSession, sf: str) -> DataFrame:
         # consumer (measured: the edge build is half the query)
         .localCheckpoint(eager=False)
     )
+    return triangle_counts_from_edges(edges)
+
+
+# Broadcast budget for the triangle wedge/closure fusion: 8 M oriented
+# edges ≈ 130 MB packed — comfortably inside executor broadcast memory.
+# Past it the |E| broadcast would be the classic works-at-toy-SF /
+# OOMs-at-100x failure, so the plan switches to co-partitioned
+# sort-merge joins (same runtime-dispatch idea as connected_components'
+# local-union-find threshold above).
+TRIANGLE_BROADCAST_MAX_EDGES = 8_000_000
+
+
+def triangle_counts_from_edges(
+    edges: DataFrame,
+    broadcast_max_edges: int = TRIANGLE_BROADCAST_MAX_EDGES,
+) -> DataFrame:
+    """(n_edges, n_wedges, n_triangles) of an undirected edge list via
+    Schank-Wagner degree orientation; the physical strategy for the
+    wedge + closing joins dispatches on |E| at runtime (see
+    TRIANGLE_BROADCAST_MAX_EDGES). ``edges`` must be (u, v) deduped
+    rows, ideally checkpointed by the caller (it is consumed by the
+    degree table and the orientation join)."""
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
@@ -545,50 +567,60 @@ def q_triangles(spark: SparkSession, sf: str) -> DataFrame:
     )
     # the oriented edge list feeds three consumers (both wedge sides and
     # the closing probe); checkpoint it so the lineitem self-join +
-    # degree join run once, not once per consumer
+    # degree join run once, not once per consumer. The count both
+    # materializes the checkpoint and drives the strategy dispatch —
+    # one job, no extra pass.
     oriented = oriented.localCheckpoint(eager=False)
+    n_edges = oriented.count()
     e1, e2 = oriented.alias("e1"), oriented.alias("e2")
     ordered = (F.col("e1.dst_d") < F.col("e2.dst_d")) | (
         (F.col("e1.dst_d") == F.col("e2.dst_d"))
         & (F.col("e1.dst") < F.col("e2.dst"))
     )
-    # broadcast the e2 wedge side too: |E| is broadcast-sized while the
-    # wedge stream is not, and a sort-merge join would buffer every
-    # same-src block — as a BroadcastHashJoin the wedge generation, the
-    # closing probe and the counting all fuse into one shuffle-free
-    # codegen stage over the oriented edge partitions
-    wedges = e1.join(
-        F.broadcast(e2), (F.col("e1.src") == F.col("e2.src")) & ordered
-    ).select(F.col("e1.dst").alias("b"), F.col("e2.dst").alias("c"))
+    pair_key = F.col("b") * F.lit(1 << 32) + F.col("c")
+    closing = oriented.select(
+        (F.col("src") * F.lit(1 << 32) + F.col("dst")).alias("pk"),
+        F.lit(1).alias("_hit"),
+    )
+    if n_edges <= broadcast_max_edges:
+        # Broadcast fusion: |E| is broadcast-sized while the wedge stream
+        # is not (~34x larger here) — broadcasting BOTH the e2 wedge side
+        # and the packed-key closing probe keeps wedge generation, the
+        # closing probe and the counting in one shuffle-free codegen
+        # stage over the oriented edge partitions; wedges are counted
+        # in-flight, never shuffled or materialized. The probe packs
+        # (src, dst) into ONE long (node ids fit 32 bits) so the
+        # broadcast ships a single column and the hash probe compares
+        # one word.
+        wedges = e1.join(
+            F.broadcast(e2), (F.col("e1.src") == F.col("e2.src")) & ordered
+        ).select(F.col("e1.dst").alias("b"), F.col("e2.dst").alias("c"))
+        probed = wedges.withColumn("pk", pair_key).join(
+            F.broadcast(closing), "pk", "left"
+        )
+    else:
+        # Past the broadcast budget a multi-GB |E| broadcast OOMs the
+        # executors; instead co-partition both wedge sides on src (one
+        # exchange each, reused by the sort-merge join) and close wedges
+        # with a pk-keyed sort-merge join against the oriented list.
+        # Wedges do shuffle here — that is the price of not holding |E|
+        # per task, and it scales horizontally with partition count.
+        wedges = e1.join(
+            e2, (F.col("e1.src") == F.col("e2.src")) & ordered
+        ).select(F.col("e1.dst").alias("b"), F.col("e2.dst").alias("c"))
+        probed = wedges.withColumn("pk", pair_key).join(closing, "pk", "left")
     # wedge total and closed-wedge (triangle) total in ONE pass: a left
     # probe into the oriented list, counted both ways — a separate
     # semi-join branch would pay the whole wedge join twice
-    # broadcast the closing probe: the oriented edge list is |E|-sized
-    # (broadcastable), while the wedge stream is |wedges|-sized (~34x
-    # larger here) — broadcasting keeps the 40 M wedge rows in their
-    # generating stage, counted in-flight, never shuffled or
-    # materialized. The probe is packed to ONE long key (node ids fit
-    # 32 bits) so the broadcast ships a single column and the hash
-    # probe compares one word
-    pair_key = F.col("b") * F.lit(1 << 32) + F.col("c")
-    probe = F.broadcast(
-        oriented.select(
-            (F.col("src") * F.lit(1 << 32) + F.col("dst")).alias("pk"),
-            F.lit(1).alias("_hit"),
-        )
+    n_wt = probed.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_wedges"),
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_triangles"),
     )
-    n_wt = (
-        wedges.withColumn("pk", pair_key)
-        .join(probe, "pk", "left")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_wedges"),
-            F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
-            .cast("bigint")
-            .alias("n_triangles"),
-        )
+    return n_wt.select(
+        F.lit(n_edges).cast("bigint").alias("n_edges"), "n_wedges", "n_triangles"
     )
-    n_e = oriented.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
-    return n_e.crossJoin(n_wt).select("n_edges", "n_wedges", "n_triangles")
 
 
 # -- k-core peeling ----------------------------------------------------------

@@ -422,6 +422,9 @@ def _synth_bmp(text: bytes) -> bytes:
     cyclically."""
     import struct
 
+    # empty payload → single NUL byte, so the cyclic tiling below never
+    # divides by zero (the oracle substitutes chr(0) identically)
+    text = text or b"\x00"
     length = len(text)
     width = 16 + 4 * (length % 8)
     height = 16 + (3 * length) % 32
@@ -521,7 +524,14 @@ def q_mm_wav(spark: SparkSession, sf: str) -> DataFrame:
     "bytes. Cyclic tiling gives the oracle a closed form "
     "(full_cycles * byte_sum + prefix remainder). Same mapInPandas "
     "plumbing as every media op.",
-    """WITH b AS (
+    """WITH src AS (
+         -- empty payload → single NUL byte, mirroring _synth_bmp's guard
+         SELECT doc_id,
+                CASE WHEN text IS NULL OR text = '' THEN chr(0) ELSE text END
+                  AS text
+         FROM documents
+       ),
+       b AS (
          SELECT doc_id, text, strlen(text) AS len,
                 16 + 4 * (strlen(text) % 8) AS w,
                 16 + (3 * strlen(text)) % 32 AS h,
@@ -529,7 +539,7 @@ def q_mm_wav(spark: SparkSession, sf: str) -> DataFrame:
                   range(1, strlen(text) + 1),
                   i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)
                 )) AS byte_sum
-         FROM documents
+         FROM src
        ),
        c AS (
          SELECT doc_id, text, w, h, len, byte_sum,

@@ -1,11 +1,18 @@
 """Multihash checksum verification (V6) — distributed, constant-memory.
 
 Mirrors /root/reference/geostore/check_files_checksums/utils.py:27-31,89-129:
-a multihash is ``<fn-code hex><length hex><digest hex>`` (sha2-256 =
-``1220`` + 64 hex chars); the file is streamed in chunks so memory stays
-constant regardless of object size — at the 100 TB design point the
-``binaryFile`` source is unusable (it materializes whole files), so the
-executor streams from the filesystem inside ``mapInPandas``.
+a multihash is ``<uvarint fn-code><uvarint digest-length><digest>`` hex
+encoded (sha2-256 = ``1220`` + 64 hex chars); the file is streamed in
+chunks so memory stays constant regardless of object size — at the 100 TB
+design point the ``binaryFile`` source is unusable (it materializes whole
+files), so the executor streams from the filesystem inside ``mapInPandas``.
+
+The reference decodes arbitrary multihash fn codes through py-multihash's
+``FUNCS`` table (utils.py:27-31,92-110) and records unknown codes as an
+explicit UNKNOWN_MULTIHASH_ERROR failure row; this module reproduces that
+breadth with a hashlib-backed code table (sha1/sha2/sha3/md5 plus the
+blake2b/blake2s code *ranges*, where the fn code encodes the digest size)
+and the same failed-row-not-exception contract.
 
 The reference fanned this out as an AWS Batch array job with one container
 per asset index (task.py:45-69); Spark's task scheduling over partitions
@@ -28,13 +35,84 @@ RESULT_SCHEMA = (
     "url string, multihash string, actual_digest string, result string, message string"
 )
 
+# Fixed fn-code → hashlib constructor table (multiformats registry names).
+_FIXED_FUNCS = {
+    0x11: hashlib.sha1,
+    0x12: hashlib.sha256,
+    0x13: hashlib.sha512,
+    0x14: hashlib.sha3_512,
+    0x15: hashlib.sha3_384,
+    0x16: hashlib.sha3_256,
+    0x17: hashlib.sha3_224,
+    0x20: hashlib.sha384,
+    0xD5: hashlib.md5,
+}
+# blake2b-8..blake2b-512: code 0xb201..0xb240, digest size = code - 0xb200
+# blake2s-8..blake2s-256: code 0xb241..0xb260, digest size = code - 0xb240
+_BLAKE2B_BASE, _BLAKE2B_MAX = 0xB200, 0xB240
+_BLAKE2S_BASE, _BLAKE2S_MAX = 0xB240, 0xB260
+
+
+def _read_uvarint(data: bytes, pos: int) -> tuple[int, int]:
+    """Decode an unsigned varint at ``pos``; returns (value, next_pos)."""
+    value = shift = 0
+    while True:
+        if pos >= len(data):
+            raise ValueError("truncated varint")
+        byte = data[pos]
+        value |= (byte & 0x7F) << shift
+        pos += 1
+        if not byte & 0x80:
+            return value, pos
+        shift += 7
+        if shift > 63:
+            raise ValueError("varint too long")
+
+
+def decode_multihash(hex_multihash: str):
+    """Parse a hex multihash into (fn_code, expected_digest_hex, hasher).
+
+    Raises ValueError on malformed input or an unregistered fn code —
+    callers turn that into an explicit Failed row, mirroring the
+    reference's UNKNOWN_MULTIHASH_ERROR path
+    (check_files_checksums/utils.py:92-106).
+    """
+    raw = bytes.fromhex(hex_multihash)
+    code, pos = _read_uvarint(raw, 0)
+    length, pos = _read_uvarint(raw, pos)
+    digest = raw[pos:]
+    if len(digest) != length:
+        raise ValueError(
+            f"declared digest length {length} != actual {len(digest)}"
+        )
+    if code in _FIXED_FUNCS:
+        hasher = _FIXED_FUNCS[code]()
+    elif _BLAKE2B_BASE < code <= _BLAKE2B_MAX:
+        hasher = hashlib.blake2b(digest_size=code - _BLAKE2B_BASE)
+    elif _BLAKE2S_BASE < code <= _BLAKE2S_MAX:
+        hasher = hashlib.blake2s(digest_size=code - _BLAKE2S_BASE)
+    else:
+        raise ValueError(f"unsupported multihash fn 0x{code:x}")
+    if hasher.digest_size != length:
+        raise ValueError(
+            f"digest length {length} != {hasher.name} size {hasher.digest_size}"
+        )
+    return code, digest.hex(), hasher
+
 
 def _verify_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         out = []
         for url, multihash in zip(pdf["url"], pdf["multihash"]):
+            if multihash is None:
+                out.append((url, None, None, "Failed", "missing multihash"))
+                continue
             try:
-                digest = hashlib.sha256()
+                _, expected, digest = decode_multihash(multihash)
+            except ValueError as err:
+                out.append((url, multihash, None, "Failed", str(err)))
+                continue
+            try:
                 with open(url, "rb") as f:  # local-path stand-in for object storage
                     while True:
                         chunk = f.read(CHUNK_SIZE)
@@ -45,16 +123,12 @@ def _verify_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             except OSError as err:
                 out.append((url, multihash, None, "Failed", f"unreadable: {err}"))
                 continue
-            if multihash is None:
-                out.append((url, None, actual, "Failed", "missing multihash"))
-            elif not multihash.startswith(SHA2_256_PREFIX):
-                out.append((url, multihash, actual, "Failed", f"unsupported multihash fn {multihash[:4]}"))
-            elif multihash[4:] == actual:
+            if expected == actual:
                 out.append((url, multihash, actual, "Passed", None))
             else:
                 out.append(
                     (url, multihash, actual, "Failed",
-                     f"expected {multihash[4:]}, got {actual}")
+                     f"expected {expected}, got {actual}")
                 )
         yield pd.DataFrame(out, columns=["url", "multihash", "actual_digest", "result", "message"])
 

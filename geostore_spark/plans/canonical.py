@@ -1014,16 +1014,37 @@ def a7(spark: SparkSession, sf: str) -> DataFrame:
 
 @_register(
     "a8_approx_distinct",
-    "Approximate distinct counting (HyperLogL) per group — the sketch "
+    "Approximate distinct counting (HyperLogLog) per group — the sketch "
     "aggregate for 100 TB cardinality work. Engines use different HLL "
-    "variants so values differ from DuckDB's; rows-only driver check.",
-    None,
+    "variants so the raw estimates differ from DuckDB's; instead the plan "
+    "emits the exact distinct count plus a Spark-side 3-sigma bound check "
+    "on its own HLL estimate (rsd=0.02), and the oracle reproduces the "
+    "exact side asserting TRUE — an out-of-bounds sketch becomes a real "
+    "hash mismatch rather than a permanent rows-only row.",
+    """SELECT l_returnflag,
+              COUNT(DISTINCT l_partkey) AS exact_parts,
+              TRUE AS within_3sigma
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 )
 def a8(spark: SparkSession, sf: str) -> DataFrame:
+    # Both aggregates ride one shuffle on l_returnflag; the HLL side stays
+    # sketch-mergeable (map-side partials) exactly as it would at 100 TB,
+    # the exact side is only here to ground the bound check.
     return (
         load_table(spark, "lineitem", sf)
         .groupBy("l_returnflag")
-        .agg(F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"))
+        .agg(
+            F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            (
+                F.abs(F.col("approx_parts") - F.col("exact_parts"))
+                <= 3 * 0.02 * F.col("exact_parts")
+            ).alias("within_3sigma"),
+        )
         .orderBy("l_returnflag")
     )
 

@@ -230,7 +230,13 @@ class MetadataStore:
         else:
             df = df.coalesce(target_files)
         self._write_snapshot(table, df, base)
-        return {"files_in": files_in, "files_out": target_files}
+        # measure what was actually written: repartitionByRange with fewer
+        # distinct keys than target_files (or coalesce over fewer input
+        # partitions) legitimately writes fewer files — echoing
+        # target_files would over-report
+        new_hist = {h["version"]: h for h in self.history(table)}
+        files_out = new_hist[self.current_version(table)]["n_files"]
+        return {"files_in": files_in, "files_out": files_out}
 
     def vacuum(self, table: str, keep_last: int = 1) -> list[int]:
         """Delete all but the most recent ``keep_last`` snapshots (never

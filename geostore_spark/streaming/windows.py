@@ -716,10 +716,13 @@ def _update_markov(
     event-time order."""
     last_type, last_epoch = state.get if state.exists else (None, 0)
     counts: dict[tuple[str, str], int] = {}
-    for pdf in batches:
-        if not len(pdf):
-            continue
-        pdf = pdf.sort_values(["ts", "event_id"])
+    # a microbatch may arrive as several Arrow chunks; (ts, event_id) order
+    # only holds across the whole batch, so concatenate before sorting —
+    # per-chunk sorting would count transitions in chunk order and diverge
+    # from the batch LAG window this twin claims to reproduce
+    chunks = [pdf for pdf in batches if len(pdf)]
+    if chunks:
+        pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
         for et, ts in zip(pdf["event_type"], pdf["ts"]):
             epoch = int(pd.Timestamp(ts).value)
             if last_type is not None:
@@ -783,8 +786,11 @@ def _load_stateful_processor():
 
             best = self.peak.get()[0] if self.peak.exists() else None
             out_ids, out_vals = [], []
-            for pdf in rows:
-                pdf = pdf.sort_values(["ts", "event_id"])
+            # concat-then-sort: event-time order holds per batch, not per
+            # Arrow chunk (same contract as _update_markov)
+            chunks = [pdf for pdf in rows if len(pdf)]
+            if chunks:
+                pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
                 for eid, val in zip(pdf["event_id"], pdf["value"]):
                     if best is None or val > best:
                         best = float(val)
@@ -805,19 +811,87 @@ def _load_stateful_processor():
     return PeakTracker
 
 
-def streaming_peak_tracker(stream: DataFrame) -> DataFrame:
-    """Per-user record-breaker feed on the Spark 4
-    ``transformWithStateInPandas`` API (typed ValueState in the RocksDB
-    state store — the successor to ``applyInPandasWithState``'s
-    tuple-schema state). Requires the RocksDB state store provider
-    (caller's session config) AND a working ``google.protobuf`` (the
-    state-server wire protocol; the test importorskips it — this
-    container ships a broken protobuf, so the production-ready path
-    here is the ``applyInPandasWithState`` twins above)."""
-    PeakTracker = _load_stateful_processor()
-    return stream.groupBy("user_id").transformWithStateInPandas(
-        PeakTracker(),
-        outputStructType=PEAK_SCHEMA,
-        outputMode="append",
-        timeMode="none",
-    )
+_PEAK_STATE_SCHEMA = "best double"
+
+
+def _update_peak(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """``applyInPandasWithState`` twin of the transformWithState
+    PeakTracker: identical emissions (rows that set a new per-user
+    maximum), identical restart semantics (the watermark scalar lives in
+    the HDFS/RocksDB state store either way)."""
+    best = state.get[0] if state.exists else None
+    out_ids, out_vals = [], []
+    chunks = [pdf for pdf in batches if len(pdf)]
+    if chunks:
+        pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
+        for eid, val in zip(pdf["event_id"], pdf["value"]):
+            if best is None or val > best:
+                best = float(val)
+                out_ids.append(int(eid))
+                out_vals.append(best)
+    state.update((best,))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]] * len(out_ids),
+            "event_id": out_ids,
+            "value": out_vals,
+        }
+    ).astype({"user_id": "int64", "event_id": "int64", "value": "float64"})
+
+
+def transform_with_state_available() -> bool:
+    """``transformWithStateInPandas`` speaks protobuf to the JVM state
+    server; without ``google.protobuf`` the Python worker cannot start.
+    Probed once so callers can dispatch rather than crash mid-stream."""
+    try:
+        import google.protobuf.descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def streaming_peak_tracker(stream: DataFrame, api: str = "auto") -> DataFrame:
+    """Per-user record-breaker feed — emits a row only when an event sets
+    a new personal maximum ``value``.
+
+    Two equivalent engines, dispatched at plan time:
+
+    - ``transform_with_state``: the Spark 4 ``transformWithStateInPandas``
+      API (typed ValueState, RocksDB provider required in the caller's
+      session config). Needs a working ``google.protobuf`` for the
+      state-server wire protocol.
+    - ``apply_in_pandas``: ``applyInPandasWithState`` with a one-scalar
+      tuple state — byte-identical emissions and the same exactly-once
+      restart story, with no protobuf dependency.
+
+    ``api="auto"`` picks transformWithState when protobuf imports and
+    falls back otherwise, so the operator runs (and is tested) in every
+    environment instead of silently skipping where protobuf is absent."""
+    if api == "auto":
+        api = (
+            "transform_with_state"
+            if transform_with_state_available()
+            else "apply_in_pandas"
+        )
+    if api == "transform_with_state":
+        PeakTracker = _load_stateful_processor()
+        return stream.groupBy("user_id").transformWithStateInPandas(
+            PeakTracker(),
+            outputStructType=PEAK_SCHEMA,
+            outputMode="append",
+            timeMode="none",
+        )
+    if api == "apply_in_pandas":
+        return stream.groupBy("user_id").applyInPandasWithState(
+            _update_peak,
+            outputStructType=PEAK_SCHEMA,
+            stateStructType=_PEAK_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    raise ValueError(f"unknown peak-tracker api: {api!r}")

@@ -21,7 +21,11 @@ from geostore_spark.api.datasets import (
     list_datasets,
     update_dataset,
 )
-from geostore_spark.pipeline.checksums import sha256_multihash
+from geostore_spark.pipeline.checksums import (
+    decode_multihash,
+    sha256_multihash,
+    verify_checksums,
+)
 from geostore_spark.pipeline.ingest import create_dataset_version, get_import_status
 from geostore_spark.pipeline.traversal import traverse
 from geostore_spark.sources.store import MetadataStore
@@ -223,6 +227,51 @@ def test_checksum_mismatch_blocks_import(spark, store, tmp_path):
     body = _ingest_expect_failure(spark, store, tmp_path, tree["root_url"], "checksum")
     [err] = [e for e in body["validation"]["errors"] if e["check"] == "checksum"]
     assert "expected" in err["details"]["message"]
+
+
+def test_multihash_fn_code_breadth(spark, tmp_path):
+    """V6 decodes arbitrary registered multihash fn codes, not just
+    sha2-256 — mirrors the reference's FUNCS-table dispatch
+    (/root/reference/geostore/check_files_checksums/utils.py:27-31,89-110).
+    Non-sha256 hashes verify Passed; unknown codes get an explicit Failed
+    row (UNKNOWN_MULTIHASH_ERROR analog), never an exception."""
+    import hashlib
+
+    payload = b"geostore multihash breadth"
+    f = tmp_path / "asset.bin"
+    f.write_bytes(payload)
+
+    def mh(code_hex: str, digest_hex: str) -> str:
+        return code_hex + format(len(digest_hex) // 2, "02x") + digest_hex
+
+    cases = {
+        "sha1": mh("11", hashlib.sha1(payload).hexdigest()),
+        "sha2-256": sha256_multihash(payload),
+        "sha2-512": mh("13", hashlib.sha512(payload).hexdigest()),
+        # md5: fn code 0xd5 > 0x7f so it uvarint-encodes as d5 01
+        "md5": mh("d501", hashlib.md5(payload).hexdigest()),
+        # blake2b-256: fn code 0xb220 = 45600 uvarint-encodes as a0 e4 02
+        "blake2b-256": "a0e402" + "20"
+        + hashlib.blake2b(payload, digest_size=32).hexdigest(),
+    }
+    rows = [(str(f), v) for v in cases.values()]
+    df = spark.createDataFrame(rows, "url string, multihash string")
+    res = {r["multihash"]: r for r in verify_checksums(df).collect()}
+    for name, v in cases.items():
+        assert res[v]["result"] == "Passed", (name, res[v]["message"])
+
+    # unknown fn code → explicit Failed row, not an exception
+    bad = spark.createDataFrame(
+        [(str(f), "00" + "04" + "deadbeef"), (str(f), "12")],
+        "url string, multihash string",
+    )
+    bad_rows = verify_checksums(bad).collect()
+    assert all(r["result"] == "Failed" for r in bad_rows)
+    assert any("unsupported multihash fn" in r["message"] for r in bad_rows)
+
+    # pure decode unit checks: declared-length mismatch caught
+    with pytest.raises(ValueError):
+        decode_multihash("1221" + "0" * 64)  # says 33 bytes, carries 32
 
 
 def test_missing_asset_file_fails_staging_access(spark, store, tmp_path):

@@ -357,6 +357,37 @@ def test_triangles_all_joins_are_equi(spark):
     )
 
 
+def test_triangles_dispatch_on_edge_budget(spark):
+    # below TRIANGLE_BROADCAST_MAX_EDGES the wedge+closure joins fuse as
+    # BroadcastHashJoins (shuffle-free counting stage); above the budget
+    # the |E| broadcast would OOM at 100x, so the plan must fall back to
+    # co-partitioned shuffle joins — forced here with a zero budget
+    from geostore_spark.operators.graph import triangle_counts_from_edges
+
+    edges = spark.createDataFrame(
+        # 4-clique on 1..4 (4 triangles... K4 has 4) plus a pendant edge
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)],
+        "u long, v long",
+    ).localCheckpoint()
+
+    fused = triangle_counts_from_edges(edges)
+    plan_fused = fused._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan_fused
+    assert "SortMergeJoin" not in plan_fused
+
+    spilled = triangle_counts_from_edges(edges, broadcast_max_edges=0)
+    plan_spilled = spilled._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan_spilled
+    assert "SortMergeJoin" in plan_spilled or "ShuffledHashJoin" in plan_spilled
+
+    # both strategies compute identical counts
+    expect = {"n_edges": 7, "n_wedges": None, "n_triangles": 4}
+    r1, r2 = fused.collect()[0], spilled.collect()[0]
+    assert r1 == r2
+    assert r1["n_edges"] == expect["n_edges"]
+    assert r1["n_triangles"] == expect["n_triangles"]
+
+
 def test_paragraph_dedup_is_digest_rollup_topk(spark):
     # only digests shuffle (one partial-agg exchange) and the top-k is a
     # TakeOrdered, never a global sort of the digest table

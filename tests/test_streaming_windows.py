@@ -591,15 +591,11 @@ def test_streaming_parquet_sink_is_exactly_once_across_restarts(spark, tmp_path)
 
 
 def test_transform_with_state_peak_tracker(spark, tmp_path):
-    """Spark 4 transformWithStateInPandas: per-user high-watermark state
-    survives restarts in the RocksDB store; only record-setting events
-    emit."""
-    import pytest
-
-    # the transformWithState protocol speaks protobuf to the JVM state
-    # server; without a working google.protobuf the worker cannot start
-    pytest.importorskip("google.protobuf.descriptor")
-
+    """Per-user high-watermark state survives restarts in the RocksDB
+    store; only record-setting events emit. ``api="auto"`` dispatches to
+    transformWithStateInPandas where google.protobuf exists and to the
+    equivalent applyInPandasWithState engine where it doesn't — the
+    operator is exercised (not skipped) in both environments."""
     from geostore_spark.streaming.windows import streaming_peak_tracker
 
     events = str(tmp_path / "events")
