@@ -23,6 +23,16 @@ LOG_MESSAGE_VALIDATION_CHECK_FAILURE = "Validation Check Failure"
 LOG_MESSAGE_VALIDATION_COMPLETE = "Validation Complete"
 LOG_MESSAGE_IMPORT_JOB_RESULT = "Import Job Result"
 LOG_MESSAGE_PIPELINE_RUN_COMPLETE = "Pipeline Run Complete"
+# Per-check-family rollup (reference: one logging test file per check
+# module — checksum, STAC schema, summary): one event per (check) family
+# per run with pass/fail counts, so operators alert on a family's
+# failure count without parsing per-URL rows.
+LOG_MESSAGE_CHECK_STAGE_COMPLETE = "Check Stage Complete"
+# Operator strategy dispatch: emitted when a dedup/graph/ANN operator
+# picks its physical strategy from runtime size (broadcast fusion vs
+# shuffle joins, local vs distributed) — the "why did this job shuffle?"
+# breadcrumb at 100 TB.
+LOG_MESSAGE_STRATEGY_DISPATCH = "Operator Strategy Dispatch"
 
 
 def log_event(message: str, **fields: Any) -> None:

@@ -31,6 +31,7 @@ import random
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from geostore_spark.logging_keys import LOG_MESSAGE_STRATEGY_DISPATCH, log_event
 from geostore_spark.operators.util import rebalance_for_python
 from geostore_spark.registry import register
 from geostore_spark.sources.tables import load_table
@@ -635,7 +636,14 @@ def _verify_join(
     arr_b = docs_arr.select(
         F.col(id_col).alias("doc_b"), F.col("hs").alias("hs_b"), F.col("n").alias("n_b")
     )
-    if n_docs <= VERIFY_BROADCAST_MAX_DOCS:
+    broadcast = n_docs <= VERIFY_BROADCAST_MAX_DOCS
+    log_event(
+        LOG_MESSAGE_STRATEGY_DISPATCH,
+        stage="dedup_verify_join",
+        n_docs=n_docs,
+        strategy="broadcast" if broadcast else "shuffle",
+    )
+    if broadcast:
         arr_a, arr_b = F.broadcast(arr_a), F.broadcast(arr_b)
     return cand.join(arr_a, "doc_a").join(arr_b, "doc_b")
 

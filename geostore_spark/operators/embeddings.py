@@ -340,3 +340,79 @@ def emb_fisher_ratio(spark: SparkSession, sf: str) -> DataFrame:
         .select(F.col("dim").cast("int").alias("dim"), "between_q", "within_q", "fisher_ratio")
         .orderBy("dim")
     )
+
+
+# -- matryoshka truncation audit ---------------------------------------------
+
+TRUNC_HEAD = 8  # keep the first 8 dims
+TRUNC_SCALE = 1024
+
+
+@register(
+    "x_emb_dim_truncation",
+    "Matryoshka-style truncation audit: what fraction of each vector's "
+    f"energy (squared L2 norm) lives in the first {TRUNC_HEAD} "
+    "dimensions — the go/no-go measurement before storing truncated "
+    "embeddings for cheap ANN pre-ranking. Per-vector ratios quantize "
+    "to 1e-6 by integer floor-division over round(x*1024) coords "
+    "(head <= total, both < 2^31 per vector, head * 1e6 < 2^51 — all "
+    "exact int64), so the per-label rollup is order-free exact "
+    "arithmetic. Zero shuffles beyond one partially-aggregated "
+    "groupBy(label); the data never moves.",
+    f"""WITH q AS (
+         SELECT label,
+                list_transform(embedding,
+                  x -> CAST(round(CAST(x AS DOUBLE) * {TRUNC_SCALE}) AS BIGINT))
+                  AS v
+         FROM embeddings
+       ),
+       e AS (
+         SELECT label,
+                list_sum(list_transform(v[1:{TRUNC_HEAD}], x -> x * x)) AS head,
+                list_sum(list_transform(v, x -> x * x)) AS tot
+         FROM q
+       ),
+       r AS (
+         SELECT label,
+                CASE WHEN tot = 0 THEN 0
+                     ELSE (head * 1000000) // tot END AS ratio_q6
+         FROM e
+       )
+       SELECT CAST(label AS BIGINT) AS label, COUNT(*) AS n,
+              CAST(SUM(ratio_q6) AS BIGINT) AS sum_ratio_q6,
+              ROUND(SUM(ratio_q6) / (COUNT(*) * 1000000.0), 6)
+                AS avg_head_energy
+       FROM r GROUP BY label ORDER BY label""",
+)
+def emb_dim_truncation(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf)
+    v = F.expr(
+        f"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {TRUNC_SCALE}) AS BIGINT))"
+    )
+    e = emb.select("label", v.alias("v")).select(
+        "label",
+        F.expr(
+            f"aggregate(slice(v, 1, {TRUNC_HEAD}), 0L, (a, x) -> a + x * x)"
+        ).alias("head"),
+        F.expr("aggregate(v, 0L, (a, x) -> a + x * x)").alias("tot"),
+    )
+    ratio = F.when(F.col("tot") == 0, F.lit(0)).otherwise(
+        F.expr("head * 1000000 div tot")
+    )
+    return (
+        e.select("label", ratio.alias("ratio_q6"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("ratio_q6").cast("bigint").alias("sum_ratio_q6"),
+        )
+        .select(
+            F.col("label").cast("bigint").alias("label"),
+            "n",
+            "sum_ratio_q6",
+            F.round(F.col("sum_ratio_q6") / (F.col("n") * 1000000.0), 6).alias(
+                "avg_head_energy"
+            ),
+        )
+        .orderBy("label")
+    )

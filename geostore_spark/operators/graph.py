@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from geostore_spark.logging_keys import LOG_MESSAGE_STRATEGY_DISPATCH, log_event
 from geostore_spark.operators.dedup import simhash, simhash_pairs, simhash_pairs_ctes
 from geostore_spark.registry import register
 from geostore_spark.sources.tables import load_table
@@ -105,7 +106,14 @@ def connected_components(
     # is solved by single-task union-find — O(E α(E)), zero shuffle rounds.
     # Above the threshold the O(log diameter) distributed loop engages;
     # the count also materializes the checkpoint either way.
-    if sym.count() <= local_threshold:
+    n_sym = sym.count()
+    log_event(
+        LOG_MESSAGE_STRATEGY_DISPATCH,
+        stage="connected_components",
+        n_edges=n_sym,
+        strategy="local_union_find" if n_sym <= local_threshold else "min_label_rounds",
+    )
+    if n_sym <= local_threshold:
         return _local_union_find(sym)
     labels = sym.select("v").distinct().select("v", F.col("v").alias("label"))
     prev_sum = None
@@ -572,6 +580,16 @@ def triangle_counts_from_edges(
     # one job, no extra pass.
     oriented = oriented.localCheckpoint(eager=False)
     n_edges = oriented.count()
+    log_event(
+        LOG_MESSAGE_STRATEGY_DISPATCH,
+        stage="triangle_closure",
+        n_edges=n_edges,
+        strategy=(
+            "broadcast_fusion"
+            if n_edges <= broadcast_max_edges
+            else "copartitioned_shuffle"
+        ),
+    )
     e1, e2 = oriented.alias("e1"), oriented.alias("e2")
     ordered = (F.col("e1.dst_d") < F.col("e2.dst_d")) | (
         (F.col("e1.dst_d") == F.col("e2.dst_d"))

@@ -58,10 +58,15 @@ def kmeans_assign(
     embeddings: DataFrame,
     k: int = K,
     iters: int = ITERS,
+    with_second: bool = False,
 ) -> DataFrame:
     """Lloyd's k-means, integer-exact. Returns (vec_id, cluster, distq)
     where cluster is the seed vec_id of the winning centroid and distq
     the quantized squared L2 distance after the final assignment.
+    ``with_second=True`` adds ``distq2`` — the distance to the nearest
+    OTHER centroid (the b-term of the centroid-simplified silhouette);
+    since distq is the global minimum, distq2 is the row's second
+    smallest distance, and distq <= distq2 always.
 
     Seeds: the k smallest vec_ids (deterministic; k-means++ would need
     engine-specific randomness). Empty clusters drop out of the next
@@ -104,15 +109,15 @@ def kmeans_assign(
                 # cids ascend, so argmin's first-min == (distq, cid) min
                 arg = dist.argmin(axis=1)
                 if last:
-                    out_frames.append(
-                        pd.DataFrame(
-                            {
-                                "vec_id": ids,
-                                "cid": cids[arg],
-                                "distq": dist[np.arange(len(ids)), arg],
-                            }
-                        )
-                    )
+                    frame = {
+                        "vec_id": ids,
+                        "cid": cids[arg],
+                        "distq": dist[np.arange(len(ids)), arg],
+                    }
+                    if with_second:
+                        # second-smallest distance = nearest OTHER centroid
+                        frame["distq2"] = np.partition(dist, 1, axis=1)[:, 1]
+                    out_frames.append(pd.DataFrame(frame))
                 else:
                     for j in range(k_now):
                         mask = arg == j
@@ -121,8 +126,11 @@ def kmeans_assign(
                             counts[j] += int(mask.sum())
             if last:
                 empty = np.array([], dtype=np.int64)
+                cols = ["vec_id", "cid", "distq"] + (
+                    ["distq2"] if with_second else []
+                )
                 yield from out_frames or [
-                    pd.DataFrame({"vec_id": empty, "cid": empty, "distq": empty})
+                    pd.DataFrame({c: empty for c in cols})
                 ]
             else:
                 live = counts > 0
@@ -138,7 +146,10 @@ def kmeans_assign(
                 )
 
         if last:
-            assign = emb.mapInPandas(step, "vec_id long, cid long, distq long")
+            schema = "vec_id long, cid long, distq long" + (
+                ", distq2 long" if with_second else ""
+            )
+            assign = emb.mapInPandas(step, schema)
         else:
             # per-partition partial sums -> one tiny (cid,pos) shuffle;
             # floor(sum/count): exact bigint sum, one IEEE double division
@@ -162,7 +173,10 @@ def kmeans_assign(
                 ],
                 dtype=np.int64,
             )
-    return assign.select("vec_id", F.col("cid").alias("cluster"), "distq")
+    out_cols = ["vec_id", F.col("cid").alias("cluster"), "distq"]
+    if with_second:
+        out_cols.append("distq2")
+    return assign.select(*out_cols)
 
 
 def kmeans_ctes(k: int = K, iters: int = ITERS) -> tuple[str, str]:
@@ -233,3 +247,64 @@ def _kmeans_oracle(k: int = K, iters: int = ITERS) -> str:
 def q_kmeans(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf)
     return kmeans_assign(spark, emb).orderBy("vec_id").limit(500)
+
+
+# -- centroid-simplified silhouette ------------------------------------------
+
+
+def _silhouette_oracle(k: int = K, iters: int = ITERS) -> str:
+    body, final = kmeans_ctes(k, iters)
+    d_final = f"d{iters - 1}"
+    return f"""
+       WITH {body},
+       b AS (
+         SELECT d.vec_id, MIN(d.distq) AS bq
+         FROM {d_final} d JOIN {final} a
+           ON d.vec_id = a.vec_id AND d.cid != a.cid
+         GROUP BY d.vec_id
+       ),
+       s AS (
+         SELECT a.cid,
+                CASE WHEN b.bq = 0 THEN 0
+                     ELSE ((b.bq - a.distq) * 10000) // b.bq END AS sq4
+         FROM {final} a JOIN b ON a.vec_id = b.vec_id
+       )
+       SELECT cid AS cluster, COUNT(*) AS n,
+              CAST(SUM(sq4) AS BIGINT) AS sum_sq4,
+              ROUND(SUM(sq4) / (COUNT(*) * 10000.0), 6) AS avg_sil
+       FROM s GROUP BY cid ORDER BY cluster"""
+
+
+@register(
+    "x_ml_silhouette",
+    "Centroid-simplified silhouette per k-means cluster (a = distance "
+    "to own centroid, b = distance to nearest other centroid, "
+    "s = (b-a)/max(a,b)) — the clustering-quality audit a curation "
+    "pipeline runs before trusting cluster-based dedup/sampling at "
+    "100 TB. Rides the integer-exact k-means pass (one extra "
+    "second-minimum per row, no extra shuffle); per-row scores quantize "
+    "to 1e-4 via integer floor-division so the cluster rollup is exact "
+    "64-bit arithmetic, bit-identical to the unrolled DuckDB oracle.",
+    _silhouette_oracle(),
+)
+def q_silhouette(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf)
+    asg = kmeans_assign(spark, emb, with_second=True)
+    sq4 = F.when(F.col("distq2") == 0, F.lit(0)).otherwise(
+        F.expr("(distq2 - distq) * 10000 div distq2")
+    )
+    return (
+        asg.select(F.col("cluster").alias("cid"), sq4.alias("sq4"))
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("sq4").cast("bigint").alias("sum_sq4"),
+        )
+        .select(
+            F.col("cid").alias("cluster"),
+            "n",
+            "sum_sq4",
+            F.round(F.col("sum_sq4") / (F.col("n") * 10000.0), 6).alias("avg_sil"),
+        )
+        .orderBy("cluster")
+    )

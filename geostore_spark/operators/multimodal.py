@@ -564,3 +564,95 @@ def q_mm_wav(spark: SparkSession, sf: str) -> DataFrame:
 def q_mm_bmp(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, "documents", sf)
     return bmp_pipeline(docs).orderBy("doc_id").limit(200)
+
+
+# -- windowed audio features over real decoded PCM ---------------------------
+
+WAV_WIN = 64  # frames per feature window
+WAV_WIN_DOCS = 40  # doc budget for the windowed-feature demo query
+WAV_WIN_SCHEMA = (
+    "doc_id long, win_idx int, n_frames int, sum_sq long, peak int"
+)
+
+
+def wav_window_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Frame-window features (energy, peak) over REAL decoded PCM: each
+    WAV is synthesized, parsed by the stdlib ``wave`` codec, and its
+    sample array is folded into fixed 64-frame windows with exact
+    integer energy/peak per window — the spectrogram-adjacent feature
+    grid an audio curation pipeline computes before filtering. The
+    mapInPandas stage emits window ROWS, so downstream ops see an
+    ordinary (doc, window) table; memory per task is one batch of
+    payloads, and window math is vectorized numpy."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave as wave_mod
+
+        for pdf in it:
+            ids, wins, ns, sqs, pks = [], [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                payload = _synth_wav(text.encode("utf-8"))
+                with wave_mod.open(io.BytesIO(payload), "rb") as w:
+                    nf = w.getnframes()
+                    raw = w.readframes(nf)
+                arr = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+                for wi in range(0, (len(arr) + WAV_WIN - 1) // WAV_WIN):
+                    seg = arr[wi * WAV_WIN : (wi + 1) * WAV_WIN]
+                    ids.append(doc_id)
+                    wins.append(wi)
+                    ns.append(len(seg))
+                    sqs.append(int((seg * seg).sum()))
+                    pks.append(int(np.abs(seg).max()) if len(seg) else 0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "win_idx": wins,
+                    "n_frames": ns,
+                    "sum_sq": sqs,
+                    "peak": pks,
+                }
+            )
+
+    return df.select("doc_id", text_col).mapInPandas(batches, WAV_WIN_SCHEMA)
+
+
+@register(
+    "x_mm_wav_windows",
+    "Windowed audio features over REAL decoded PCM frames: fixed "
+    f"{WAV_WIN}-frame windows with exact integer energy and peak "
+    "amplitude per window, from samples the stdlib wave codec actually "
+    "parsed back out of the synthesized RIFF container. The affine "
+    "byte→sample map gives the oracle a closed form per window. Demo "
+    f"query bounds itself to doc_id < {WAV_WIN_DOCS} via a pushed scan "
+    "predicate.",
+    f"""WITH d AS (
+         SELECT doc_id, text, strlen(text) AS nf
+         FROM documents WHERE doc_id < {WAV_WIN_DOCS}
+       ),
+       w AS (
+         SELECT doc_id, text, nf,
+                unnest(range(0, CAST(ceil(nf / {WAV_WIN}.0) AS INT))) AS win_idx
+         FROM d
+       ),
+       seg AS (
+         SELECT doc_id, win_idx,
+                CAST(LEAST({WAV_WIN}, nf - win_idx * {WAV_WIN}) AS INT)
+                  AS n_frames,
+                list_transform(
+                  range(win_idx * {WAV_WIN} + 1,
+                        CAST(LEAST((win_idx + 1) * {WAV_WIN}, nf) AS INT) + 1),
+                  i -> CAST((ascii(substr(text, i, 1)) - 128) * 256 AS BIGINT)
+                ) AS samples
+         FROM w
+       )
+       SELECT doc_id, CAST(win_idx AS INT) AS win_idx, n_frames,
+              CAST(list_sum(list_transform(samples, x -> x * x)) AS BIGINT)
+                AS sum_sq,
+              CAST(list_max(list_transform(samples, x -> abs(x))) AS INT)
+                AS peak
+       FROM seg ORDER BY doc_id, win_idx""",
+)
+def q_mm_wav_windows(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf).filter(F.col("doc_id") < WAV_WIN_DOCS)
+    return wav_window_features(docs).orderBy("doc_id", "win_idx")

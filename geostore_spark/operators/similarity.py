@@ -26,6 +26,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from geostore_spark.logging_keys import LOG_MESSAGE_STRATEGY_DISPATCH, log_event
 from geostore_spark.operators.util import rebalance_for_python
 from geostore_spark.registry import register
 from geostore_spark.sources.tables import load_table
@@ -317,6 +318,13 @@ def ivf_topk(
         order = cell_order(q_mat)[:, :nprobe]
         return [set(int(c) for c in cell_ids[row]) for row in order]
 
+    log_event(
+        LOG_MESSAGE_STRATEGY_DISPATCH,
+        stage="ann_ivf_probe",
+        n_cells=len(cell_ids),
+        nprobe=nprobe,
+        strategy="partition_local_blas",
+    )
     return _probe_topk(embeddings, queries, assign, probe_sets, k)
 
 

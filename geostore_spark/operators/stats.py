@@ -1333,3 +1333,118 @@ def stats_hhi(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+# -- sketch-audit: approximate quantiles vs exact ranks ----------------------
+
+AQ_ACCURACY = 1000  # GK sketch: rank error <= n / accuracy
+AQ_QS = (0.25, 0.5, 0.9)
+
+
+@register(
+    "x_stats_approx_quantile_audit",
+    "Sketch audit for approximate quantiles (the a8 discipline applied "
+    "to percentile sketches): Spark computes Greenwald-Khanna "
+    "approx_percentile(o_totalprice) at accuracy=1000, then measures "
+    "each estimate's EXACT rank in the data and asserts it within the "
+    "sketch's guaranteed +-n/accuracy rank window. The oracle "
+    "reproduces the exact side (total count) asserting TRUE, so an "
+    "out-of-contract sketch becomes a hash mismatch, not an invisible "
+    "approximation. One pass for the sketch, one broadcast-probe pass "
+    "for the rank check - both sketch-mergeable at 100 TB.",
+    f"""SELECT q, CAST(COUNT(*) AS BIGINT) AS n, TRUE AS within_bound
+       FROM orders, (SELECT unnest(ARRAY{list(AQ_QS)}) AS q)
+       GROUP BY q ORDER BY q""",
+)
+def q_approx_quantile_audit(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf)
+    qs = list(AQ_QS)
+    sketch = orders.agg(
+        F.percentile_approx("o_totalprice", qs, AQ_ACCURACY).alias("vs"),
+        F.count(F.lit(1)).alias("n"),
+    ).select(
+        F.posexplode("vs").alias("i", "v"),
+        "n",
+    ).select(
+        F.element_at(F.array(*[F.lit(q) for q in qs]), F.col("i") + 1).alias("q"),
+        "v",
+        "n",
+    )
+    # exact rank of each estimate: one aggregated probe pass over orders
+    # against the broadcast (3-row) sketch — never a sort
+    ranks = (
+        orders.crossJoin(F.broadcast(sketch))
+        .groupBy("q", "v", "n")
+        .agg(F.count(F.when(F.col("o_totalprice") <= F.col("v"), 1)).alias("r"))
+    )
+    within = (
+        F.abs(F.col("r") - F.col("q") * F.col("n"))
+        <= F.col("n") / AQ_ACCURACY + 1
+    )
+    return ranks.select(
+        "q", F.col("n").cast("bigint").alias("n"), within.alias("within_bound")
+    ).orderBy("q")
+
+
+# -- per-group OLS trend -----------------------------------------------------
+
+LINREG_X0 = 1992  # year offset keeps every OLS sum below 2^53 (exact double)
+
+
+@register(
+    "x_stats_linreg",
+    "Per-segment OLS revenue trend: slope and intercept of yearly order "
+    "value (dollars) against order year, per order priority — the "
+    "trend-line primitive behind drift dashboards. Exact by "
+    "construction: x is the year offset (0..6), y floors to whole "
+    "dollars, so every moment sum (Sx, Sy, Sxy, Sxx) is an int64 whose "
+    "closed-form combinations stay under 2^53 — the slope/intercept "
+    "divisions are single IEEE ops on exactly-represented integers, "
+    "deterministic in any engine. One partially-aggregated shuffle on "
+    "the group key; at sf >= 1 the same plan swaps the int64 moments "
+    "for DECIMAL(38,0) without changing shape.",
+    f"""WITH p AS (
+         SELECT o_orderpriority AS priority,
+                CAST(year(o_orderdate) - {LINREG_X0} AS BIGINT) AS x,
+                CAST(FLOOR(o_totalprice) AS BIGINT) AS y
+         FROM orders
+       ),
+       m AS (
+         SELECT priority, COUNT(*) AS n,
+                CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                CAST(SUM(x * y) AS BIGINT) AS sxy,
+                CAST(SUM(x * x) AS BIGINT) AS sxx
+         FROM p GROUP BY priority
+       )
+       SELECT priority, n,
+              ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                    / (n * sxx - sx * sx), 6) AS slope,
+              ROUND((sy - (CAST(n * sxy - sx * sy AS DOUBLE)
+                           / (n * sxx - sx * sx)) * sx) / n, 6) AS intercept
+       FROM m ORDER BY priority""",
+)
+def q_linreg(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf)
+    p = orders.select(
+        F.col("o_orderpriority").alias("priority"),
+        (F.year("o_orderdate") - LINREG_X0).cast("bigint").alias("x"),
+        F.floor("o_totalprice").cast("bigint").alias("y"),
+    )
+    m = p.groupBy("priority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = num.cast("double") / den
+    return m.select(
+        "priority",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+    ).orderBy("priority")

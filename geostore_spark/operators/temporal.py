@@ -531,3 +531,77 @@ def q_entropy_rate(spark: SparkSession, sf: str) -> DataFrame:
             ),
         )
     )
+
+
+# -- rolling robust anomaly flags --------------------------------------------
+
+ANOM_LOOKBACK = 7  # trailing days (current day excluded)
+
+
+@register(
+    "x_events_rolling_anomaly",
+    "Trailing-window anomaly flags on daily revenue per event type: a "
+    "day is anomalous when its total deviates from the preceding "
+    f"{ANOM_LOOKBACK}-day mean by more than 2 trailing population "
+    "sigmas. All arithmetic is integer-exact: values quantize to "
+    "cents, and the 2-sigma test cross-multiplies to "
+    "(n*v - sum)^2 > 4*(n*sumsq - sum^2) so no float mean/variance "
+    "ever forms (bounds: daily cents < 2^27, 7-day sumsq < 2^56 — all "
+    "inside int64). One shuffle to (type, day), one ROWS-framed window "
+    "per type ordered by day; window state is the 7-row frame, "
+    "parallelism ∝ distinct types at toy SF and ∝ (type, day-range) "
+    "buckets with a two-phase frame split at scale.",
+    f"""WITH d AS (
+         SELECT event_type, CAST(ts AS DATE) AS day,
+                CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS cents
+         FROM events GROUP BY event_type, day
+       ),
+       w AS (
+         SELECT event_type, day, cents,
+                COUNT(*) OVER tw AS n,
+                SUM(cents) OVER tw AS s,
+                SUM(cents * cents) OVER tw AS ss
+         FROM d
+         WINDOW tw AS (PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN {ANOM_LOOKBACK} PRECEDING AND 1 PRECEDING)
+       )
+       SELECT event_type, CAST(day AS VARCHAR) AS day, cents,
+              (n = {ANOM_LOOKBACK} AND
+               (n * cents - s) * (n * cents - s) > 4 * (n * ss - s * s))
+                AS is_anomaly
+       FROM w ORDER BY event_type, day""",
+)
+def q_rolling_anomaly(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, "events", sf)
+    d = (
+        ev.groupBy(
+            "event_type", F.col("ts").cast("date").alias("day")
+        ).agg(
+            F.sum(F.floor(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    tw = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-ANOM_LOOKBACK, -1)
+    )
+    w = d.select(
+        "event_type",
+        "day",
+        "cents",
+        F.count(F.lit(1)).over(tw).alias("n"),
+        F.sum("cents").over(tw).alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).over(tw).alias("ss"),
+    )
+    lhs = (F.col("n") * F.col("cents") - F.col("s"))
+    anom = (F.col("n") == ANOM_LOOKBACK) & (
+        lhs * lhs > 4 * (F.col("n") * F.col("ss") - F.col("s") * F.col("s"))
+    )
+    return w.select(
+        "event_type",
+        F.col("day").cast("string").alias("day"),
+        "cents",
+        anom.alias("is_anomaly"),
+    ).orderBy("event_type", "day")

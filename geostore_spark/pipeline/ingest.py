@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import BooleanType
 
 from geostore_spark.logging_keys import (
+    LOG_MESSAGE_CHECK_STAGE_COMPLETE,
     LOG_MESSAGE_IMPORT_JOB_RESULT,
     LOG_MESSAGE_PIPELINE_RUN_COMPLETE,
     LOG_MESSAGE_VALIDATION_CHECK_FAILURE,
@@ -330,6 +331,31 @@ def _run_pipeline(
             check=row["check"],
             url=row["url"],
             details=dict(row["details"] or {}),
+        )
+    # per-check-family rollup: one event per family (checksum, schema,
+    # classification, root type, ...) with pass/fail counts — check-family
+    # cardinality is fixed and tiny, so the collect is constant-size
+    family_rows = (
+        store.read("validation_results")
+        .filter(
+            (F.col("dataset_id") == dataset_id)
+            & (F.col("version_id") == version_id)
+        )
+        .groupBy("check")
+        .agg(
+            F.count(F.when(F.col("result") == V.RESULT_PASSED, 1)).alias("n_passed"),
+            F.count(F.when(F.col("result") == V.RESULT_FAILED, 1)).alias("n_failed"),
+        )
+        .collect()
+    )
+    for row in family_rows:
+        log_event(
+            LOG_MESSAGE_CHECK_STAGE_COMPLETE,
+            dataset_id=dataset_id,
+            version_id=version_id,
+            check=row["check"],
+            n_passed=row["n_passed"],
+            n_failed=row["n_failed"],
         )
     validation_success = not failed_rows
     log_event(
