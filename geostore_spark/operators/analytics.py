@@ -323,3 +323,74 @@ def q_repeat_rate(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("q", "cohort")
         .limit(200)
     )
+
+
+# -- open-order backlog over time --------------------------------------------
+
+
+@register(
+    "x_orders_backlog",
+    "Monthly open-order backlog via interval counting: each order is "
+    "open from o_orderdate until its last line ships; +1/-1 boundary "
+    "deltas per month prefix-sum into the standing backlog — the "
+    "inventory-of-work curve ops dashboards track. The order->close "
+    "join is big-big (left to AQE), the delta table is month-keyed "
+    "(aggregate-sized), and the running sum is a window over that "
+    "~80-row aggregate — never over the fact table. Months with no "
+    "boundary events carry the previous value implicitly.",
+    """WITH span AS (
+         SELECT o.o_orderkey,
+                year(o.o_orderdate) * 12 + month(o.o_orderdate) AS m_open,
+                year(MAX(l.l_shipdate)) * 12 + month(MAX(l.l_shipdate)) + 1
+                  AS m_close
+         FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+         GROUP BY o.o_orderkey, o.o_orderdate
+       ),
+       delta AS (
+         SELECT m_open AS m, 1 AS d FROM span
+         UNION ALL
+         SELECT m_close AS m, -1 AS d FROM span
+       ),
+       agg AS (
+         SELECT m, CAST(SUM(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS opened,
+                CAST(SUM(CASE WHEN d = -1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS closed,
+                CAST(SUM(d) AS BIGINT) AS net
+         FROM delta GROUP BY m
+       )
+       SELECT m AS month_key, opened, closed,
+              CAST(SUM(net) OVER (ORDER BY m
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                AS backlog
+       FROM agg ORDER BY month_key""",
+)
+def q_orders_backlog(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, "orders", sf)
+    li = load_table(spark, "lineitem", sf)
+    span = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("last_ship"))
+        .select(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("m_open"),
+            (F.year("last_ship") * 12 + F.month("last_ship") + 1).alias("m_close"),
+        )
+    )
+    delta = span.select(F.col("m_open").alias("m"), F.lit(1).alias("d")).unionAll(
+        span.select(F.col("m_close").alias("m"), F.lit(-1).alias("d"))
+    )
+    agg = delta.groupBy("m").agg(
+        F.sum(F.when(F.col("d") == 1, 1).otherwise(0)).cast("bigint").alias("opened"),
+        F.sum(F.when(F.col("d") == -1, 1).otherwise(0)).cast("bigint").alias("closed"),
+        F.sum("d").cast("bigint").alias("net"),
+    )
+    w = Window.orderBy("m").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return agg.select(
+        F.col("m").alias("month_key"),
+        "opened",
+        "closed",
+        F.sum("net").over(w).cast("bigint").alias("backlog"),
+    ).orderBy("month_key")

@@ -416,3 +416,83 @@ def emb_dim_truncation(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# -- centroid drift between corpus halves ------------------------------------
+
+SHIFT_DIMS = 16
+SHIFT_SCALE = 1024
+
+
+@register(
+    "x_emb_centroid_shift",
+    "Train/serve drift screen: per-label centroid shift between two "
+    "corpus halves (vec_id parity stands in for a time split) over the "
+    f"first {SHIFT_DIMS} dimensions. Each half-centroid coordinate is "
+    "an exact integer floor-division of quantized sums, the squared "
+    "shift distance is pure int64 arithmetic, so the per-label output "
+    "is order-free exact. One exploded (label, half, dim) moment "
+    "shuffle with map-side partials; output is labels x 1 rows.",
+    f"""WITH q AS (
+         SELECT label, vec_id % 2 AS half,
+                u.i AS dim,
+                CAST(round(CAST(embedding[u.i] AS DOUBLE) * {SHIFT_SCALE})
+                     AS BIGINT) AS xq
+         FROM embeddings, (SELECT unnest(range(1, {SHIFT_DIMS} + 1)) AS i) u
+       ),
+       c AS (
+         SELECT label, half, dim,
+                CAST(SUM(xq) AS BIGINT) AS s, COUNT(*) AS n
+         FROM q GROUP BY label, half, dim
+       ),
+       m AS (
+         SELECT a.label, a.dim,
+                (a.s * 1000000) // a.n AS m0,
+                (b.s * 1000000) // b.n AS m1
+         FROM c a JOIN c b
+           ON a.label = b.label AND a.dim = b.dim
+          AND a.half = 0 AND b.half = 1
+       )
+       SELECT CAST(label AS BIGINT) AS label,
+              CAST(SUM((m0 - m1) * (m0 - m1)) AS BIGINT) AS shift_sq_q,
+              ROUND(sqrt(CAST(SUM((m0 - m1) * (m0 - m1)) AS DOUBLE))
+                    / ({SHIFT_SCALE} * 1000000.0), 6) AS shift_l2
+       FROM m GROUP BY label ORDER BY label""",
+)
+def emb_centroid_shift(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf)
+    q = emb.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode(F.slice("embedding", 1, SHIFT_DIMS)).alias("dim0", "x"),
+    ).select(
+        "label",
+        "half",
+        (F.col("dim0") + 1).alias("dim"),
+        F.round(F.col("x").cast("double") * SHIFT_SCALE, 0).cast("bigint").alias("xq"),
+    )
+    c = q.groupBy("label", "half", "dim").agg(
+        F.sum("xq").cast("bigint").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    a = c.filter(F.col("half") == 0).select(
+        "label", "dim", F.expr("s * 1000000 div n").alias("m0")
+    )
+    b = c.filter(F.col("half") == 1).select(
+        "label", "dim", F.expr("s * 1000000 div n").alias("m1")
+    )
+    d2 = (F.col("m0") - F.col("m1")) * (F.col("m0") - F.col("m1"))
+    return (
+        a.join(b, ["label", "dim"])
+        .groupBy("label")
+        .agg(F.sum(d2).cast("bigint").alias("shift_sq_q"))
+        .select(
+            F.col("label").cast("bigint").alias("label"),
+            "shift_sq_q",
+            F.round(
+                F.sqrt(F.col("shift_sq_q").cast("double"))
+                / (SHIFT_SCALE * 1000000.0),
+                6,
+            ).alias("shift_l2"),
+        )
+        .orderBy("label")
+    )

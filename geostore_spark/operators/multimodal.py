@@ -656,3 +656,78 @@ def wav_window_features(df: DataFrame, text_col: str = "text") -> DataFrame:
 def q_mm_wav_windows(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, "documents", sf).filter(F.col("doc_id") < WAV_WIN_DOCS)
     return wav_window_features(docs).orderBy("doc_id", "win_idx")
+
+
+# -- intensity histogram over real decoded pixels ----------------------------
+
+BMP_HIST_DOCS = 50
+BMP_HIST_BUCKETS = 4  # byte >> 6
+
+
+@register(
+    "x_mm_bmp_histogram",
+    "Pixel-intensity histogram over REAL decoded BMP pixel arrays: the "
+    "payload parses through the same struct-decoded "
+    "BITMAPFILEHEADER/BITMAPINFOHEADER path as x_mm_bmp_decode, and "
+    f"the {BMP_HIST_BUCKETS}-bucket histogram (byte >> 6) is computed "
+    "from the actual pixel bytes with vectorized numpy bincount. "
+    "Cyclic tiling gives the oracle a closed form: full_cycles x "
+    "per-text bucket counts + the prefix remainder. Demo query bounds "
+    f"itself to doc_id < {BMP_HIST_DOCS} via a pushed scan predicate.",
+    f"""WITH src AS (
+         SELECT doc_id,
+                CASE WHEN text IS NULL OR text = '' THEN chr(0) ELSE text END
+                  AS text
+         FROM documents WHERE doc_id < {BMP_HIST_DOCS}
+       ),
+       g AS (
+         SELECT doc_id, text, strlen(text) AS len,
+                CAST((16 + 4 * (strlen(text) % 8))
+                     * (16 + (3 * strlen(text)) % 32) * 3 AS BIGINT) AS n
+         FROM src
+       ),
+       b AS (
+         SELECT doc_id, n, u.bucket,
+                (n // len) * len(list_filter(
+                   range(1, CAST(len AS INT) + 1),
+                   i -> ascii(substr(text, i, 1)) // 64 = u.bucket))
+                + len(list_filter(
+                   range(1, CAST(n % len AS INT) + 1),
+                   i -> ascii(substr(text, i, 1)) // 64 = u.bucket))
+                  AS n_px
+         FROM g, (SELECT unnest(range(0, {BMP_HIST_BUCKETS})) AS bucket) u
+       )
+       SELECT doc_id, CAST(bucket AS INT) AS bucket,
+              CAST(n_px AS BIGINT) AS n_px
+       FROM b ORDER BY doc_id, bucket""",
+)
+def q_mm_bmp_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    import struct
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, buckets, counts = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                payload = _synth_bmp(text.encode("utf-8"))
+                # real header parse: pixel offset + declared image size
+                _magic, _fs, _r1, _r2, offset = struct.unpack_from(
+                    "<2sIHHI", payload, 0
+                )
+                (_hsz, w, h, _pl, _bpp, _comp, img_size) = struct.unpack_from(
+                    "<IiiHHII", payload, 14
+                )
+                n = img_size or w * abs(h) * 3
+                arr = np.frombuffer(payload, dtype=np.uint8, count=n, offset=offset)
+                hist = np.bincount(arr >> 6, minlength=BMP_HIST_BUCKETS)
+                for bkt in range(BMP_HIST_BUCKETS):
+                    ids.append(doc_id)
+                    buckets.append(bkt)
+                    counts.append(int(hist[bkt]))
+            yield pd.DataFrame({"doc_id": ids, "bucket": buckets, "n_px": counts})
+
+    docs = load_table(spark, "documents", sf).filter(F.col("doc_id") < BMP_HIST_DOCS)
+    return (
+        docs.select("doc_id", "text")
+        .mapInPandas(batches, "doc_id long, bucket int, n_px long")
+        .orderBy("doc_id", "bucket")
+    )

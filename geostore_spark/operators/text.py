@@ -1719,3 +1719,210 @@ def text_heaps(spark: SparkSession, sf: str) -> DataFrame:
             / (k_d * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
         ).alias("heaps_beta"),
     )
+
+
+# -- structural template fingerprinting --------------------------------------
+
+TEMPLATE_TOP = 20
+TEMPLATE_CAP = 9  # word lengths cap at one digit so the shape string is stable
+
+
+@register(
+    "x_text_template_fingerprint",
+    "Structural template detection: each document's SHAPE — the "
+    f"sequence of word lengths capped at {TEMPLATE_CAP}, concatenated "
+    "and md5'd — fingerprints boilerplate/generated templates that "
+    "exact and near-dup passes miss (different words, same skeleton: "
+    "form letters, SEO spam, log lines). One zero-shuffle codegen "
+    "projection to the fingerprint, one digest-keyed partial-agg "
+    "shuffle, TakeOrdered head — the x_dedup_exact plan shape applied "
+    "to structure instead of content.",
+    f"""WITH s AS (
+         SELECT doc_id,
+                md5(array_to_string(list_transform(
+                  string_split(text, ' '),
+                  w -> CAST(LEAST(strlen(w), {TEMPLATE_CAP}) AS VARCHAR)
+                ), '')) AS shape,
+                len(string_split(text, ' ')) AS n_words
+         FROM documents
+       )
+       SELECT shape, COUNT(*) AS n_docs,
+              CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+              CAST(MIN(n_words) AS BIGINT) AS n_words
+       FROM s GROUP BY shape
+       ORDER BY n_docs DESC, shape LIMIT {TEMPLATE_TOP}""",
+)
+def q_template_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf)
+    shape = F.md5(
+        F.expr(
+            f"cast(array_join(transform(split(text, ' '), "
+            f"w -> CAST(LEAST(length(w), {TEMPLATE_CAP}) AS STRING)), '') as binary)"
+        )
+    )
+    return (
+        docs.select(
+            "doc_id",
+            shape.alias("shape"),
+            F.size(F.split(F.col("text"), " ")).alias("n_words"),
+        )
+        .groupBy("shape")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+            F.min("n_words").cast("bigint").alias("n_words"),
+        )
+        .orderBy(F.col("n_docs").desc(), "shape")
+        .limit(TEMPLATE_TOP)
+    )
+
+
+# -- trigram novelty scoring -------------------------------------------------
+
+NOVELTY_DOCS = 100
+
+
+@register(
+    "x_text_trigram_novelty",
+    "Per-document novelty score: the fraction of a document's distinct "
+    "trigrams whose FIRST corpus occurrence (minimum doc_id) is this "
+    "document — the contribution-gain signal dedup-aware curation uses "
+    "to rank near-redundant documents for dropping. The shingle stream "
+    "shuffles once to (shingle -> first_doc) with map-side MIN "
+    "partials, then re-joins the per-doc stream; ratios quantize to "
+    "1e-6 integer floor-division so every emitted number is exact.",
+    f"""WITH sh AS (
+         SELECT doc_id, unnest(list_distinct(list_transform(
+                  range(1, len(string_split(text, ' ')) - 1),
+                  i -> string_split(text, ' ')[i] || ' ' ||
+                       string_split(text, ' ')[i+1] || ' ' ||
+                       string_split(text, ' ')[i+2]
+                ))) AS s
+         FROM documents
+       ),
+       first AS (SELECT s, MIN(doc_id) AS first_doc FROM sh GROUP BY s),
+       d AS (
+         SELECT sh.doc_id,
+                COUNT(*) AS n_grams,
+                SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+                  AS novel
+         FROM sh JOIN first f ON sh.s = f.s
+         GROUP BY sh.doc_id
+       )
+       SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+              CAST(novel AS BIGINT) AS novel,
+              CAST((novel * 1000000) // n_grams AS BIGINT) AS novelty_q6
+       FROM d WHERE doc_id < {NOVELTY_DOCS} ORDER BY doc_id""",
+)
+def q_trigram_novelty(spark: SparkSession, sf: str) -> DataFrame:
+    from geostore_spark.operators.dedup import shingle_rows
+
+    docs = load_table(spark, "documents", sf)
+    sh = (
+        shingle_rows(docs, "doc_id", "text", 3)
+        .localCheckpoint(eager=False)  # feeds the first-doc table AND the re-join
+    )
+    first = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    d = (
+        sh.join(first, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("novel"),
+        )
+    )
+    return d.filter(F.col("doc_id") < NOVELTY_DOCS).select(
+        "doc_id",
+        F.col("n_grams").cast("bigint").alias("n_grams"),
+        F.col("novel").cast("bigint").alias("novel"),
+        F.expr("novel * 1000000 div n_grams").cast("bigint").alias("novelty_q6"),
+    ).orderBy("doc_id")
+
+
+# -- filter ablation accounting ----------------------------------------------
+
+
+@register(
+    "x_pipeline_filter_ablation",
+    "Quality-rule ablation report: for each Gopher-style gate (word "
+    "count, mean word length, stop-word minimum) — how many documents "
+    "it kills, how many it UNIQUELY kills (no other rule fires), and "
+    "the all-pass yield. The marginal-kill numbers are what a curation "
+    "team reads before relaxing a rule. One zero-shuffle codegen "
+    "projection of the three booleans, one global aggregate with "
+    "map-side partials; no per-rule passes.",
+    f"""WITH d AS (
+         SELECT doc_id,
+                len(string_split(text, ' ')) AS n_words,
+                length(text) AS n_chars,
+                len(list_filter(string_split(text, ' '),
+                    w -> w IN {GOPHER_STOPS!r})) AS stop_hits
+         FROM documents
+       ),
+       r AS (
+         SELECT
+           (n_words < {GOPHER_MIN_WORDS} OR n_words > {GOPHER_MAX_WORDS})
+             AS kill_words,
+           (CAST(n_chars - n_words + 1 AS DOUBLE) / n_words
+              < {GOPHER_MIN_MEAN_WLEN}
+            OR CAST(n_chars - n_words + 1 AS DOUBLE) / n_words
+              > {GOPHER_MAX_MEAN_WLEN}) AS kill_wlen,
+           (stop_hits < {GOPHER_MIN_STOP_HITS}) AS kill_stop
+         FROM d
+       )
+       SELECT COUNT(*) AS n_docs,
+              CAST(SUM(CASE WHEN kill_words THEN 1 ELSE 0 END) AS BIGINT)
+                AS killed_by_words,
+              CAST(SUM(CASE WHEN kill_wlen THEN 1 ELSE 0 END) AS BIGINT)
+                AS killed_by_wlen,
+              CAST(SUM(CASE WHEN kill_stop THEN 1 ELSE 0 END) AS BIGINT)
+                AS killed_by_stop,
+              CAST(SUM(CASE WHEN kill_words AND NOT kill_wlen
+                             AND NOT kill_stop THEN 1 ELSE 0 END) AS BIGINT)
+                AS unique_words,
+              CAST(SUM(CASE WHEN kill_wlen AND NOT kill_words
+                             AND NOT kill_stop THEN 1 ELSE 0 END) AS BIGINT)
+                AS unique_wlen,
+              CAST(SUM(CASE WHEN kill_stop AND NOT kill_words
+                             AND NOT kill_wlen THEN 1 ELSE 0 END) AS BIGINT)
+                AS unique_stop,
+              CAST(SUM(CASE WHEN NOT kill_words AND NOT kill_wlen
+                             AND NOT kill_stop THEN 1 ELSE 0 END) AS BIGINT)
+                AS pass_all
+       FROM r""",
+)
+def q_filter_ablation(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf)
+    stops = ", ".join(f"'{s}'" for s in GOPHER_STOPS)
+    d = docs.select(
+        F.size(F.split(F.col("text"), " ")).alias("n_words"),
+        F.length("text").alias("n_chars"),
+        F.expr(f"size(filter(split(text, ' '), w -> w IN ({stops})))").alias(
+            "stop_hits"
+        ),
+    )
+    mean_wlen = (F.col("n_chars") - F.col("n_words") + 1).cast("double") / F.col(
+        "n_words"
+    )
+    kw = (F.col("n_words") < GOPHER_MIN_WORDS) | (
+        F.col("n_words") > GOPHER_MAX_WORDS
+    )
+    kl = (mean_wlen < GOPHER_MIN_MEAN_WLEN) | (mean_wlen > GOPHER_MAX_MEAN_WLEN)
+    ks = F.col("stop_hits") < GOPHER_MIN_STOP_HITS
+    r = d.select(kw.alias("kw"), kl.alias("kl"), ks.alias("ks"))
+
+    def s(c):
+        return F.sum(F.when(c, 1).otherwise(0)).cast("bigint")
+
+    return r.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        s(F.col("kw")).alias("killed_by_words"),
+        s(F.col("kl")).alias("killed_by_wlen"),
+        s(F.col("ks")).alias("killed_by_stop"),
+        s(F.col("kw") & ~F.col("kl") & ~F.col("ks")).alias("unique_words"),
+        s(F.col("kl") & ~F.col("kw") & ~F.col("ks")).alias("unique_wlen"),
+        s(F.col("ks") & ~F.col("kw") & ~F.col("kl")).alias("unique_stop"),
+        s(~F.col("kw") & ~F.col("kl") & ~F.col("ks")).alias("pass_all"),
+    )

@@ -756,6 +756,77 @@ def streaming_markov(stream: DataFrame) -> DataFrame:
     )
 
 
+# -- streaming trailing-window anomaly flags ---------------------------------
+
+ROLLANOM_SCHEMA = "event_type string, day string, cents long, is_anomaly boolean"
+_ROLLANOM_STATE_SCHEMA = "days array<string>, cents array<long>, last_emitted string"
+_ROLLANOM_LOOKBACK = 7
+
+
+def _update_rolling_anomaly(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Streaming twin of ``operators.temporal.q_events_rolling_anomaly``:
+    per-event-type trailing-7-day 2-sigma flags with the identical
+    cross-multiplied integer test. State is the trailing (day, cents)
+    tail — bounded by the lookback, not history. A day's flag emits when
+    a LATER day arrives for that type (the close signal under the
+    one-file-per-day test cadence); the still-open day stays in state."""
+    if state.exists:
+        days, cents_hist, last_emitted = state.get
+        tail = dict(zip(list(days), list(cents_hist)))
+    else:
+        tail, last_emitted = {}, ""
+    chunks = [pdf for pdf in batches if len(pdf)]
+    out = []
+    if chunks:
+        pdf = pd.concat(chunks)
+        pdf["day"] = pdf["ts"].dt.strftime("%Y-%m-%d")
+        pdf["cents"] = (pdf["value"] * 100).apply(math.floor).astype("int64")
+        daily = pdf.groupby("day")["cents"].sum().sort_index()
+        for day, c in daily.items():
+            tail[day] = tail.get(day, 0) + int(c)
+        # every tracked day strictly before the newest is closed; emit
+        # each closed day once (tracked via the last_emitted watermark)
+        closed = set(sorted(tail)[:-1])
+        hist: list[int] = []
+        for day in sorted(tail):
+            c = tail[day]
+            if day in closed and day > last_emitted:
+                win = hist[-_ROLLANOM_LOOKBACK:]
+                n = len(win)
+                s = sum(win)
+                ss = sum(x * x for x in win)
+                anom = n == _ROLLANOM_LOOKBACK and (n * c - s) ** 2 > 4 * (
+                    n * ss - s * s
+                )
+                out.append((key[0], day, c, bool(anom)))
+                last_emitted = day
+            hist.append(c)
+        # keep the open day plus the lookback tail behind it
+        keep = sorted(tail)[-(_ROLLANOM_LOOKBACK + 1):]
+        tail = {d: tail[d] for d in keep}
+    state.update(
+        (sorted(tail), [tail[d] for d in sorted(tail)], last_emitted)
+    )
+    yield pd.DataFrame(out, columns=["event_type", "day", "cents", "is_anomaly"])
+
+
+def streaming_rolling_anomaly(stream: DataFrame) -> DataFrame:
+    """Trailing-window anomaly flags as an ``applyInPandasWithState``
+    stream: same integer-exact 2-sigma contract as the batch query, one
+    bounded (day, cents) tail per event type in the state store."""
+    return stream.groupBy("event_type").applyInPandasWithState(
+        _update_rolling_anomaly,
+        outputStructType=ROLLANOM_SCHEMA,
+        stateStructType=_ROLLANOM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 # -- transformWithStateInPandas (Spark 4 stateful API) -----------------------
 
 PEAK_SCHEMA = "user_id long, event_id long, value double"

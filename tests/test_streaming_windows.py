@@ -631,3 +631,43 @@ def test_transform_with_state_peak_tracker(spark, tmp_path):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_streaming_rolling_anomaly_matches_batch_contract(spark, tmp_path):
+    """Streaming twin of x_events_rolling_anomaly: daily microbatches,
+    per-type trailing-7-day 2-sigma flags with the identical integer
+    cross-multiplied test; each closed day emits exactly once across
+    restarts (the last_emitted watermark survives in the state store)."""
+    import math
+
+    from geostore_spark.streaming.windows import streaming_rolling_anomaly
+
+    events = str(tmp_path / "events")
+    ckpt = str(tmp_path / "ckpt")
+
+    # 8 quiet days then one 100x spike on day 9; day N closes when day
+    # N+1 arrives
+    values = [10.0, 11.0, 10.0, 12.0, 11.0, 10.0, 11.0, 10.0, 1000.0, 10.0]
+    for i, v in enumerate(values, start=1):
+        _write_events(events, f"b{i}.json", [_event(i, 1, _ts(i), value=v)])
+    got = drain_collect(streaming_rolling_anomaly(event_stream(spark, events)), ckpt)
+    flags = {r["day"]: (r["cents"], r["is_anomaly"]) for r in got}
+    # replicate the batch contract in plain python
+    cents = [math.floor(v * 100) for v in values]
+    expect = {}
+    for i in range(len(cents) - 1):  # last day still open
+        win = cents[max(0, i - 7):i]
+        n, s, ss = len(win), sum(win), sum(x * x for x in win)
+        anom = n == 7 and (n * cents[i] - s) ** 2 > 4 * (n * ss - s * s)
+        expect[_ts(i + 1)[:10]] = (cents[i], anom)
+    assert flags == expect
+    # the spike day flags, its quiet predecessor does not
+    assert flags[_ts(9)[:10]][1] is True
+    assert flags[_ts(8)[:10]][1] is False
+
+    # restart with one more day: only the newly closed day emits
+    _write_events(events, "b11.json", [_event(11, 1, _ts(11), value=10.0)])
+    second = drain_collect(
+        streaming_rolling_anomaly(event_stream(spark, events)), ckpt
+    )
+    assert [r["day"] for r in second] == [_ts(10)[:10]]
