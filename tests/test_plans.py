@@ -634,3 +634,70 @@ def test_pct_change_lag_runs_over_rollup_not_fact(spark):
     # the LAG window's input must be the aggregated monthly table: the
     # window sits above a final HashAggregate, never directly on the scan
     assert "Window" in plan and "HashAggregate" in plan
+
+
+def test_template_fingerprint_is_digest_rollup_topk(spark):
+    # the shape fingerprint is a zero-join codegen projection; the head
+    # is a TakeOrdered, never a global sort of the digest table
+    plan = _plan(spark, "x_text_template_fingerprint")
+    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan
+
+
+def test_filter_ablation_is_single_aggregate_pass(spark):
+    # three rule booleans + eight counters in ONE map-side-partial
+    # aggregate — no per-rule passes, no joins, schema pruned to text
+    plan = _plan(spark, "x_pipeline_filter_ablation")
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 1
+    assert "ReadSchema: struct<text:string>" in plan
+
+
+def test_linreg_is_one_partial_agg_shuffle(spark):
+    plan = _plan(spark, "x_stats_linreg")
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_rolling_anomaly_no_join_no_cartesian(spark):
+    # daily rollup + one ROWS-framed window per type; never a self-join
+    plan = _plan(spark, "x_events_rolling_anomaly")
+    assert "Join" not in plan
+    assert "Window" in plan
+
+
+def test_dim_truncation_zero_join_label_rollup(spark):
+    plan = _plan(spark, "x_emb_dim_truncation")
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_approx_quantile_audit_probe_broadcasts(spark):
+    # the 3-row sketch result broadcasts onto the fact scan for the
+    # exact-rank probe; the fact side must not shuffle for the join
+    plan = _plan(spark, "x_stats_approx_quantile_audit")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_mm_window_queries_push_doc_filter(spark):
+    for name in ("x_mm_wav_windows", "x_mm_bmp_histogram"):
+        plan = _plan(spark, name)
+        assert "MapInPandas" in plan
+        assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id" in plan
+
+
+def test_silhouette_rides_kmeans_arrow_pass(spark):
+    plan = _plan(spark, "x_ml_silhouette")
+    assert "MapInPandas" in plan
+    assert "Join" not in plan
+
+
+def test_backlog_window_runs_over_month_aggregate(spark):
+    # the running backlog sum windows over the month-keyed aggregate
+    # (~80 rows), never the order/lineitem fact tables: the Window node
+    # must sit above the final HashAggregate in the plan tree
+    plan = _plan(spark, "x_orders_backlog")
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.index("Window") < plan.index("HashAggregate")
