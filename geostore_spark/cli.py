@@ -98,6 +98,11 @@ def _build_parser() -> argparse.ArgumentParser:
     ts.add_argument("name")
     ts.add_argument("--version", type=int, default=None, help="time travel")
     ts.add_argument("--limit", type=int, default=20)
+    tch = tb.add_parser("changes")
+    tch.add_argument("name")
+    tch.add_argument("--from-version", type=int, required=True, dest="from_version")
+    tch.add_argument("--to-version", type=int, default=None, dest="to_version")
+    tch.add_argument("--limit", type=int, default=50)
     return p
 
 
@@ -156,6 +161,11 @@ def main(argv: list[str] | None = None) -> int:
             return EXIT_SUCCESS
         if args.cmd == "show":
             store.read(args.name, args.version).show(args.limit, truncate=False)
+            return EXIT_SUCCESS
+        if args.cmd == "changes":
+            store.changes(args.name, args.from_version, args.to_version).show(
+                args.limit, truncate=False
+            )
             return EXIT_SUCCESS
 
     if args.group == "dataset":

@@ -120,3 +120,23 @@ def test_cli_compact_cluster_flags(spark, capsys, roots):
     assert json.loads(out)["files_out"] == 1
     code, out, _ = _run(capsys, roots, "table", "show", "datasets")
     assert code == 0 and "Cl_DS" in out
+
+
+def test_cli_table_changes(spark, capsys, roots):
+    """`table changes --from-version N` prints the CDF rows between two
+    snapshots — insert for the created row, delete+insert for the
+    title update."""
+    code, out, _ = _run(capsys, roots, "dataset", "create", "--title", "Cdf_DS")
+    assert code == 0
+    code, _, _ = _run(
+        capsys, roots, "dataset", "update",
+        "--id", json.loads(out)["id"], "--title", "Cdf_DS2",
+    )
+    assert code == 0
+
+    code, out, _ = _run(
+        capsys, roots, "table", "changes", "datasets", "--from-version", "0"
+    )
+    assert code == 0
+    assert "insert" in out and "delete" in out
+    assert "Cdf_DS2" in out  # the post-image row

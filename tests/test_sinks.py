@@ -275,3 +275,50 @@ def test_vacuum_respects_current_and_time_travel_window(spark, tmp_path):
     assert store.read(t).first()["title"] == "t3"
     # vacuumed versions are gone from history
     assert [h["version"] for h in store.history(t)] == [2, 3]
+
+
+def test_store_change_data_feed(spark, tmp_path):
+    """changes() — the Delta CDF table_changes shape: inserts and
+    deletes between two snapshots, an update surfacing as delete+insert,
+    computed from retained snapshots without a stored change log."""
+    from pyspark.sql import functions as F
+
+    from geostore_spark.sources.store import MetadataStore
+
+    store = MetadataStore(spark, str(tmp_path / "store"))
+    t = "datasets"
+
+    def row(did, ptr):
+        return {
+            "dataset_id": did, "title": f"t-{did}", "created_at": None,
+            "updated_at": None, "current_dataset_version": ptr,
+        }
+
+    store.append(t, spark.createDataFrame([row("d1", "v0"), row("d2", "v0")], store.schema(t)))  # v0
+    store.append(t, spark.createDataFrame([row("d3", "v0")], store.schema(t)))  # v1
+    store.update_where(
+        t, F.col("dataset_id") == "d1", {"current_dataset_version": F.lit("v9")}
+    )  # v2
+    store.delete_where(t, F.col("dataset_id") == "d2")  # v3
+
+    # v0 -> v3: d3 inserted; d1 updated (delete old + insert new); d2 deleted
+    ch = {
+        (r["dataset_id"], r["current_dataset_version"], r["_change_type"])
+        for r in store.changes(t, 0).collect()
+    }
+    assert ch == {
+        ("d3", "v0", "insert"),
+        ("d1", "v0", "delete"),
+        ("d1", "v9", "insert"),
+        ("d2", "v0", "delete"),
+    }
+    # narrower window v1 -> v2: only the update pair
+    ch12 = {
+        (r["dataset_id"], r["_change_type"])
+        for r in store.changes(t, 1, 2).collect()
+    }
+    assert ch12 == {("d1", "insert"), ("d1", "delete")}
+    # every row carries the commit version it materialized at
+    assert all(
+        r["_commit_version"] == 2 for r in store.changes(t, 1, 2).collect()
+    )
