@@ -605,3 +605,98 @@ def q_rolling_anomaly(spark: SparkSession, sf: str) -> DataFrame:
         "cents",
         anom.alias("is_anomaly"),
     ).orderBy("event_type", "day")
+
+
+# -- burstiness (Fano factor) -------------------------------------------------
+
+
+@register(
+    "x_events_burstiness",
+    "Burstiness screen per event type: the Fano factor (variance/mean) "
+    "of daily event counts — ~1 for Poisson-like arrivals, >>1 for "
+    "bursty/bot traffic. Integer-exact end to end: with n days, "
+    "s = sum of counts, ss = sum of squares, the population "
+    "variance/mean ratio quantizes as ((n*ss - s*s) * 1e6) // (n*s) — "
+    "no float moments ever form. Two partially-aggregated shuffles "
+    "(daily counts, then the per-type 3-scalar rollup).",
+    """WITH d AS (
+         SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c
+         FROM events GROUP BY event_type, day
+       ),
+       m AS (
+         SELECT event_type, COUNT(*) AS n_days,
+                CAST(SUM(c) AS BIGINT) AS s,
+                CAST(SUM(c * c) AS BIGINT) AS ss
+         FROM d GROUP BY event_type
+       )
+       SELECT event_type, n_days, s AS n_events,
+              CAST(((n_days * ss - s * s) * 1000000) // (n_days * s)
+                   AS BIGINT) AS fano_q6
+       FROM m ORDER BY event_type""",
+)
+def q_events_burstiness(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, "events", sf)
+    d = ev.groupBy("event_type", F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    m = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("c").cast("bigint").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("ss"),
+    )
+    return m.select(
+        "event_type",
+        "n_days",
+        F.col("s").alias("n_events"),
+        F.expr("(n_days * ss - s * s) * 1000000 div (n_days * s)")
+        .cast("bigint")
+        .alias("fano_q6"),
+    ).orderBy("event_type")
+
+
+# -- weekday seasonality -------------------------------------------------------
+
+
+@register(
+    "x_events_seasonality",
+    "Weekday seasonality profile per event type: counts by day-of-week "
+    "plus each weekday's relative deviation from the uniform share — "
+    "the weekly-rhythm screen behind traffic forecasting and anomaly "
+    "baselines. Day-of-week derives from epoch-day mod 7 (identical "
+    "integer arithmetic in both engines — named dow functions disagree "
+    "on week start), and deviations quantize via integer "
+    "cross-multiplication (((7*n - s) * 1e6) // s). One fact shuffle "
+    "to (type, dow) cells; per-type totals re-aggregate the cell table "
+    "and broadcast back.",
+    """WITH c AS (
+         SELECT event_type,
+                CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7
+                     AS INT) AS dow,
+                COUNT(*) AS n
+         FROM events GROUP BY event_type, dow
+       ),
+       t AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS s FROM c GROUP BY event_type)
+       SELECT c.event_type, c.dow, CAST(c.n AS BIGINT) AS n,
+              CAST(((7 * c.n - t.s) * 1000000) // t.s AS BIGINT) AS dev_q6
+       FROM c JOIN t ON c.event_type = t.event_type
+       ORDER BY c.event_type, dow""",
+)
+def q_events_seasonality(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, "events", sf)
+    c = ev.select(
+        "event_type",
+        (F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")) % 7)
+        .cast("int")
+        .alias("dow"),
+    ).groupBy("event_type", "dow").agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("event_type").agg(F.sum("n").cast("bigint").alias("s"))
+    return (
+        c.join(F.broadcast(t), "event_type")
+        .select(
+            "event_type",
+            "dow",
+            F.col("n").cast("bigint").alias("n"),
+            F.expr("(7 * n - s) * 1000000 div s").cast("bigint").alias("dev_q6"),
+        )
+        .orderBy("event_type", "dow")
+    )
