@@ -319,3 +319,79 @@ def test_distributed_prefix_sum_matches_naive_window(spark):
         .count()
     )
     assert diff == 0
+
+
+def test_multihash_decode_roundtrip_generative():
+    """decode_multihash inverts encoding for every supported fn code on
+    random payloads, including multi-byte uvarint codes; malformed and
+    unregistered inputs raise ValueError (never another type)."""
+    import hashlib
+
+    from geostore_spark.pipeline.checksums import decode_multihash
+
+    def uvarint(n: int) -> str:
+        out = b""
+        while True:
+            b7 = n & 0x7F
+            n >>= 7
+            out += bytes([b7 | (0x80 if n else 0)])
+            if not n:
+                return out.hex()
+
+    cases = [
+        (0x11, lambda p: hashlib.sha1(p)),
+        (0x12, lambda p: hashlib.sha256(p)),
+        (0x13, lambda p: hashlib.sha512(p)),
+        (0x16, lambda p: hashlib.sha3_256(p)),
+        (0xD5, lambda p: hashlib.md5(p)),
+        (0xB220, lambda p: hashlib.blake2b(p, digest_size=32)),
+        (0xB250, lambda p: hashlib.blake2s(p, digest_size=16)),
+    ]
+    for i in range(50):
+        payload = bytes(RNG.randrange(256) for _ in range(RNG.randint(0, 200)))
+        code, make = cases[i % len(cases)]
+        digest = make(payload).hexdigest()
+        mh = uvarint(code) + format(len(digest) // 2, "02x") + digest
+        got_code, expected, hasher = decode_multihash(mh)
+        hasher.update(payload)
+        assert got_code == code and hasher.hexdigest() == expected == digest
+
+    for bad in ["", "12", "1221" + "0" * 64, "00" + "02" + "beef", "ff"]:
+        try:
+            decode_multihash(bad)
+            raise AssertionError(f"no error for {bad!r}")
+        except ValueError:
+            pass
+
+
+def test_bmp_synth_decode_roundtrip_generative():
+    """_decode_bmp recovers the exact header fields and pixel byte sum
+    _synth_bmp wrote, for random byte payloads including empty (the NUL
+    substitution) and non-ASCII bytes the SQL oracle never sees."""
+    from geostore_spark.operators.multimodal import _decode_bmp, _synth_bmp
+
+    for _ in range(50):
+        raw = bytes(RNG.randrange(256) for _ in range(RNG.randint(0, 300)))
+        payload = _synth_bmp(raw)
+        w, h, bpp, file_size, n, pix_sum = _decode_bmp(payload)
+        eff = raw or b"\x00"
+        assert (w, h, bpp) == (
+            16 + 4 * (len(eff) % 8),
+            16 + (3 * len(eff)) % 32,
+            24,
+        )
+        assert n == w * h * 3 and file_size == 54 + n
+        reps = -(-n // len(eff))
+        assert pix_sum == sum((eff * reps)[:n])
+
+
+def test_wav_synth_decode_roundtrip_generative():
+    """The stdlib wave parser recovers frame count and energy of the
+    synthesized PCM16 payload for arbitrary byte content."""
+    from geostore_spark.operators.multimodal import _decode_wav, _synth_wav
+
+    for _ in range(30):
+        raw = bytes(RNG.randrange(256) for _ in range(RNG.randint(0, 400)))
+        nch, sw, fr, nf, sum_sq = _decode_wav(_synth_wav(raw))
+        assert (nch, sw, fr, nf) == (1, 2, 8000, len(raw))
+        assert sum_sq == sum(((b - 128) * 256) ** 2 for b in raw)
