@@ -374,3 +374,96 @@ def q_geo_density(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("n_points").desc(), "cx", "cy")
         .limit(DENSITY_TOP)
     )
+
+
+# -- hotspot stencil (Getis-Ord-lite) -----------------------------------------
+
+HOTSPOT_TOP = 20
+
+
+@register(
+    "x_geo_hotspot",
+    "Hotspot detection via a 3x3 stencil over the density grid "
+    "(Getis-Ord G*-lite): each occupied cell's ring sum — its own count "
+    "plus the 8 neighbors — and the ring's share of all points, exact "
+    "integers throughout. The stencil is an offset-explode + equi-join "
+    "against the (aggregate-sized, broadcast) cell table, the "
+    "neighborhood pattern raster analytics uses instead of a point "
+    "self-join; the fact table shuffles once into cells and never "
+    "again.",
+    f"""WITH p AS (
+         SELECT c_custkey AS n_id,
+                (c_custkey * 7919) % 36000 AS xi,
+                (c_custkey * 104729) % 18000 AS yi
+         FROM customer
+       ),
+       cells AS (
+         SELECT CAST(FLOOR(CAST(xi AS DOUBLE) / {DENSITY_CELL}) AS BIGINT) AS cx,
+                CAST(FLOOR(CAST(yi AS DOUBLE) / {DENSITY_CELL}) AS BIGINT) AS cy,
+                COUNT(*) AS n
+         FROM p GROUP BY cx, cy
+       ),
+       tot AS (SELECT CAST(SUM(n) AS BIGINT) AS s FROM cells),
+       off AS (
+         SELECT a.dx, b.dy
+         FROM (SELECT unnest([-1, 0, 1]) AS dx) a,
+              (SELECT unnest([-1, 0, 1]) AS dy) b
+       ),
+       ring AS (
+         SELECT c.cx + o.dx AS cx, c.cy + o.dy AS cy, SUM(c.n) AS ring_sum
+         FROM cells c, off o
+         GROUP BY 1, 2
+       )
+       SELECT c.cx, c.cy, CAST(c.n AS BIGINT) AS n_points,
+              CAST(r.ring_sum AS BIGINT) AS ring_sum,
+              CAST((r.ring_sum * 1000000) // t.s AS BIGINT) AS share_q6
+       FROM cells c JOIN ring r ON c.cx = r.cx AND c.cy = r.cy, tot t
+       ORDER BY ring_sum DESC, c.cx, c.cy LIMIT {HOTSPOT_TOP}""",
+)
+def q_geo_hotspot(spark: SparkSession, sf: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf)
+    xi = (F.col("c_custkey") * 7919) % 36000
+    yi = (F.col("c_custkey") * 104729) % 18000
+    cells = (
+        cust.select(xi.alias("xi"), yi.alias("yi"))
+        .groupBy(
+            F.floor(F.col("xi").cast("double") / DENSITY_CELL)
+            .cast("bigint")
+            .alias("cx"),
+            F.floor(F.col("yi").cast("double") / DENSITY_CELL)
+            .cast("bigint")
+            .alias("cy"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        # the cell table feeds the stencil scatter, the center join AND
+        # the total — materialize the fact shuffle once
+        .localCheckpoint(eager=False)
+    )
+    offsets = F.expr(
+        "explode(flatten(transform(sequence(-1, 1), "
+        "dx -> transform(sequence(-1, 1), dy -> struct(dx, dy)))))"
+    )
+    ring = (
+        cells.select("cx", "cy", "n", offsets.alias("o"))
+        .select(
+            (F.col("cx") + F.col("o.dx")).alias("cx"),
+            (F.col("cy") + F.col("o.dy")).alias("cy"),
+            "n",
+        )
+        .groupBy("cx", "cy")
+        .agg(F.sum("n").alias("ring_sum"))
+    )
+    tot = cells.agg(F.sum("n").cast("bigint").alias("s"))
+    return (
+        cells.join(ring, ["cx", "cy"])
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "cx",
+            "cy",
+            F.col("n").cast("bigint").alias("n_points"),
+            F.col("ring_sum").cast("bigint").alias("ring_sum"),
+            F.expr("ring_sum * 1000000 div s").cast("bigint").alias("share_q6"),
+        )
+        .orderBy(F.col("ring_sum").desc(), "cx", "cy")
+        .limit(HOTSPOT_TOP)
+    )

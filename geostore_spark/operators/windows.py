@@ -475,3 +475,64 @@ def win_streaks(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# -- share-of-total (RATIO_TO_REPORT) ------------------------------------------
+
+
+@register(
+    "x_win_ratio_to_report",
+    "Share-of-total analytic (Oracle RATIO_TO_REPORT / unbounded-frame "
+    "SUM window): each market segment's revenue share within its "
+    "nation, as exact integer cents with a 1e-6 quantized share. The "
+    "fact table aggregates FIRST (one partial-agg shuffle to the "
+    "(nation, segment) grid, 125 rows), and the share window runs over "
+    "that aggregate — the evaluate-window-over-rollup pattern that "
+    "keeps unbounded frames off fact tables at any scale.",
+    """WITH g AS (
+         SELECT c_nationkey AS nation, c_mktsegment AS segment,
+                CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                  AS cents
+         FROM customer JOIN orders ON o_custkey = c_custkey
+         GROUP BY nation, segment
+       )
+       SELECT nation, segment, cents,
+              CAST((cents * 1000000)
+                   // SUM(cents) OVER (PARTITION BY nation) AS BIGINT)
+                AS share_q6
+       FROM g ORDER BY nation, segment""",
+)
+def q_ratio_to_report(spark: SparkSession, sf: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf)
+    orders = load_table(spark, "orders", sf)
+    g = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"])
+        .groupBy(
+            F.col("c_nationkey").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("nation")
+    return (
+        g.select(
+            "nation",
+            "segment",
+            "cents",
+            (F.col("cents") * 1000000).alias("_num"),
+            F.sum("cents").over(w).alias("_den"),
+        )
+        .select(
+            "nation",
+            "segment",
+            "cents",
+            F.expr("_num div _den").cast("bigint").alias("share_q6"),
+        )
+        .orderBy("nation", "segment")
+    )
