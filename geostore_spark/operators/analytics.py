@@ -394,3 +394,69 @@ def q_orders_backlog(spark: SparkSession, sf: str) -> DataFrame:
         "closed",
         F.sum("net").over(w).cast("bigint").alias("backlog"),
     ).orderBy("month_key")
+
+
+# -- skyline / Pareto-dominance query ----------------------------------------
+
+
+@register(
+    "x_orders_skyline",
+    "Skyline (Pareto-dominance) query over per-account-bucket "
+    "profiles (1000 hash buckets, so the profile table is "
+    "scale-independent): keep every bucket whose (best order value, "
+    "earliest date) is not dominated — higher-or-equal value AND "
+    "earlier-or-equal date, strict in one — by any other bucket. The "
+    "Spark plan is the sort-sweep formulation: two windows over the "
+    "bucket-sized rollup (strictly-earlier running max via RANGE ... "
+    "1 PRECEDING, same-day max) replace the O(n^2) pairwise test. The "
+    "ORACLE deliberately uses the semantic NOT EXISTS dominance "
+    "definition instead — the two formulations agreeing is the "
+    "correctness argument for the sweep.",
+    """WITH c AS (
+         SELECT o_custkey % 1000 AS clerk,
+                CAST(MAX(FLOOR(o_totalprice)) AS BIGINT) AS best_value,
+                CAST(MIN(date_diff('day', DATE '1970-01-01', o_orderdate))
+                     AS BIGINT) AS first_day
+         FROM orders GROUP BY clerk
+       )
+       SELECT CAST(clerk AS BIGINT) AS clerk, best_value, first_day
+       FROM c p
+       WHERE NOT EXISTS (
+         SELECT 1 FROM c q
+         WHERE q.first_day <= p.first_day AND q.best_value >= p.best_value
+           AND (q.first_day < p.first_day OR q.best_value > p.best_value)
+       )
+       ORDER BY first_day, best_value DESC, clerk""",
+)
+def q_orders_skyline(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, "orders", sf)
+    c = orders.groupBy((F.col("o_custkey") % 1000).cast("bigint").alias("clerk")).agg(
+        F.max(F.floor("o_totalprice")).cast("bigint").alias("best_value"),
+        F.min(
+            F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+        )
+        .cast("bigint")
+        .alias("first_day"),
+    )
+    # dominated iff (a) some strictly-earlier clerk reached >= value, or
+    # (b) a same-day clerk reached strictly more
+    prior = (
+        Window.orderBy("first_day")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    same_day = Window.partitionBy("first_day")
+    sky = c.select(
+        "clerk",
+        "best_value",
+        "first_day",
+        F.max("best_value").over(prior).alias("_best_prior"),
+        F.max("best_value").over(same_day).alias("_day_max"),
+    ).filter(
+        (F.col("_best_prior").isNull() | (F.col("_best_prior") < F.col("best_value")))
+        & (F.col("best_value") == F.col("_day_max"))
+    )
+    return sky.select("clerk", "best_value", "first_day").orderBy(
+        "first_day", F.col("best_value").desc(), "clerk"
+    )

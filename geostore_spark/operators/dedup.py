@@ -1657,3 +1657,94 @@ def q_minhash_eval(spark: SparkSession, sf: str) -> DataFrame:
         F.sum((~est_pos & ex_pos).cast("bigint")).cast("bigint").alias("n_missed_by_est"),
         F.sum(err_q).cast("bigint").alias("sum_err_q"),
     )
+
+
+# -- estimator audit: SimHash Hamming screen vs exact Jaccard ----------------
+
+SIMHASH_AUDIT_TAU_NUM, SIMHASH_AUDIT_TAU_DEN = 1, 2  # tau = 0.5 as a ratio
+
+
+def _simhash_audit_oracle() -> str:
+    return f"""
+       WITH {simhash_pairs_ctes()},
+       pairs AS (
+         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.fp, b.fp)) <= {HAMMING_MAX}
+       ),
+       g AS (
+         SELECT doc_id, list_distinct(list_transform(
+                  range(1, len(string_split(text, ' ')) - 1),
+                  i -> string_split(text, ' ')[i] || ' ' ||
+                       string_split(text, ' ')[i+1] || ' ' ||
+                       string_split(text, ' ')[i+2]
+                )) AS grams
+         FROM documents
+       ),
+       e AS (
+         SELECT p.hamming,
+                len(list_intersect(ga.grams, gb.grams)) AS i,
+                len(ga.grams) + len(gb.grams)
+                  - len(list_intersect(ga.grams, gb.grams)) AS u
+         FROM pairs p JOIN g ga ON p.doc_a = ga.doc_id
+                      JOIN g gb ON p.doc_b = gb.doc_id
+       )
+       SELECT hamming, COUNT(*) AS n_pairs,
+              CAST(SUM((i * 1000000) // u) AS BIGINT) AS sum_j_q6,
+              CAST(SUM(CASE WHEN i * {SIMHASH_AUDIT_TAU_DEN}
+                              >= u * {SIMHASH_AUDIT_TAU_NUM}
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_ge_tau
+       FROM e GROUP BY hamming ORDER BY hamming"""
+
+
+@register(
+    "x_dedup_simhash_eval",
+    "Estimator-quality audit of the SimHash Hamming screen (the "
+    "x_dedup_minhash_eval discipline applied to the other sketch): "
+    "every Hamming<=3 candidate pair gets its EXACT trigram Jaccard, "
+    "rolled up per Hamming distance — the calibration curve that tells "
+    "a pipeline what a given Hamming radius buys in precision before "
+    "trusting it at 100 TB. Exact verification touches only the "
+    "pigeonhole candidate set; per-pair scores quantize to 1e-6 "
+    "integer floor-divisions and the tau test is an integer "
+    "cross-product, so the rollup is order-free exact.",
+    _simhash_audit_oracle(),
+)
+def q_simhash_eval(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf)
+    fps = simhash(docs, "doc_id", "text").localCheckpoint(eager=False)
+    pairs = simhash_pairs(fps, "doc_id").select("doc_a", "doc_b", "hamming")
+    grams = docs.select(
+        "doc_id", _trigrams("text").alias("grams")
+    ).localCheckpoint(eager=False)
+    ga = grams.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("ga"))
+    gb = grams.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("gb"))
+    n_docs = _count_rows_cheap(docs)
+    if n_docs <= VERIFY_BROADCAST_MAX_DOCS:
+        ga, gb = F.broadcast(ga), F.broadcast(gb)
+    i = F.size(F.array_intersect("ga", "gb"))
+    u = F.size("ga") + F.size("gb") - i
+    e = (
+        pairs.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .select("hamming", i.alias("i"), u.alias("u"))
+    )
+    return (
+        e.groupBy("hamming")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.expr("i * 1000000 div u")).cast("bigint").alias("sum_j_q6"),
+            F.sum(
+                F.when(
+                    F.col("i") * SIMHASH_AUDIT_TAU_DEN
+                    >= F.col("u") * SIMHASH_AUDIT_TAU_NUM,
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_ge_tau"),
+        )
+        .orderBy("hamming")
+    )
