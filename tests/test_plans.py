@@ -701,3 +701,56 @@ def test_backlog_window_runs_over_month_aggregate(spark):
     assert "Window" in plan
     assert "CartesianProduct" not in plan
     assert plan.index("Window") < plan.index("HashAggregate")
+
+
+def test_hotspot_stencil_never_cartesian(spark):
+    # the 3x3 stencil is an offset-explode + equi-join on the cell
+    # aggregate; a point self-join or cross product must never appear
+    plan = _plan(spark, "x_geo_hotspot")
+    assert "CartesianProduct" not in plan
+    assert "Generate" in plan  # the offset explode
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_ratio_to_report_window_over_rollup(spark):
+    # the share window evaluates over the (nation, segment) aggregate,
+    # never the joined fact stream
+    plan = _plan(spark, "x_win_ratio_to_report")
+    assert "Window" in plan
+    assert plan.index("Window") < plan.index("HashAggregate")
+
+
+def test_skyline_is_window_sweep_not_pairwise(spark):
+    # the Pareto test must compile to two windows over the bucket
+    # rollup — no self-join / nested-loop dominance probe
+    plan = _plan(spark, "x_orders_skyline")
+    assert "Window" in plan
+    assert "Join" not in plan
+
+
+def test_burstiness_and_seasonality_shapes(spark):
+    plan = _plan(spark, "x_events_burstiness")
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2
+    plan = _plan(spark, "x_events_seasonality")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_simhash_eval_verify_broadcasts_at_fixture_size(spark):
+    plan = _plan(spark, "x_dedup_simhash_eval")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_trigram_novelty_no_cartesian(spark):
+    plan = _plan(spark, "x_text_trigram_novelty")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_centroid_shift_single_moment_shuffle(spark):
+    # the (label, half, dim) moment aggregate partially aggregates
+    # map-side; the half-vs-half comparison joins aggregate-sized frames
+    plan = _plan(spark, "x_emb_centroid_shift")
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2
