@@ -395,3 +395,27 @@ def test_wav_synth_decode_roundtrip_generative():
         nch, sw, fr, nf, sum_sq = _decode_wav(_synth_wav(raw))
         assert (nch, sw, fr, nf) == (1, 2, 8000, len(raw))
         assert sum_sq == sum(((b - 128) * 256) ** 2 for b in raw)
+
+
+def test_png_synth_decode_roundtrip_generative():
+    """The PNG path survives arbitrary byte payloads: chunk CRCs and the
+    zlib stream are well-formed enough for our parser AND any compliant
+    reader; decode recovers exact dimensions and the padded pixel sum."""
+    from geostore_spark.operators.multimodal import _decode_png, _synth_png
+
+    for _ in range(40):
+        raw = bytes(RNG.randrange(256) for _ in range(RNG.randint(0, 500)))
+        w, h, n_px, px_sum = _decode_png(_synth_png(raw))
+        eff = raw or b"\x00"
+        assert w == 16 + len(eff) % 48
+        assert h == -(-len(eff) // w) and n_px == w * h
+        assert px_sum == sum(eff)  # zero padding adds nothing
+
+    # a genuinely corrupt payload is rejected, not mis-decoded
+    import struct
+
+    try:
+        _decode_png(b"\x89PNG\r\n\x1a\njunk")
+        raise AssertionError("no error for truncated PNG")
+    except (ValueError, struct.error):
+        pass
