@@ -1448,3 +1448,96 @@ def q_linreg(spark: SparkSession, sf: str) -> DataFrame:
             "intercept"
         ),
     ).orderBy("priority")
+
+
+# -- Wald-Wolfowitz runs test --------------------------------------------------
+
+
+@register(
+    "x_stats_runs_test",
+    "Wald-Wolfowitz runs test on the daily revenue up/down sequence per "
+    "order priority — the randomness screen that catches autocorrelated "
+    "or regime-switching series a mean/variance profile misses. Runs "
+    "count via one LAG window over the daily rollup; the 2-sigma "
+    "verdict is the exact integer cross-multiplication "
+    "((R-1)n - 2*n1*n2)^2 (n-1) > 8 n1 n2 (2 n1 n2 - n) of the "
+    "normal-approximation test, so no float mean/variance ever forms "
+    "(all terms < 2^62 at any fixture scale).",
+    """WITH d AS (
+         SELECT o_orderpriority AS priority, o_orderdate AS day,
+                CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                  AS cents
+         FROM orders GROUP BY priority, day
+       ),
+       s1 AS (
+         SELECT priority, day,
+                CASE WHEN LAG(cents) OVER w IS NULL THEN NULL
+                     WHEN cents > LAG(cents) OVER w THEN 1 ELSE 0 END AS dir
+         FROM d
+         WINDOW w AS (PARTITION BY priority ORDER BY day)
+       ),
+       s AS (
+         SELECT priority, dir,
+                LAG(dir) OVER (PARTITION BY priority ORDER BY day) AS prev_dir
+         FROM s1
+       ),
+       m AS (
+         SELECT priority,
+                CAST(COUNT(dir) AS BIGINT) AS n,
+                CAST(SUM(dir) AS BIGINT) AS n1,
+                CAST(COUNT(dir) - SUM(dir) AS BIGINT) AS n2,
+                CAST(1 + SUM(CASE WHEN dir IS NOT NULL AND prev_dir IS NOT NULL
+                                   AND dir != prev_dir THEN 1 ELSE 0 END)
+                     AS BIGINT) AS runs
+         FROM s GROUP BY priority
+       )
+       SELECT priority, n, n1, n2, runs,
+              (((runs - 1) * n - 2 * n1 * n2) * ((runs - 1) * n - 2 * n1 * n2)
+                 * (n - 1)) > (8 * n1 * n2 * (2 * n1 * n2 - n))
+                AS nonrandom_2sigma
+       FROM m ORDER BY priority""",
+)
+def q_runs_test(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, "orders", sf)
+    d = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").alias("day"),
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    w = Window.partitionBy("priority").orderBy("day")
+    dir_col = F.when(F.lag("cents").over(w).isNull(), F.lit(None)).otherwise(
+        F.when(F.col("cents") > F.lag("cents").over(w), 1).otherwise(0)
+    )
+    s = d.select("priority", "day", dir_col.alias("dir")).select(
+        "priority", "dir", F.lag("dir").over(w.orderBy("day")).alias("prev_dir")
+    )
+    m = s.groupBy("priority").agg(
+        F.count("dir").cast("bigint").alias("n"),
+        F.sum("dir").cast("bigint").alias("n1"),
+        (F.count("dir") - F.sum("dir")).cast("bigint").alias("n2"),
+        (
+            1
+            + F.sum(
+                F.when(
+                    F.col("dir").isNotNull()
+                    & F.col("prev_dir").isNotNull()
+                    & (F.col("dir") != F.col("prev_dir")),
+                    1,
+                ).otherwise(0)
+            )
+        )
+        .cast("bigint")
+        .alias("runs"),
+    )
+    lhs_root = (F.col("runs") - 1) * F.col("n") - 2 * F.col("n1") * F.col("n2")
+    verdict = (lhs_root * lhs_root * (F.col("n") - 1)) > (
+        8 * F.col("n1") * F.col("n2") * (2 * F.col("n1") * F.col("n2") - F.col("n"))
+    )
+    return m.select(
+        "priority", "n", "n1", "n2", "runs", verdict.alias("nonrandom_2sigma")
+    ).orderBy("priority")

@@ -1356,3 +1356,54 @@ def x_shipping_lag(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("prio", "bucket")
     )
+
+
+@_register(
+    "j10_null_safe_join",
+    "Null-safe equi-join semantics (IS NOT DISTINCT FROM / <=>): NULL "
+    "keys match each other instead of silently dropping — the join "
+    "contract reconciliation and CDF-style whole-row comparisons need "
+    "(a plain equality join loses every NULL-keyed row on both sides). "
+    "Keys synthesize NULLs deterministically from event ids; the join "
+    "itself stays a hash join because null-safe equality is still an "
+    "equi-predicate to Catalyst.",
+    """WITH l AS (
+         SELECT CASE WHEN event_id % 10 = 0 THEN NULL
+                     ELSE user_id % 100 END AS k,
+                COUNT(*) AS n_left
+         FROM events WHERE event_type = 'click' GROUP BY k
+       ),
+       r AS (
+         SELECT CASE WHEN event_id % 10 = 0 THEN NULL
+                     ELSE user_id % 100 END AS k,
+                COUNT(*) AS n_right
+         FROM events WHERE event_type = 'purchase' GROUP BY k
+       )
+       SELECT l.k AS k, l.n_left, r.n_right
+       FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+       ORDER BY k NULLS FIRST""",
+)
+def j10(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, "events", sf)
+    key = F.when(F.col("event_id") % 10 == 0, F.lit(None)).otherwise(
+        F.col("user_id") % 100
+    )
+    left = (
+        ev.filter(F.col("event_type") == "click")
+        .select(key.alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_left"))
+        .alias("l")
+    )
+    right = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(key.alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_right"))
+        .alias("r")
+    )
+    return (
+        left.join(right, F.col("l.k").eqNullSafe(F.col("r.k")))
+        .select(F.col("l.k").alias("k"), "n_left", "n_right")
+        .orderBy(F.col("k").asc_nulls_first())
+    )
