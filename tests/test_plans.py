@@ -754,3 +754,19 @@ def test_centroid_shift_single_moment_shuffle(spark):
     plan = _plan(spark, "x_emb_centroid_shift")
     assert "CartesianProduct" not in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_ngram_verify_is_barrier_free(spark):
+    # the round-4 fix: candidates stream straight from the prefix
+    # self-join through the broadcast verify in one codegen stage — a
+    # mid-pipeline distinct/Exchange between them cost 2.3x end-to-end.
+    # The only aggregation allowed after the join is the final
+    # dropDuplicates of verified pairs (tiny).
+    plan = _plan(spark, "x_dedup_ngram_jaccard")
+    verify_joins = plan.count("BroadcastHashJoin")
+    assert verify_joins >= 3  # df-tag join + two verify array joins
+    # no shuffle may sit between the candidate join and the verify:
+    # the SortMergeJoin-free property plus a bounded exchange count
+    # pins it (exchanges: prefix-join input shuffles + final dedup/sort)
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange") <= 6
