@@ -1348,6 +1348,7 @@ def semantic_dedup_pairs(
     spark: SparkSession,
     embeddings: DataFrame,
     threshold: float = SEMANTIC_COS_THRESHOLD,
+    assign: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): k-means-cluster the embedding space,
     then search for near-duplicate pairs ONLY within each cluster —
@@ -1366,7 +1367,9 @@ def semantic_dedup_pairs(
 
     from geostore_spark.operators.ml import kmeans_assign
 
-    assign = kmeans_assign(spark, embeddings).select("vec_id", "cluster")
+    if assign is None:
+        assign = kmeans_assign(spark, embeddings)
+    assign = assign.select("vec_id", "cluster")
     e = embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     ).join(assign, "vec_id")
@@ -1444,8 +1447,15 @@ def _semantic_oracle() -> str:
     _semantic_oracle(),
 )
 def q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    from geostore_spark.operators.ml import shared_kmeans_assignment
+
     emb = load_table(spark, "embeddings", sf)
-    return semantic_dedup_pairs(spark, emb).orderBy("cluster", "vec_a", "vec_b")
+    # ride the session-shared assignment pass (one Lloyd loop per suite
+    # for x_ml_kmeans / x_ml_silhouette / this query)
+    asg = shared_kmeans_assignment(spark, sf)
+    return semantic_dedup_pairs(spark, emb, assign=asg).orderBy(
+        "cluster", "vec_a", "vec_b"
+    )
 
 
 # -- paragraph-granularity exact dedup ---------------------------------------
@@ -1692,7 +1702,8 @@ def _simhash_audit_oracle() -> str:
                       JOIN g gb ON p.doc_b = gb.doc_id
        )
        SELECT hamming, COUNT(*) AS n_pairs,
-              CAST(SUM((i * 1000000) // u) AS BIGINT) AS sum_j_q6,
+              CAST(SUM(CASE WHEN u = 0 THEN 0
+                            ELSE (i * 1000000) // u END) AS BIGINT) AS sum_j_q6,
               CAST(SUM(CASE WHEN i * {SIMHASH_AUDIT_TAU_DEN}
                               >= u * {SIMHASH_AUDIT_TAU_NUM}
                         THEN 1 ELSE 0 END) AS BIGINT) AS n_ge_tau
@@ -1735,7 +1746,13 @@ def q_simhash_eval(spark: SparkSession, sf: str) -> DataFrame:
         e.groupBy("hamming")
         .agg(
             F.count(F.lit(1)).alias("n_pairs"),
-            F.sum(F.expr("i * 1000000 div u")).cast("bigint").alias("sum_j_q6"),
+            # u=0 (two docs each shorter than 3 words — zero trigrams)
+            # must not divide: NULL in Spark but an error in the oracle;
+            # score an empty-vs-empty pair as 0, same as dim_truncation's
+            # tot=0 guard
+            F.sum(F.expr("CASE WHEN u = 0 THEN 0 ELSE i * 1000000 div u END"))
+            .cast("bigint")
+            .alias("sum_j_q6"),
             F.sum(
                 F.when(
                     F.col("i") * SIMHASH_AUDIT_TAU_DEN

@@ -14,11 +14,12 @@ Design for scale:
 - The bitmap is fixed-size (``BLOOM_BITS`` bits = 8 KiB) regardless of
   data volume — the only driver-collected state, same contract as the
   centroid/codebook collections in ``operators/similarity.py``.
-- The probe-side pre-filter is a pure codegen expression (two md5-derived
-  bit probes against an array literal): it evaluates in the parquet scan
-  stage, so at 1000 executors the ~95% of fact rows with non-matching
-  keys never leave their scan task — the shuffle into the verify join
-  carries only Bloom survivors.
+- The probe-side pre-filter is a pure codegen expression (two
+  xxhash64-derived bit probes against an array literal — native JVM
+  hashing, no string building, ~10x cheaper per row than a digest): it
+  evaluates in the parquet scan stage, so at 1000 executors the ~95% of
+  fact rows with non-matching keys never leave their scan task — the
+  shuffle into the verify join carries only Bloom survivors.
 - Bloom filters admit false positives, so an exact broadcast semi join
   runs AFTER the pre-filter: the result is provably identical to the
   plain semi join (the oracle), while the expensive path is only paid by
@@ -31,7 +32,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from geostore_spark.operators.dedup import _md5_32
 from geostore_spark.registry import register
 from geostore_spark.sources.tables import load_table
 
@@ -45,11 +45,17 @@ MIN_BAL = 7500.0
 
 
 def _positions(key: Column) -> list[Column]:
-    """Two independent md5-derived bit positions for a join key."""
-    return [
-        _md5_32(F.concat(F.lit(f"bloom{i}:"), key.cast("string"))) % BLOOM_BITS
-        for i in (1, 2)
-    ]
+    """Two independent xxhash64-derived bit positions for a join key.
+
+    xxhash64 is a native Catalyst expression (whole-stage codegen, no
+    string concat, no digest): the per-row probe cost must stay below
+    the shuffle it saves, and hashing the raw key with two seeds is an
+    order of magnitude cheaper than md5-of-concatenated-string. Hash
+    portability to the oracle is NOT required — the exact verify join
+    after the pre-filter makes the result provably identical to the
+    plain semi join regardless of which hash the Bloom uses.
+    """
+    return [F.pmod(F.xxhash64(F.lit(i), key), F.lit(BLOOM_BITS)) for i in (1, 2)]
 
 
 def build_bloom_words(keys: DataFrame, key_col: str) -> list[int]:

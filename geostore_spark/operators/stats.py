@@ -1370,16 +1370,25 @@ def q_approx_quantile_audit(spark: SparkSession, sf: str) -> DataFrame:
         "v",
         "n",
     )
-    # exact rank of each estimate: one aggregated probe pass over orders
-    # against the broadcast (3-row) sketch — never a sort
+    # exact rank INTERVAL of each estimate: a heavily duplicated value at
+    # the quantile occupies ranks [count(< v)+1, count(<= v)], and the GK
+    # contract is honored if ANY of those ranks falls in the guaranteed
+    # +-n/accuracy window — checking only the max rank (count(<= v))
+    # would flip within_bound on legitimate ties. One aggregated probe
+    # pass over orders against the broadcast (3-row) sketch computes
+    # both endpoints — never a sort.
     ranks = (
         orders.crossJoin(F.broadcast(sketch))
         .groupBy("q", "v", "n")
-        .agg(F.count(F.when(F.col("o_totalprice") <= F.col("v"), 1)).alias("r"))
+        .agg(
+            F.count(F.when(F.col("o_totalprice") <= F.col("v"), 1)).alias("r_le"),
+            F.count(F.when(F.col("o_totalprice") < F.col("v"), 1)).alias("r_lt"),
+        )
     )
-    within = (
-        F.abs(F.col("r") - F.col("q") * F.col("n"))
-        <= F.col("n") / AQ_ACCURACY + 1
+    bound = F.col("n") / AQ_ACCURACY + 1
+    # interval [r_lt+1, r_le] intersects window [q*n - bound, q*n + bound]
+    within = (F.col("r_lt") + 1 <= F.col("q") * F.col("n") + bound) & (
+        F.col("r_le") >= F.col("q") * F.col("n") - bound
     )
     return ranks.select(
         "q", F.col("n").cast("bigint").alias("n"), within.alias("within_bound")

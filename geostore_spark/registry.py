@@ -41,43 +41,54 @@ def register(key: str, doc: str, oracle: str | None):
 
 
 # Driver-coverage rotation: the per-round correctness harness samples a
-# prefix (~50) of the enumerated queries. The 49 keys below enumerate FIRST
-# this round: 45 round-3 additions that hash-match the local DuckDB oracle
-# (tests/test_canonical.py) but have never appeared in any driver
-# CORRECTNESS file across rounds 1-3, plus x_mm_decode/resize/frames (their
-# r1 driver rows pre-date the GSM1-container oracles added in r3) and
-# a8_approx_distinct (its bounds oracle is new this round, turning the
-# permanent no_oracle row into a hash-checkable one). Everything the driver
-# has already verified green (r1 ∪ r2 ∪ r3 — 140 keys) enumerates last.
-# Purely an enumeration-order hint — every query stays registered and
-# locally oracle-tested either way.
+# prefix (~50) of the enumerated queries. The 50 keys below enumerate
+# FIRST this round (round 5), in priority order:
+#   1. the 20 round-4 additions that hash-match the local DuckDB oracle
+#      (tests/test_canonical.py) but have never appeared in any driver
+#      CORRECTNESS file — after these, every registered key will have
+#      been driver-verified at least once;
+#   2. the 3 queries whose plans changed THIS round (bloom probe hash
+#      md5→xxhash64; kmeans/semantic now ride the shared assignment
+#      checkpoint);
+#   3. the 4 queries whose driver rows pre-date r3/r4 plan rewrites
+#      (PPJoin POSITION filter, barrier removal, triangle dispatch,
+#      banded-join touch-ups);
+#   4. the oldest d1-era dedup/sim/geo keys, to refresh the stalest rows.
+# Everything else (driver-green r1 ∪ r2 ∪ r3 ∪ r4 — 191 keys) enumerates
+# last. Purely an enumeration-order hint — every query stays registered
+# and locally oracle-tested either way.
 _NEVER_DRIVER_SAMPLED = (
-    "x_graph_triangles", "x_graph_kcore", "x_graph_bfs_layers",
-    "x_graph_assortativity", "x_stats_ks_test", "x_stats_ttest",
-    "x_stats_psi_drift", "x_stats_mutual_info", "x_stats_cov_matrix",
-    "x_stats_skew_kurtosis", "x_stats_qq_deciles", "x_stats_autocorr",
-    "x_stats_wilson_rank", "x_stats_column_entropy", "x_stats_hhi",
-    "x_events_ewma", "x_events_markov", "x_events_gapfill",
-    "x_events_cohort_ltv", "x_events_entropy_rate", "x_orders_survival",
-    "x_win_pct_change", "x_win_cume_dist", "x_win_first_last",
-    "x_win_streaks", "x_text_readability", "x_text_js_divergence",
-    "x_text_heaps", "x_dedup_paragraph", "x_dedup_minhash_eval",
-    "x_emb_gram", "x_emb_outliers", "x_emb_fisher_ratio",
-    "x_join_bloom_semi", "x_join_full_outer", "x_sample_weighted",
-    "x_pipeline_funnel", "x_pipeline_shard_assign",
-    "x_pipeline_mix_temperature", "x_unpivot_melt",
-    "x_posexplode_ordinality", "x_q6_discount_revenue", "x_shipping_lag",
-    "x_mm_wav_decode", "x_mm_bmp_decode", "x_mm_decode", "x_mm_resize",
-    "x_mm_frames", "a8_approx_distinct",
+    # -- 1: round-4 additions, never driver-sampled
+    "j10_null_safe_join", "x_dedup_simhash_eval", "x_emb_centroid_shift",
+    "x_emb_dim_truncation", "x_events_burstiness",
+    "x_events_rolling_anomaly", "x_events_seasonality", "x_geo_hotspot",
+    "x_ml_silhouette", "x_mm_bmp_histogram", "x_mm_png_decode",
+    "x_mm_wav_windows", "x_orders_skyline", "x_pipeline_filter_ablation",
+    "x_stats_approx_quantile_audit", "x_stats_linreg",
+    "x_stats_runs_test", "x_text_template_fingerprint",
+    "x_text_trigram_novelty", "x_win_ratio_to_report",
+    # -- 2: plans changed in round 5
+    "x_join_bloom_semi", "x_ml_kmeans", "x_dedup_semantic",
+    # -- 3: driver rows stale vs r3/r4 plan rewrites
+    "x_dedup_ngram_jaccard", "x_dedup_containment", "x_graph_triangles",
+    "x_dedup_minhash_lsh",
+    # -- 4: oldest d1-era rows
+    "x_dedup_exact", "x_dedup_url", "x_dedup_chunks",
+    "x_dedup_substring", "x_dedup_incremental", "x_dedup_simhash",
+    "x_dedup_simhash_pairs", "x_dedup_embed_cosine", "x_dedup_clusters",
+    "x_sim_topk_bruteforce", "x_sim_ann_lsh", "x_sim_ivf", "x_sim_ivfpq",
+    "x_sim_pq_adc", "x_sim_range_search", "x_sim_recall_eval",
+    "x_sim_label_purity", "x_text_winnow", "x_text_fingerprint",
+    "x_asof_join", "x_range_join", "x_geo_zorder", "x_geo_knn",
 )
 
 
 def all_queries() -> dict[str, RegisteredQuery]:
     """Import every contributing module, then return the registry.
 
-    Enumeration order: never-driver-sampled first (see
+    Enumeration order: the round-5 priority prefix first (see
     _NEVER_DRIVER_SAMPLED), then any new queries added this round, then
-    the 141 keys the driver already verified green in rounds 1-3.
+    the 191 keys the driver already verified green in rounds 1-4.
     """
     # Imports are effectful: each module registers its queries on import.
     from geostore_spark.operators import (  # noqa: F401
@@ -103,59 +114,70 @@ def all_queries() -> dict[str, RegisteredQuery]:
     never = [k for k in _NEVER_DRIVER_SAMPLED if k in REGISTRY]
     never_set = set(never)
     # New queries added this round: no driver row yet either — right after.
-    fresh = [k for k in REGISTRY if k not in never_set and k not in _DRIVER_VERIFIED_R1R2]
-    tail = [k for k in REGISTRY if k in _DRIVER_VERIFIED_R1R2 and k not in never_set]
+    fresh = [k for k in REGISTRY if k not in never_set and k not in _DRIVER_VERIFIED]
+    tail = [k for k in REGISTRY if k in _DRIVER_VERIFIED and k not in never_set]
     return {k: REGISTRY[k] for k in (*never, *fresh, *tail)}
 
 
-# 141 keys with a green row in CORRECTNESS_r01 ∪ r02 ∪ r03 (140 hash-matched
-# + a8_approx_distinct which ran clean rows-only in r3 and now re-enumerates
-# up front with its new bounds oracle).
-_DRIVER_VERIFIED_R1R2 = frozenset((
+# 191 keys with a green hash row in CORRECTNESS_r01 ∪ r02 ∪ r03 ∪ r04.
+_DRIVER_VERIFIED = frozenset((
     "a10_pivot_crosstab", "a1_filtered_count", "a2_existence_aggregate",
     "a3_group_collect_extrema", "a4_minmax_summary", "a5_status_rollup",
     "a6_distinct_set", "a7_grouping_sets", "a8_approx_distinct",
     "a9_quantiles", "f10_truncate", "f11_title_case", "f1_key_decompose",
     "f2_basename", "f3_url_parse", "f4_key_format", "f5_timestamp_parts",
     "f6_hex_digest", "f7_hashing", "f8_json_field", "f9_href_rewrite",
-    "j1_semi_join_exists", "j2_anti_join_not_exists",
-    "j3_broadcast_lookup", "j4_update_via_join", "j5_multiway_join",
-    "j6_latest_version", "j7_topk_revenue", "j8_large_orders",
-    "j9_above_avg_anti", "o1_limit_probe", "o2_topk", "o3_set_difference",
+    "j1_semi_join_exists", "j2_anti_join_not_exists", "j3_broadcast_lookup",
+    "j4_update_via_join", "j5_multiway_join", "j6_latest_version",
+    "j7_topk_revenue", "j8_large_orders", "j9_above_avg_anti",
+    "o1_limit_probe", "o2_topk", "o3_set_difference",
     "o4_union_discriminator", "o5_intersect", "o6_except_all",
     "p1_project_rename", "p2_null_flag_predicate", "p3_boolean_filter",
     "p4_compound_filter", "p5_isin_guard", "p6_regex_validation",
     "s1_prefix_scan", "s2_point_lookup", "s3_index_equality",
     "s4_range_prefix", "s5_json_source", "s7_csv_manifest",
     "s8_dual_location_fallback", "w1_enumeration", "w2_max_by",
-    "w3_batch_windows", "x_asof_join", "x_dedup_chunks",
-    "x_dedup_clusters", "x_dedup_containment", "x_dedup_embed_cosine",
-    "x_dedup_exact", "x_dedup_incremental", "x_dedup_minhash_lsh",
-    "x_dedup_ngram_jaccard", "x_dedup_semantic", "x_dedup_simhash",
-    "x_dedup_simhash_pairs", "x_dedup_substring", "x_dedup_url",
-    "x_emb_quantize", "x_events_dau_mau", "x_events_funnel",
-    "x_events_retention", "x_geo_density", "x_geo_extent_rollup",
-    "x_geo_grid_join", "x_geo_knn", "x_geo_zorder",
-    "x_graph_degree_stats", "x_graph_pagerank", "x_ml_kmeans",
-    "x_mm_decode", "x_mm_frames", "x_mm_resize", "x_orders_basket_lift",
-    "x_orders_repeat_rate", "x_orders_rfm", "x_part_abc_pareto",
-    "x_pipeline_dataset_card", "x_pipeline_mix_rebalance",
-    "x_pipeline_pack_sequences", "x_pipeline_training_set",
-    "x_range_join", "x_sample_stratified", "x_sample_token_budget",
-    "x_sample_topk_hash", "x_sim_ann_lsh", "x_sim_ivf", "x_sim_ivfpq",
-    "x_sim_label_purity", "x_sim_pq_adc", "x_sim_range_search",
-    "x_sim_recall_eval", "x_sim_topk_bruteforce", "x_skew_distinct",
-    "x_skew_salted_agg", "x_stats_benford", "x_stats_chi2",
-    "x_stats_corr", "x_stats_gini", "x_stats_histogram",
-    "x_stats_mad_outliers", "x_stats_profile", "x_stats_winsorize",
-    "x_stats_zscore", "x_text_bigram_lm", "x_text_bm25",
-    "x_text_bpe_pairs", "x_text_c4_lines", "x_text_chunk_windows",
-    "x_text_decontaminate", "x_text_entropy", "x_text_fingerprint",
-    "x_text_fuzzy_join", "x_text_gopher_rules", "x_text_heavy_hitters",
+    "w3_batch_windows", "x_asof_join", "x_dedup_chunks", "x_dedup_clusters",
+    "x_dedup_containment", "x_dedup_embed_cosine", "x_dedup_exact",
+    "x_dedup_incremental", "x_dedup_minhash_eval", "x_dedup_minhash_lsh",
+    "x_dedup_ngram_jaccard", "x_dedup_paragraph", "x_dedup_semantic",
+    "x_dedup_simhash", "x_dedup_simhash_pairs", "x_dedup_substring",
+    "x_dedup_url", "x_emb_fisher_ratio", "x_emb_gram", "x_emb_outliers",
+    "x_emb_quantize", "x_events_cohort_ltv", "x_events_dau_mau",
+    "x_events_entropy_rate", "x_events_ewma", "x_events_funnel",
+    "x_events_gapfill", "x_events_markov", "x_events_retention",
+    "x_geo_density", "x_geo_extent_rollup", "x_geo_grid_join", "x_geo_knn",
+    "x_geo_zorder", "x_graph_assortativity", "x_graph_bfs_layers",
+    "x_graph_degree_stats", "x_graph_kcore", "x_graph_pagerank",
+    "x_graph_triangles", "x_join_bloom_semi", "x_join_full_outer",
+    "x_ml_kmeans", "x_mm_bmp_decode", "x_mm_decode", "x_mm_frames",
+    "x_mm_resize", "x_mm_wav_decode", "x_orders_backlog",
+    "x_orders_basket_lift", "x_orders_repeat_rate", "x_orders_rfm",
+    "x_orders_survival", "x_part_abc_pareto", "x_pipeline_dataset_card",
+    "x_pipeline_funnel", "x_pipeline_mix_rebalance",
+    "x_pipeline_mix_temperature", "x_pipeline_pack_sequences",
+    "x_pipeline_shard_assign", "x_pipeline_training_set",
+    "x_posexplode_ordinality", "x_q6_discount_revenue", "x_range_join",
+    "x_sample_stratified", "x_sample_token_budget", "x_sample_topk_hash",
+    "x_sample_weighted", "x_shipping_lag", "x_sim_ann_lsh", "x_sim_ivf",
+    "x_sim_ivfpq", "x_sim_label_purity", "x_sim_pq_adc",
+    "x_sim_range_search", "x_sim_recall_eval", "x_sim_topk_bruteforce",
+    "x_skew_distinct", "x_skew_salted_agg", "x_stats_autocorr",
+    "x_stats_benford", "x_stats_chi2", "x_stats_column_entropy",
+    "x_stats_corr", "x_stats_cov_matrix", "x_stats_gini", "x_stats_hhi",
+    "x_stats_histogram", "x_stats_ks_test", "x_stats_mad_outliers",
+    "x_stats_mutual_info", "x_stats_profile", "x_stats_psi_drift",
+    "x_stats_qq_deciles", "x_stats_skew_kurtosis", "x_stats_ttest",
+    "x_stats_wilson_rank", "x_stats_winsorize", "x_stats_zscore",
+    "x_text_bigram_lm", "x_text_bm25", "x_text_bpe_pairs", "x_text_c4_lines",
+    "x_text_chunk_windows", "x_text_decontaminate", "x_text_entropy",
+    "x_text_fingerprint", "x_text_fuzzy_join", "x_text_gopher_rules",
+    "x_text_heaps", "x_text_heavy_hitters", "x_text_js_divergence",
     "x_text_kneser_ney", "x_text_lang_id", "x_text_perplexity",
-    "x_text_pii_redact", "x_text_quality", "x_text_repetition",
-    "x_text_tfidf", "x_text_tokens", "x_text_winnow", "x_text_zipf",
-    "x_win_attribution", "x_win_dense_rank_topn", "x_win_event_gap",
-    "x_win_moving_avg", "x_win_ntile_quartiles", "x_win_session",
-    "x_win_sliding", "x_win_tumbling",
+    "x_text_pii_redact", "x_text_quality", "x_text_readability",
+    "x_text_repetition", "x_text_tfidf", "x_text_tokens", "x_text_winnow",
+    "x_text_zipf", "x_unpivot_melt", "x_win_attribution", "x_win_cume_dist",
+    "x_win_dense_rank_topn", "x_win_event_gap", "x_win_first_last",
+    "x_win_moving_avg", "x_win_ntile_quartiles", "x_win_pct_change",
+    "x_win_session", "x_win_sliding", "x_win_streaks", "x_win_tumbling",
 ))

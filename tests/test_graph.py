@@ -124,3 +124,35 @@ def test_strategies_agree_on_random_graph(spark):
         for r in connected_components(df, "src", "dst", local_threshold=0).collect()
     }
     assert fast == loop == _union_find(edges)
+
+
+def test_triangle_strategies_agree_at_volume(spark):
+    """r4 verdict #7: the above-budget sort-merge closure path was only
+    ever exercised on a 7-edge toy. Run BOTH physical strategies on the
+    real sf0.1 part co-purchase graph (~1.2 M deduped edges) and assert
+    they produce identical (n_edges, n_wedges, n_triangles) — the
+    property the runtime dispatch silently relies on at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from geostore_spark.operators.graph import triangle_counts_from_edges
+    from geostore_spark.sources.tables import load_table
+
+    li = load_table(spark, "lineitem", "/root/testdata/sf0.1").select(
+        "l_orderkey", "l_partkey"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    fused = triangle_counts_from_edges(edges).collect()[0]
+    spilled = triangle_counts_from_edges(edges, broadcast_max_edges=0).collect()[0]
+    assert fused == spilled
+    assert fused["n_edges"] > 1_000_000  # really the at-volume graph
+    assert fused["n_triangles"] > 0

@@ -402,6 +402,9 @@ def test_bloom_semi_prefilter_is_in_scan_stage(spark):
     # scan (bit_get against the broadcast bitmap literal), and the exact
     # verify must stay a broadcast semi join — fact side never shuffles
     assert "bit_get" in plan
+    # probe hash must be native xxhash64 (codegen, no string building),
+    # never a digest-of-concat — r4 verdict perf finding
+    assert "xxhash64" in plan and "md5" not in plan
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
     assert "SortMergeJoin" not in plan
 
