@@ -66,9 +66,13 @@ def main() -> None:
 
     # Pass 1: sequential latency (per-query numbers).
     timings: dict[str, float] = {}
+    seq_errors: dict[str, str] = {}
     for name in sorted(qs):
         start = time.perf_counter()
-        qs[name](spark, sf_dir).collect()
+        try:
+            qs[name](spark, sf_dir).collect()
+        except Exception as exc:  # record, don't zero the whole bench run
+            seq_errors[name] = str(exc).splitlines()[0][:200]
         timings[name] = round(time.perf_counter() - start, 4)
     sequential_sum = round(sum(timings.values()), 4)
 
@@ -81,7 +85,10 @@ def main() -> None:
         spark.sparkContext.setLocalProperty(
             "spark.scheduler.pool", f"bench-{idx % streams}"
         )
-        qs[name](spark, sf_dir).collect()
+        try:
+            qs[name](spark, sf_dir).collect()
+        except Exception as exc:  # record, don't zero the whole bench run
+            errors.setdefault(name, str(exc).splitlines()[0][:200])
 
     # Two throughput passes; the headline is the better one (steady state).
     # A single-JVM local[32] run has heavy-tailed noise sources a real
@@ -89,6 +96,7 @@ def main() -> None:
     # bursts, host steal); min-of-2 reports the reproducible steady-state
     # wall while both raw passes stay visible in the JSON.
     passes = []
+    errors: dict[str, str] = {}
     for _ in range(2):
         wall_start = time.perf_counter()
         with ThreadPoolExecutor(max_workers=streams) as pool:
@@ -108,6 +116,8 @@ def main() -> None:
                 "streams": streams,
                 "throughput_passes_sec": passes,
                 "sequential_sum_sec": sequential_sum,
+                **({"throughput_errors": errors} if errors else {}),
+                **({"sequential_errors": seq_errors} if seq_errors else {}),
             }
         )
     )

@@ -14,6 +14,8 @@ consistency comes from the store's atomic snapshot swap.
 
 from __future__ import annotations
 
+import functools
+import inspect
 import os
 import random
 import re
@@ -21,10 +23,44 @@ from datetime import datetime, timezone
 
 from pyspark.sql import functions as F
 
+from geostore_spark.logging_keys import (
+    LOG_MESSAGE_API_REQUEST,
+    LOG_MESSAGE_API_RESPONSE,
+    log_event,
+)
 from geostore_spark.pipeline.ulid import ulid
 from geostore_spark.sources.store import MetadataStore
 
 TITLE_PATTERN = re.compile(r"^[āēīōūĀĒĪŌŪa-zA-Z0-9_-]+$")
+
+
+def _endpoint(fn):
+    """Request/outcome logging contract (reference: the Lambda
+    entrypoints log their payload on entry and their result status —
+    tests/test_dataset_versions_endpoint_logging.py::should_log_payload
+    pattern). Scalar params are logged by name; never the store handle
+    or row payloads."""
+
+    sig = inspect.signature(fn)
+
+    @functools.wraps(fn)
+    def wrapped(store, *args, **kwargs):
+        bound = sig.bind(store, *args, **kwargs)
+        params = {
+            k: v
+            for k, v in bound.arguments.items()
+            if k != "store" and (v is None or isinstance(v, (str, int, bool)))
+        }
+        log_event(LOG_MESSAGE_API_REQUEST, handler=fn.__name__, params=params)
+        resp = fn(store, *args, **kwargs)
+        log_event(
+            LOG_MESSAGE_API_RESPONSE,
+            handler=fn.__name__,
+            status_code=resp["status_code"],
+        )
+        return resp
+
+    return wrapped
 
 
 def _resp(status_code: int, body) -> dict:
@@ -41,6 +77,7 @@ def _row_to_body(row) -> dict:
     }
 
 
+@_endpoint
 def create_dataset(
     store: MetadataStore,
     title: str,
@@ -63,6 +100,7 @@ def create_dataset(
     return _resp(201, _row_to_body(created))
 
 
+@_endpoint
 def get_dataset(store: MetadataStore, dataset_id: str | None = None, title: str | None = None) -> dict:
     datasets = store.read("datasets")
     if dataset_id is not None:
@@ -78,11 +116,13 @@ def get_dataset(store: MetadataStore, dataset_id: str | None = None, title: str 
     return _resp(400, {"message": "Bad Request: id or title required"})
 
 
+@_endpoint
 def list_datasets(store: MetadataStore) -> dict:
     rows = store.read("datasets").orderBy("dataset_id").collect()
     return _resp(200, [_row_to_body(r) for r in rows])
 
 
+@_endpoint
 def update_dataset(
     store: MetadataStore, dataset_id: str, new_title: str, now: datetime | None = None
 ) -> dict:
@@ -108,6 +148,7 @@ def update_dataset(
     return _resp(200, _row_to_body(row))
 
 
+@_endpoint
 def delete_dataset(store: MetadataStore, dataset_id: str, storage_root: str) -> dict:
     datasets = store.read("datasets")
     rows = datasets.filter(F.col("dataset_id") == dataset_id).collect()

@@ -33,6 +33,19 @@ LOG_MESSAGE_CHECK_STAGE_COMPLETE = "Check Stage Complete"
 # shuffle joins, local vs distributed) — the "why did this job shuffle?"
 # breadcrumb at 100 TB.
 LOG_MESSAGE_STRATEGY_DISPATCH = "Operator Strategy Dispatch"
+# Dataset-endpoint request/outcome events (reference: the Lambda
+# entrypoints log their payload on entry — LOG_MESSAGE_LAMBDA_START in
+# geostore/logging_keys.py, pinned by
+# tests/test_dataset_versions_endpoint_logging.py::should_log_payload —
+# and their failure path). One event at handler entry with the request
+# params, one at exit with the status code.
+LOG_MESSAGE_API_REQUEST = "API Request"
+LOG_MESSAGE_API_RESPONSE = "API Response"
+# Similarity/ANN probe rollup: one event per search with the
+# candidate-generation statistics (cells/buckets probed, candidate
+# fraction) — the breadcrumb that distinguishes "recall is low because
+# nprobe is too small" from "the index is broken" in a 100 TB run.
+LOG_MESSAGE_ANN_STAGE_COMPLETE = "ANN Stage Complete"
 
 
 def log_event(message: str, **fields: Any) -> None:

@@ -26,7 +26,11 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from geostore_spark.logging_keys import LOG_MESSAGE_STRATEGY_DISPATCH, log_event
+from geostore_spark.logging_keys import (
+    LOG_MESSAGE_ANN_STAGE_COMPLETE,
+    LOG_MESSAGE_STRATEGY_DISPATCH,
+    log_event,
+)
 from geostore_spark.operators.util import rebalance_for_python
 from geostore_spark.registry import register
 from geostore_spark.sources.tables import load_table
@@ -88,6 +92,13 @@ def cosine_topk(
     q_ids = np.array([r["vec_id"] for r in q_rows])
     q_mat = np.vstack([np.asarray(r["emb"]) for r in q_rows])
     q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    log_event(
+        LOG_MESSAGE_ANN_STAGE_COMPLETE,
+        stage="ann_bruteforce",
+        n_queries=int(len(q_ids)),
+        k=k,
+        strategy="full_scan_blas",
+    )
 
     def score_partition(batches) -> "pd.DataFrame":
         for pdf in batches:
@@ -188,6 +199,7 @@ def _probe_topk(
     assign_fn,
     probe_sets_fn,
     k: int,
+    stage: str = "ann_probe",
 ) -> DataFrame:
     """Shared vectorized ANN probe: per partition, assign rows to cells
     with ``assign_fn`` (numpy, whole-block), score each query only against
@@ -208,6 +220,17 @@ def _probe_topk(
     q_mat = np.vstack([np.asarray(r["emb"]) for r in q_rows])
     q_nrm = np.linalg.norm(q_mat, axis=1)
     q_cells = probe_sets_fn(q_mat)  # list[set[int]] per query
+    # probe rollup: the stats an operator needs to judge recall-vs-cost
+    # (few distinct cells probed => low candidate fraction) without
+    # re-deriving them from executor logs
+    log_event(
+        LOG_MESSAGE_ANN_STAGE_COMPLETE,
+        stage=stage,
+        n_queries=int(len(q_ids)),
+        k=k,
+        cells_probed_total=int(sum(len(s) for s in q_cells)),
+        cells_probed_distinct=len(set().union(*q_cells)) if q_cells else 0,
+    )
 
     def probe(batches):
         for pdf in batches:
@@ -252,7 +275,7 @@ def ann_lsh_topk(
     def probe_sets(q_mat):
         return [{int(b)} for b in numpy_buckets(q_mat)]
 
-    return _probe_topk(embeddings, queries, numpy_buckets, probe_sets, k)
+    return _probe_topk(embeddings, queries, numpy_buckets, probe_sets, k, stage="ann_lsh_probe")
 
 
 _LSH_ORACLE = f"""
@@ -325,7 +348,7 @@ def ivf_topk(
         nprobe=nprobe,
         strategy="partition_local_blas",
     )
-    return _probe_topk(embeddings, queries, assign, probe_sets, k)
+    return _probe_topk(embeddings, queries, assign, probe_sets, k, stage="ann_ivf_probe")
 
 
 _IVF_ORACLE = f"""
@@ -451,6 +474,14 @@ def pq_adc_topk(embeddings: DataFrame, queries: DataFrame, k: int = TOP_K) -> Da
     ).astype(np.int64)
     # LUT[j, m, k] = q_j's subvector m · codeword (m, k)
     lut = np.einsum("jms,mks->jmk", q_int.reshape(len(q_ids), PQ_M, PQ_SUB), codebook)
+    log_event(
+        LOG_MESSAGE_ANN_STAGE_COMPLETE,
+        stage="ann_pq_adc",
+        n_queries=int(len(q_ids)),
+        k=k,
+        pq_m=PQ_M,
+        pq_k=PQ_K,
+    )
 
     def score(batches):
         for pdf in batches:
@@ -571,6 +602,17 @@ def ivf_pq_topk(
         set(int(c) for c in cell_ids[row])
         for row in cell_order(q_mat)[:, :nprobe]
     ]
+    log_event(
+        LOG_MESSAGE_ANN_STAGE_COMPLETE,
+        stage="ann_ivf_pq",
+        n_queries=int(len(q_ids)),
+        k=k,
+        n_cells=int(len(cell_ids)),
+        nprobe=nprobe,
+        cells_probed_distinct=len(set().union(*q_cells)) if q_cells else 0,
+        pq_m=PQ_M,
+        pq_k=PQ_K,
+    )
 
     def score(batches):
         m_idx = np.arange(PQ_M)[None, :]
@@ -732,6 +774,13 @@ def cosine_range_search(
     q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
     q_mat = np.stack([np.asarray(r["emb"], dtype=np.float64) for r in q_rows])
     q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    log_event(
+        LOG_MESSAGE_ANN_STAGE_COMPLETE,
+        stage="ann_range_search",
+        n_queries=int(len(q_ids)),
+        tau=tau,
+        strategy="full_scan_blas",
+    )
 
     def score_partition(batches):
         for pdf in batches:

@@ -1550,3 +1550,92 @@ def q_runs_test(spark: SparkSession, sf: str) -> DataFrame:
     return m.select(
         "priority", "n", "n1", "n2", "runs", verdict.alias("nonrandom_2sigma")
     ).orderBy("priority")
+
+
+# -- deterministic bootstrap CI ----------------------------------------------
+
+BOOT_R = 16  # replicas; half-sampling subsample bootstrap per replica
+
+
+@register(
+    "x_stats_bootstrap_ci",
+    "Deterministic bootstrap confidence interval for the mean order "
+    "value per priority: R=16 half-sample replicas (row in replica r "
+    "iff md5('boot:r:orderkey') is even - the same portable-hash "
+    "device as the sampling operators, so any engine reproduces the "
+    "exact replica membership), replicate means in integer cents, and "
+    "the spread statistics (min/max/variance numerator R*Sum(m^2) - "
+    "(Sum m)^2) in exact int64 - the error bar a pipeline puts on "
+    "every data statistic before comparing two corpus snapshots. "
+    "Execution: the R-way replica expansion happens INSIDE the scan "
+    "stage (explode over a 16-element literal, no shuffle), map-side "
+    "combine collapses it to 5 priorities x 16 replicas = 80 partial "
+    "rows, and everything after the first aggregate is 80-row "
+    "arithmetic at any SF - the cost is an R-times wider scan, never "
+    "an R-times shuffle.",
+    f"""WITH x AS (
+         SELECT o_orderpriority AS priority, r,
+                CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+         FROM orders, (SELECT unnest(range(0, {BOOT_R})) AS r)
+         WHERE ('0x' || substring(
+                  md5('boot:' || CAST(r AS VARCHAR) || ':'
+                      || CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT % 2 = 0
+       ),
+       m AS (
+         SELECT priority, r,
+                CAST(SUM(cents) AS BIGINT) // COUNT(*) AS m_cents
+         FROM x GROUP BY priority, r
+       )
+       SELECT priority,
+              CAST(COUNT(*) AS BIGINT) AS n_replicas,
+              CAST(SUM(m_cents) // COUNT(*) AS BIGINT) AS mean_cents,
+              CAST(MIN(m_cents) AS BIGINT) AS lo_cents,
+              CAST(MAX(m_cents) AS BIGINT) AS hi_cents,
+              CAST(COUNT(*) * SUM(m_cents * m_cents)
+                   - SUM(m_cents) * SUM(m_cents) AS BIGINT) AS var_num
+       FROM m GROUP BY priority ORDER BY priority""",
+)
+def q_bootstrap_ci(spark: SparkSession, sf: str) -> DataFrame:
+    from geostore_spark.operators.dedup import _md5_32
+
+    orders = load_table(spark, "orders", sf)
+    member = (
+        _md5_32(
+            F.concat(
+                F.lit("boot:"),
+                F.col("r").cast("string"),
+                F.lit(":"),
+                F.col("o_orderkey").cast("string"),
+            )
+        )
+        % 2
+        == 0
+    )
+    x = (
+        orders.select(
+            F.col("o_orderpriority").alias("priority"),
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+        )
+        .withColumn("r", F.explode(F.sequence(F.lit(0), F.lit(BOOT_R - 1))))
+        .filter(member)
+    )
+    m = x.groupBy("priority", "r").agg(
+        F.expr("sum(cents) div count(*)").cast("bigint").alias("m_cents")
+    )
+    return (
+        m.groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_replicas"),
+            F.expr("sum(m_cents) div count(*)").cast("bigint").alias("mean_cents"),
+            F.min("m_cents").cast("bigint").alias("lo_cents"),
+            F.max("m_cents").cast("bigint").alias("hi_cents"),
+            (
+                F.count(F.lit(1)) * F.sum(F.col("m_cents") * F.col("m_cents"))
+                - F.sum("m_cents") * F.sum("m_cents")
+            )
+            .cast("bigint")
+            .alias("var_num"),
+        )
+        .orderBy("priority")
+    )

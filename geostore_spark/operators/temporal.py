@@ -700,3 +700,65 @@ def q_events_seasonality(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("event_type", "dow")
     )
+
+
+# -- CUSUM changepoint on the daily event series -----------------------------
+
+
+@register(
+    "x_events_changepoint",
+    "CUSUM changepoint detection on the daily event-count series: the "
+    "day d maximizing |D*cum_d - rank_d*N| (the cumulative deviation "
+    "from a flat rate, cross-multiplied so it is exact int64) is the "
+    "single most likely level-shift point - the drift alarm a pipeline "
+    "runs on its ingest volume before trusting a day's data. One "
+    "shuffle collapses the fact stream to the ~30-row daily rollup; "
+    "the cumulative window, the argmax and the tie-break (earliest "
+    "day) all run on that rollup, so the plan is rollup-sized above "
+    "the first aggregate at any SF.",
+    """WITH d AS (
+         SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n
+         FROM events GROUP BY day
+       ),
+       c AS (
+         SELECT day, n,
+                CAST(SUM(n) OVER (ORDER BY day) AS BIGINT) AS cum,
+                CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS rk,
+                CAST(COUNT(*) OVER () AS BIGINT) AS n_days,
+                CAST(SUM(n) OVER () AS BIGINT) AS total
+         FROM d
+       )
+       SELECT CAST(day AS VARCHAR) AS cp_day, CAST(n_days AS BIGINT) AS n_days,
+              CAST(total AS BIGINT) AS total_events,
+              CAST(abs(n_days * cum - rk * total) AS BIGINT) AS cusum_abs
+       FROM c
+       ORDER BY abs(n_days * cum - rk * total) DESC, day ASC
+       LIMIT 1""",
+)
+def q_events_changepoint(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, "events", sf)
+    d = (
+        ev.select(F.col("ts").cast("date").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy("day")
+    wall = Window.partitionBy()
+    c = d.select(
+        "day",
+        F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.row_number().over(w).cast("bigint").alias("rk"),
+        F.count(F.lit(1)).over(wall).cast("bigint").alias("n_days"),
+        F.sum("n").over(wall).cast("bigint").alias("total"),
+    )
+    s = F.abs(F.col("n_days") * F.col("cum") - F.col("rk") * F.col("total"))
+    return (
+        c.select(
+            F.col("day").cast("string").alias("cp_day"),
+            "n_days",
+            F.col("total").alias("total_events"),
+            s.cast("bigint").alias("cusum_abs"),
+        )
+        .orderBy(F.col("cusum_abs").desc(), "cp_day")
+        .limit(1)
+    )

@@ -53,7 +53,15 @@ def build_session(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local[N] puts the driver AND all executor threads in ONE JVM, so
+        # this is the whole engine's heap: broadcast builds, shuffle
+        # buffers and N concurrent tasks share it. 8g survives sf0.1 but
+        # an sf1 throughput pass (8 concurrent streams x 64 MB broadcast
+        # budget each) hits notEnoughMemoryToBuildAndBroadcastTableError;
+        # the sandbox has 128 GiB, so default to a quarter of it. On a
+        # real cluster this maps to per-executor memory sized the same
+        # way: (concurrent tasks) x (broadcast + spill working set).
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
     )

@@ -1,11 +1,17 @@
 from __future__ import annotations
 
+import os
+
 import duckdb
 import pytest
 
 from geostore_spark.session import build_session
 
-SF_DIR = "/root/testdata/sf0.001"
+# Local canonical parity runs at the SAME scale factor as the driver's
+# t2 correctness gate (sf0.01) — a plan that's only wrong at larger row
+# counts (overflow, skew, sampling edges) must fail HERE, not in the
+# driver. Override with SPARK_GRAFT_TEST_SF for a quick sf0.001 pass.
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.01")
 
 TABLES = (
     "region",

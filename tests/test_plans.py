@@ -690,9 +690,20 @@ def test_mm_window_queries_push_doc_filter(spark):
         assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id" in plan
 
 
-def test_silhouette_rides_kmeans_arrow_pass(spark):
+def test_silhouette_rides_shared_kmeans_assignment(spark):
+    # r4 verdict #5: silhouette must reuse the session-shared
+    # checkpointed assignment (ONE Lloyd loop per suite for kmeans /
+    # silhouette / semantic-dedup), so its plan reads the checkpoint
+    # (ExistingRDD), never re-running the MapInPandas iteration, and
+    # never joining
+    from geostore_spark.operators.ml import shared_kmeans_assignment
+
+    a1 = shared_kmeans_assignment(spark, SF)
+    a2 = shared_kmeans_assignment(spark, SF)
+    assert a1 is a2  # memoized per (context, sf)
     plan = _plan(spark, "x_ml_silhouette")
-    assert "MapInPandas" in plan
+    assert "ExistingRDD" in plan
+    assert "MapInPandas" not in plan
     assert "Join" not in plan
 
 

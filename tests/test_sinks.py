@@ -322,3 +322,64 @@ def test_store_change_data_feed(spark, tmp_path):
     assert all(
         r["_commit_version"] == 2 for r in store.changes(t, 1, 2).collect()
     )
+
+
+def test_store_cdf_multiplicity_deltas(spark, tmp_path):
+    """ADVICE r4: duplicate-row multiplicity changes must surface as
+    row-level change rows (2 identical rows shrinking to 1 emits one
+    delete), matching Delta CDF's row-granular feed — a whole-row
+    anti-join would report nothing."""
+    from geostore_spark.sources.store import MetadataStore
+
+    store = MetadataStore(spark, str(tmp_path / "store"))
+    t = "datasets"
+
+    def row(did, ptr):
+        return {
+            "dataset_id": did, "title": f"t-{did}", "created_at": None,
+            "updated_at": None, "current_dataset_version": ptr,
+        }
+
+    dup = [row("d1", "v0"), row("d1", "v0"), row("d2", "v0")]
+    store.append(t, spark.createDataFrame(dup, store.schema(t)))  # v0
+    # v1: collapse the duplicate (overwrite with one d1 copy + d2,
+    # plus a TRIPLED d2 to test the insert direction too)
+    store.overwrite(
+        t,
+        spark.createDataFrame(
+            [row("d1", "v0"), row("d2", "v0"), row("d2", "v0"), row("d2", "v0")],
+            store.schema(t),
+        ),
+    )
+    ch = [
+        (r["dataset_id"], r["_change_type"])
+        for r in store.changes(t, 0, 1).collect()
+    ]
+    assert sorted(ch) == [("d1", "delete"), ("d2", "insert"), ("d2", "insert")]
+
+
+def test_store_cdf_across_schema_evolution(spark, tmp_path):
+    """ADVICE r4 (medium): changes() across an add_column boundary must
+    work — the older snapshot reads NULL for the added column, and a row
+    whose added-column value is non-NULL reports as delete+insert."""
+    from pyspark.sql import functions as F
+
+    from geostore_spark.sources.store import MetadataStore
+
+    store = MetadataStore(spark, str(tmp_path / "store"))
+    t = "datasets"
+    store.append(
+        t,
+        spark.createDataFrame(
+            [{"dataset_id": "d1", "title": "t", "created_at": None,
+              "updated_at": None, "current_dataset_version": "v0"}],
+            store.schema(t),
+        ),
+    )  # v0
+    store.add_column(t, "owner", F.lit("team-a"))  # v1: d1 gains owner
+    ch = [
+        (r["dataset_id"], r["_change_type"], r["owner"])
+        for r in store.changes(t, 0, 1).collect()
+    ]
+    # old row (owner NULL) deleted, new row (owner team-a) inserted
+    assert sorted(ch) == [("d1", "delete", None), ("d1", "insert", "team-a")]
