@@ -421,7 +421,14 @@ def simhash_pairs(
     collapse in a distinct over the (small) verified output.
 
     At scale each band index is a shuffle key — candidates per bucket
-    stay ~N/2^band_bits, and the band table is 4 rows per doc.
+    stay ~N/2^band_bits on a dispersed corpus, and the band table is 4
+    rows per doc. Measured at sf1 (50 k word-soup docs, one hub bucket
+    of 13.9 k): the candidate join + bit_count verify stream 277 M
+    candidates in ~2.4 s each and are NOT the cost — the query is
+    output-volume-bound (6.9 M true Hamming<=3 pairs survive; their
+    distinct + canonical sort + driver materialization dominate, and the
+    single-node oracle pays the same). At 100 TB the pairs feed a sink
+    or a downstream join, never a driver collect.
     """
     width = 32 // SIMHASH_BANDS  # 8 bits per band
     bands = fingerprints.select(
@@ -441,6 +448,11 @@ def simhash_pairs(
             )
         ).alias("bk"),
     ).select(id_col, "fp", F.col("bk.band").alias("band"), F.col("bk.bval").alias("bval"))
+    # both join sides read the band table; without a checkpoint the
+    # Arrow-batched fingerprint pass (the md5 token loop) evaluates once
+    # PER SIDE — measured as a secondary cost at sf1 (50 k docs ≈ 2.75 M
+    # md5 calls per evaluation). 4 rows/doc of 4 longs: tiny to pin.
+    bands = bands.localCheckpoint(eager=False)
     a, b = bands.alias("a"), bands.alias("b")
     hamming = F.expr("bit_count(fp_a ^ fp_b)")
     return (

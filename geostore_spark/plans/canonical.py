@@ -1027,16 +1027,26 @@ def a7(spark: SparkSession, sf: str) -> DataFrame:
        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 )
 def a8(spark: SparkSession, sf: str) -> DataFrame:
-    # Both aggregates ride one shuffle on l_returnflag; the HLL side stays
-    # sketch-mergeable (map-side partials) exactly as it would at 100 TB,
-    # the exact side is only here to ground the bound check.
-    return (
-        load_table(spark, "lineitem", sf)
+    # The HLL and the exact side run as SEPARATE aggregates joined on the
+    # 3-row group table: mixing countDistinct with another aggregate in
+    # one agg() makes Catalyst plan an Expand (2x the scan) and carry the
+    # rsd=0.02 HLL buffer (~4 KB) through the per-(flag, partkey) partial
+    # groups — gigabytes of aggregation state at sf1+, measured 12-27 s
+    # with GC thrash. Split, the HLL keeps map-side sketch-mergeable
+    # partials with exactly 3 buffers, and the exact side is a two-phase
+    # distinct (map-side dedup on (flag, partkey), then a count) — two
+    # cheap shuffles instead of one pathological one.
+    li = load_table(spark, "lineitem", sf).select("l_returnflag", "l_partkey")
+    hll = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts")
+    )
+    exact = (
+        li.distinct()
         .groupBy("l_returnflag")
-        .agg(
-            F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
-            F.countDistinct("l_partkey").alias("exact_parts"),
-        )
+        .agg(F.count(F.lit(1)).alias("exact_parts"))
+    )
+    return (
+        exact.join(F.broadcast(hll), "l_returnflag")
         .select(
             "l_returnflag",
             "exact_parts",

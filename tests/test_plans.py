@@ -784,3 +784,14 @@ def test_ngram_verify_is_barrier_free(spark):
     # pins it (exchanges: prefix-join input shuffles + final dedup/sort)
     assert "SortMergeJoin" not in plan
     assert plan.count("Exchange") <= 6
+
+
+def test_a8_hll_never_rides_the_distinct_expand(spark):
+    # r5 scale fix: countDistinct mixed into the HLL agg() makes
+    # Catalyst plan an Expand and carry the rsd=0.02 HLL buffer through
+    # per-(flag, partkey) partial groups — gigabytes of agg state at
+    # sf1+ (measured 12-27 s with GC thrash). The two sides must stay
+    # separate aggregates joined on the 3-row group table.
+    plan = _plan(spark, "a8_approx_distinct")
+    assert "Expand" not in plan
+    assert "BroadcastHashJoin" in plan
