@@ -67,8 +67,10 @@ _NEVER_DRIVER_SAMPLED = (
     "x_stats_approx_quantile_audit", "x_stats_linreg",
     "x_stats_runs_test", "x_text_template_fingerprint",
     "x_text_trigram_novelty", "x_win_ratio_to_report",
-    # -- 2: plans changed in round 5
+    # -- 2: plans changed in round 5 (bloom xxhash probe; shared kmeans
+    # assignment; a8's Expand-free split HLL/exact aggregates)
     "x_join_bloom_semi", "x_ml_kmeans", "x_dedup_semantic",
+    "a8_approx_distinct",
     # -- 3: driver rows stale vs r3/r4 plan rewrites
     "x_dedup_ngram_jaccard", "x_dedup_containment", "x_graph_triangles",
     "x_dedup_minhash_lsh",

@@ -62,6 +62,19 @@ def build_session(
         # real cluster this maps to per-executor memory sized the same
         # way: (concurrent tasks) x (broadcast + spill working set).
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
+        # (a) JVM unified-logging warnings default to STDOUT and can
+        # interleave with bench.py's one-JSON-line contract (observed:
+        # gc,alloc GCLocker warnings corrupting the output mid-line);
+        # route all JVM log output to stderr. (b) Arrow's JNI critical
+        # sections can starve allocation under concurrent streams
+        # ("Retried waiting for GCLocker too often" → JVM abort at sf1);
+        # raise the retry budget from the JDK17 default of 2.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-Xlog:disable -Xlog:all=warning:stderr "
+            "-XX:+UnlockDiagnosticVMOptions "
+            "-XX:GCLockerRetryAllocationCount=100",
+        )
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
     )

@@ -966,3 +966,78 @@ def streaming_peak_tracker(stream: DataFrame, api: str = "auto") -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     raise ValueError(f"unknown peak-tracker api: {api!r}")
+
+
+# -- streaming CUSUM changepoint ---------------------------------------------
+
+CP_SCHEMA = "cp_day string, n_days long, total_events long, cusum_abs long"
+_CP_STATE_SCHEMA = "days array<string>, ns array<long>"
+
+
+def _update_changepoint(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Online CUSUM changepoint: state is the (day -> count) rollup —
+    bounded by distinct days, never events — and each microbatch emits
+    the CURRENT argmax of |D*cum_d - rank_d*total| under the exact
+    integer rule of the batch ``x_events_changepoint``, so the final
+    emission converges to the batch answer once the stream drains."""
+    days_counts: dict[str, int] = {}
+    if state.exists:
+        days0, ns0 = state.get
+        days_counts = dict(zip(days0, (int(n) for n in ns0)))
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        days = pd.to_datetime(pdf["ts"]).dt.strftime("%Y-%m-%d")
+        for d, n in days.value_counts().items():
+            days_counts[d] = days_counts.get(d, 0) + int(n)
+    days_sorted = sorted(days_counts)
+    total = sum(days_counts.values())
+    n_days = len(days_sorted)
+    cum = 0
+    best_day, best_s = None, -1
+    for rk, d in enumerate(days_sorted, start=1):
+        cum += days_counts[d]
+        s = abs(n_days * cum - rk * total)
+        if s > best_s:  # strict: ties keep the EARLIEST day, as in batch
+            best_day, best_s = d, s
+    state.update((days_sorted, [days_counts[d] for d in days_sorted]))
+    yield pd.DataFrame(
+        {
+            "cp_day": [best_day],
+            "n_days": [n_days],
+            "total_events": [total],
+            "cusum_abs": [best_s],
+        }
+    ).astype(
+        {
+            "cp_day": "object",
+            "n_days": "int64",
+            "total_events": "int64",
+            "cusum_abs": "int64",
+        }
+    )
+
+
+def streaming_changepoint(stream: DataFrame) -> DataFrame:
+    """Streaming twin of ``operators.temporal.q_events_changepoint``.
+
+    One constant-key state holds the day rollup (at scale, a
+    watermarked per-day pre-aggregation upstream shrinks the stateful
+    input to one row per (day, microbatch); the state itself is already
+    rollup-sized either way). Append mode: one current-answer row per
+    microbatch; the last row equals the batch query's output."""
+    return (
+        stream.withColumn("g", F.lit(0))
+        .groupBy("g")
+        .applyInPandasWithState(
+            _update_changepoint,
+            outputStructType=CP_SCHEMA,
+            stateStructType=_CP_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

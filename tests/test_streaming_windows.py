@@ -671,3 +671,48 @@ def test_streaming_rolling_anomaly_matches_batch_contract(spark, tmp_path):
         streaming_rolling_anomaly(event_stream(spark, events)), ckpt
     )
     assert [r["day"] for r in second] == [_ts(10)[:10]]
+
+
+def test_streaming_changepoint_converges_to_batch_rule(spark, tmp_path):
+    """Streaming twin of x_events_changepoint: the (day -> count) state
+    is rollup-bounded, each microbatch emits the current CUSUM argmax,
+    and the final emission equals the batch integer rule. A restart
+    resumes from the state store and stays consistent."""
+    from geostore_spark.streaming.windows import streaming_changepoint
+
+    events = str(tmp_path / "events")
+    ckpt = str(tmp_path / "ckpt")
+
+    # level shift after day 4: 2 events/day then 6/day
+    per_day = [2, 2, 2, 2, 6, 6, 6]
+    eid = 0
+    for i, n in enumerate(per_day, start=1):
+        rows = []
+        for j in range(n):
+            eid += 1
+            rows.append(_event(eid, 1, _ts(i, hour=j + 1)))
+        _write_events(events, f"b{i}.json", rows)
+
+    got = drain_collect(streaming_changepoint(event_stream(spark, events)), ckpt)
+    assert len(got) >= 1
+    final = got[-1]
+
+    # replicate the batch rule in plain python
+    counts = per_day
+    total, n_days = sum(counts), len(counts)
+    cum, best = 0, None
+    for rk, c in enumerate(counts, start=1):
+        cum += c
+        s = abs(n_days * cum - rk * total)
+        if best is None or s > best[1]:
+            best = (rk, s)
+    assert final["cp_day"] == _ts(best[0])[:10]
+    assert final["n_days"] == n_days
+    assert final["total_events"] == total
+    assert final["cusum_abs"] == best[1]
+
+    # restart with one more quiet day: the resumed state keeps history
+    _write_events(events, "b8.json", [_event(eid + 1, 1, _ts(8, hour=1))])
+    second = drain_collect(streaming_changepoint(event_stream(spark, events)), ckpt)
+    assert second[-1]["total_events"] == total + 1
+    assert second[-1]["n_days"] == n_days + 1
