@@ -795,3 +795,17 @@ def test_a8_hll_never_rides_the_distinct_expand(spark):
     plan = _plan(spark, "a8_approx_distinct")
     assert "Expand" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_a9_quantiles_is_rank_selection_not_map_aggregate(spark):
+    # r5 scale fix: Spark's exact `percentile` aggregate carries a
+    # value->count OpenHashMap through every partial-agg buffer —
+    # ~|group| entries each on near-unique o_totalprice (measured 30 s
+    # at sf1; O(data) agg state at 100 TB). The plan must instead be
+    # the two-phase distributed rank: a RangePartitioning exchange, a
+    # broadcast offsets/targets join, and a constant-size final
+    # aggregate over only the rows AT the six cut positions.
+    plan = _plan(spark, "a9_quantiles")
+    assert "percentile" not in plan
+    assert "rangepartitioning" in plan.lower()
+    assert "BroadcastHashJoin" in plan
