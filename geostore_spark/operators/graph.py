@@ -713,14 +713,21 @@ def _kcore_oracle() -> str:
     "drops nodes below degree k, then keeps only edges with both "
     "endpoints surviving — the standard dense-subgraph extraction that "
     "feeds fraud-ring / hub-detection pipelines. Per round: one "
-    "partial-aggregated degree shuffle + two semi joins against the "
-    "(shrinking) survivor set; the edge list is checkpointed between "
-    "rounds so round r never recomputes rounds 0..r-1's joins "
-    "(lineage would otherwise grow quadratically in rounds). Survivor "
-    "sets are |V|-sized and hash-joined, never collected.",
+    "partial-aggregated degree shuffle; the survivor set is |V|-sized "
+    "(aggregate-sized next to |E|), so while it fits the broadcast "
+    "budget both endpoint semi joins are broadcast probes and the edge "
+    "list NEVER shuffles after its initial dedup (measured sf1: 52.7 s "
+    "of per-round edge sort-merges -> broadcast probes). Past the "
+    "budget the semi joins fall back to co-partitioned shuffles. The "
+    "edge list is checkpointed between rounds so round r never "
+    "recomputes rounds 0..r-1's joins; per-round counts are the "
+    "checkpoint-materializing actions, so the result assembles from "
+    "collected scalars (constant-size driver state).",
     _kcore_oracle(),
 )
-def q_kcore(spark: SparkSession, sf: str) -> DataFrame:
+def q_kcore(
+    spark: SparkSession, sf: str, broadcast_max_nodes: int = 8_000_000
+) -> DataFrame:
     li = load_table(spark, "lineitem", sf)
     edges = (
         li.select(
@@ -739,24 +746,24 @@ def q_kcore(spark: SparkSession, sf: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("d"))
         )
         keep = deg.filter(F.col("d") >= KCORE_K).select("node")
-        # survivors feed two semi joins + the count; materialize once
+        # survivors feed two semi joins; materialize once — the count is
+        # the materializing action AND the broadcast-dispatch sensor
         keep = keep.localCheckpoint(eager=False)
+        n_nodes = keep.count()
+
+        def _keep_as(col: str):
+            k = keep.withColumnRenamed("node", col)
+            return F.broadcast(k) if n_nodes <= broadcast_max_nodes else k
+
         edges = (
-            edges.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
-            .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+            edges.join(_keep_as("u"), "u", "left_semi")
+            .join(_keep_as("v"), "v", "left_semi")
             .localCheckpoint(eager=False)
         )
-        stats.append(
-            keep.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
-            .crossJoin(
-                edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
-            )
-            .select(F.lit(rnd).alias("round"), "n_nodes", "n_edges")
-        )
-    out = stats[0]
-    for s in stats[1:]:
-        out = out.unionAll(s)
-    return out.orderBy("round")
+        stats.append((rnd, n_nodes, edges.count()))
+    return spark.createDataFrame(
+        stats, "round int, n_nodes long, n_edges long"
+    ).orderBy("round")
 
 
 # -- BFS frontier layers -----------------------------------------------------

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from geostore_spark.logging_keys import LOG_MESSAGE_STRATEGY_DISPATCH, log_event
 from geostore_spark.registry import register
 from geostore_spark.sources.tables import load_table
 
@@ -1096,45 +1097,176 @@ FUZZY_SUBBLOCKS = 16
        FROM p GROUP BY nation ORDER BY nation""",
 )
 def text_fuzzy_join(spark: SparkSession, sf: str) -> DataFrame:
-    S = FUZZY_SUBBLOCKS
     cust = load_table(spark, "customer", sf).select(
         "c_custkey", "c_name", "c_nationkey"
     )
-    # Probe side: one salt per row; repartition on (block, salt) so the
-    # quadratic kernel runs on blocks x S tasks even when the scan is a
-    # single small file (without this the whole join is ONE task locally).
-    a = (
-        cust.withColumn("g", F.pmod(F.hash("c_custkey"), F.lit(S)))
-        .repartition(2 * S, "c_nationkey", "g")
-        .alias("a")
+    return fuzzy_edit_join(cust)
+
+
+def fuzzy_edit_join(cust_in: DataFrame, force: str | None = None) -> DataFrame:
+    # Two candidate-generation strategies, chosen at runtime by a
+    # cost sensor (the triangle/pagerank dispatch pattern applied to
+    # string joins — neither strategy dominates, the DATA decides):
+    #
+    # 1. PassJoin segment indexing (Li, Deng, Wang, Feng — VLDB'11
+    #    family): partition every string into d+1 = 3 even segments;
+    #    if ed(a, b) <= d then by pigeonhole at least one of b's
+    #    segments survives EXACTLY in a, shifted by <= d positions, so
+    #    candidates come from an EQUI-join on (nation, |b|, segment
+    #    index, segment text) with a ~constant probe fan-out per row.
+    #    Candidates scale with segment-bucket collision counts — tiny
+    #    on dispersed real-world names, but an 18-char corpus whose
+    #    first 12 chars are a constant template collapses segments 0-1
+    #    into one bucket per nation and the equi-join degenerates to
+    #    the full quadratic PLUS a pair-dedup shuffle.
+    #
+    # 2. Salted block DP: all ordered in-block pairs meet a
+    #    threshold-bounded levenshtein, fragment-and-replicate salted
+    #    into S sub-blocks so per-task work is (block/S) x block and
+    #    parallelism is blocks x S. Cost is exactly Sum(block^2)/2 —
+    #    skew-proof, never better than quadratic.
+    #
+    # Sensor: both costs are sums of squared bucket sizes (candidate
+    # counts), estimated with two cheap partial-aggregated counts over
+    # the segment table / the nation blocks. Pick the smaller. The
+    # constant-prefix fixture routes to block DP; a names-with-entropy
+    # corpus routes to PassJoin and candidates ~ true-pair density.
+    dmax = FUZZY_MAX_DIST
+    nseg = dmax + 1
+    cust = cust_in.select(
+        "c_custkey", "c_name", "c_nationkey", F.length("c_name").alias("ln")
     )
-    # Build side: replicate to every sub-block (xS rows, still tiny per
-    # block); each (a, b) pair meets exactly once — in a's sub-block.
-    b = (
-        cust.withColumn("g", F.explode(F.array(*[F.lit(i) for i in range(S)])))
-        .alias("b")
+    # even partition boundaries for a string of length L: segment i
+    # (0-based) has len L DIV n + (i < L % n), start 1 + i*(L DIV n)
+    # + least(i, L % n) — the same closed form on both sides
+    seg_len = "(L div {n}) + (case when i < (L % {n}) then 1 else 0 end)"
+    seg_start = "1 + i * (L div {n}) + least(i, L % {n})"
+    b = cust.filter(F.col("ln") >= nseg).selectExpr(
+        "c_custkey", "c_name", "c_nationkey", "ln",
+        f"""explode(transform(sequence(0, {nseg - 1}), i ->
+              struct(i as i,
+                     substr(c_name,
+                            {seg_start.format(n=nseg).replace('L', 'ln')},
+                            {seg_len.format(n=nseg).replace('L', 'ln')})
+                       as seg))) as bk""",
+    ).select(
+        F.col("c_nationkey").alias("b_nation"),
+        F.col("c_custkey").alias("b_key"),
+        F.col("c_name").alias("b_name"),
+        F.col("ln").alias("b_ln"),
+        F.col("bk.i").alias("i"),
+        F.col("bk.seg").alias("seg"),
     )
-    # Band predicates first (codegen-cheap, short-circuit the DP): pair
-    # ordering halves the candidates, the length band is a necessary
-    # condition for edit distance <= FUZZY_MAX_DIST (prunes nothing on the
-    # constant-length-18 fixture names but is free, and prunes hard on
-    # variable-length corpora).
-    length_band = (
-        F.abs(F.length(F.col("a.c_name")) - F.length(F.col("b.c_name")))
-        <= FUZZY_MAX_DIST
+    # probe: every (build length Lb, segment i, start p) triple whose
+    # segment could have survived from a within-distance partner
+    a = cust.selectExpr(
+        "c_custkey", "c_name", "c_nationkey", "ln",
+        f"""explode(flatten(transform(
+              sequence(greatest(ln - {dmax}, {nseg}), ln + {dmax}), Lb ->
+              flatten(transform(sequence(0, {nseg - 1}), i ->
+                transform(
+                  sequence(
+                    greatest({seg_start.format(n=nseg).replace('L', 'Lb')}
+                             - {dmax}, 1),
+                    {seg_start.format(n=nseg).replace('L', 'Lb')} + {dmax}
+                  ), p ->
+                  struct(Lb as lb, i as i,
+                         substr(c_name, p,
+                                {seg_len.format(n=nseg).replace('L', 'Lb')})
+                           as sub))))))) as pk""",
+    ).select(
+        F.col("c_nationkey").alias("a_nation"),
+        F.col("c_custkey").alias("a_key"),
+        F.col("c_name").alias("a_name"),
+        F.col("pk.lb").alias("lb"),
+        F.col("pk.i").alias("pi"),
+        F.col("pk.sub").alias("sub"),
     )
-    # Threshold-bounded DP: returns -1 when distance exceeds the bound,
-    # the exact distance otherwise.
-    d = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"), FUZZY_MAX_DIST)
-    return (
-        a.join(
-            b,
-            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
-            & (F.col("a.g") == F.col("b.g"))
-            & (F.col("a.c_custkey") < F.col("b.c_custkey"))
-            & length_band,
+    # Cost sensor: candidate counts are sums of squared bucket sizes.
+    # Both aggregates partially combine map-side and collapse to one
+    # scalar each; the segment table is checkpointed so the PassJoin
+    # path (if chosen) reuses it instead of re-mining segments.
+    b = b.localCheckpoint(eager=False)
+    passjoin_est = b.groupBy("b_nation", "b_ln", "i", "seg").agg(
+        F.count(F.lit(1)).alias("m")
+    ).agg(F.sum(F.col("m") * F.col("m"))).collect()[0][0] or 0
+    block_dp_est = cust.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("m")
+    ).agg(F.sum(F.col("m") * F.col("m"))).collect()[0][0] or 0
+    strategy = force or (
+        "passjoin" if passjoin_est <= block_dp_est else "block_dp"
+    )
+    log_event(
+        LOG_MESSAGE_STRATEGY_DISPATCH,
+        stage="fuzzy_join",
+        passjoin_candidates=int(passjoin_est),
+        block_dp_candidates=int(block_dp_est),
+        strategy=strategy,
+    )
+
+    if strategy == "passjoin":
+        cand = (
+            a.join(
+                b,
+                (F.col("a_nation") == F.col("b_nation"))
+                & (F.col("lb") == F.col("b_ln"))
+                & (F.col("pi") == F.col("i"))
+                & (F.col("sub") == F.col("seg"))
+                & (F.col("a_key") < F.col("b_key")),
+            )
+            .select("a_nation", "a_key", "b_key", "a_name", "b_name")
+            .dropDuplicates(["a_key", "b_key"])
         )
-        .select(F.col("a.c_nationkey").alias("nation"), d.alias("d"))
+        # strings too short to carry 3 non-empty segments can only pair
+        # with strings in the length band — both sides tiny; brute-force
+        shortb = cust.filter(F.col("ln") < nseg).alias("sb")
+        shorta = cust.filter(F.col("ln") < nseg + dmax).alias("sa")
+        brute = (
+            shorta.join(
+                shortb,
+                (F.col("sa.c_nationkey") == F.col("sb.c_nationkey"))
+                & (F.col("sa.c_custkey") < F.col("sb.c_custkey"))
+                & (F.abs(F.col("sa.ln") - F.col("sb.ln")) <= dmax),
+            )
+            .select(
+                F.col("sa.c_nationkey").alias("a_nation"),
+                F.col("sa.c_custkey").alias("a_key"),
+                F.col("sb.c_custkey").alias("b_key"),
+                F.col("sa.c_name").alias("a_name"),
+                F.col("sb.c_name").alias("b_name"),
+            )
+        )
+        cand = cand.unionByName(brute)
+    else:
+        S = FUZZY_SUBBLOCKS
+        # probe keeps one salt per row; build replicates to every salt —
+        # each pair meets exactly once, in the probe row's sub-block
+        pa = (
+            cust.withColumn("g", F.pmod(F.hash("c_custkey"), F.lit(S)))
+            .repartition(2 * S, "c_nationkey", "g")
+            .alias("pa")
+        )
+        pb = cust.withColumn(
+            "g", F.explode(F.array(*[F.lit(i) for i in range(S)]))
+        ).alias("pb")
+        cand = pa.join(
+            pb,
+            (F.col("pa.c_nationkey") == F.col("pb.c_nationkey"))
+            & (F.col("pa.g") == F.col("pb.g"))
+            & (F.col("pa.c_custkey") < F.col("pb.c_custkey"))
+            & (F.abs(F.col("pa.ln") - F.col("pb.ln")) <= dmax),
+        ).select(
+            F.col("pa.c_nationkey").alias("a_nation"),
+            F.col("pa.c_custkey").alias("a_key"),
+            F.col("pb.c_custkey").alias("b_key"),
+            F.col("pa.c_name").alias("a_name"),
+            F.col("pb.c_name").alias("b_name"),
+        )
+    # threshold-bounded DP only on surviving candidates: returns -1 when
+    # the distance exceeds the bound, the exact distance otherwise
+    d = F.levenshtein(F.col("a_name"), F.col("b_name"), dmax)
+    return (
+        cand.select(F.col("a_nation").alias("nation"), d.alias("d"))
         .filter(F.col("d") >= 0)
         .groupBy("nation")
         .agg(

@@ -291,28 +291,43 @@ def test_semantic_dedup_single_cluster_shuffle(spark):
     assert "SortMergeJoin" not in plan
 
 
-def test_fuzzy_join_bands_salting_and_threshold_dp(spark):
-    # the blocked edit-distance join must (a) carry the cheap band
-    # predicates in the join itself — pair ordering + length band — so
-    # they short-circuit before the DP kernel, (b) use threshold-bounded
-    # levenshtein (3-arg form → banded O(d·n) DP with early exit), and
-    # (c) salt the 25-nation blocks into sub-blocks (join key includes
-    # the salt g) so parallelism is blocks × S, not 25
+def test_fuzzy_join_dispatch_and_plan_shapes(spark):
+    # The fuzzy join picks its candidate strategy from a cost sensor
+    # (sum of squared bucket sizes). On the constant-prefix fixture the
+    # PassJoin segment buckets collapse (segments 0-1 identical for
+    # every name), so the sensor MUST route to the salted block DP —
+    # and on a dispersed corpus it must route to the segment equi-join.
+    # Both plans stay cartesian-free with the threshold-bounded
+    # 3-arg levenshtein (banded O(d*n) DP with early exit).
     df = entry_mod.queries()["x_text_fuzzy_join"](spark, SF)
-    # toString() truncates long condition lines; the formatted explain
-    # prints the full join keys + condition
     plan = df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted"
     )
-    # detailed node section: "(9) BroadcastHashJoin\nLeft keys...\nJoin condition: ..."
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "levenshtein" in plan and "2)" in plan  # threshold-bounded DP
+    # fixture routes to block DP: the salt g participates in the join
     join_block = plan[plan.rindex("HashJoin") :]
     cond = join_block[: join_block.index("\n\n")]
+    assert "g#" in cond  # salted sub-block equi-key
     assert "c_custkey" in cond and "<" in cond  # pair-ordering band
-    assert "abs" in cond and "length" in cond  # length band
-    assert "levenshtein" in plan and "2)" in plan  # threshold-bounded DP
-    # salted sub-block key g participates in the equi-join keys
-    assert "g#" in cond
-    assert "CartesianProduct" not in plan
+
+    # dispersed synthetic names route to PassJoin: segment equi-join
+    from geostore_spark.operators.text import fuzzy_edit_join
+
+    disp = spark.createDataFrame(
+        [(i, f"{i * 2654435761 % 10**9:09d}xyz{i}", i % 3) for i in range(200)],
+        "c_custkey long, c_name string, c_nationkey long",
+    )
+    df2 = fuzzy_edit_join(disp)
+    plan2 = df2._sc._jvm.PythonSQLUtils.explainString(
+        df2._jdf.queryExecution(), "formatted"
+    )
+    assert "CartesianProduct" not in plan2
+    assert "BroadcastNestedLoopJoin" not in plan2
+    # the segment text and index are equi-keys of the candidate join
+    assert "seg" in plan2 and "sub" in plan2
+    assert "levenshtein" in plan2
 
 
 @pytest.mark.parametrize("name", ["x_stats_gini", "x_win_ntile_quartiles"])
