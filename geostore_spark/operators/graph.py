@@ -558,13 +558,19 @@ def q_triangles(spark: SparkSession, sf: str) -> DataFrame:
     return triangle_counts_from_edges(edges)
 
 
-# Broadcast budget for the triangle wedge/closure fusion: 8 M oriented
-# edges ≈ 130 MB packed — comfortably inside executor broadcast memory.
-# Past it the |E| broadcast would be the classic works-at-toy-SF /
-# OOMs-at-100x failure, so the plan switches to co-partitioned
-# sort-merge joins (same runtime-dispatch idea as connected_components'
-# local-union-find threshold above).
-TRIANGLE_BROADCAST_MAX_EDGES = 8_000_000
+# Broadcast budget for the triangle wedge/closure fusion. The fusion
+# holds TWO broadcasts at once — the oriented (src, dst, dst_d) wedge
+# side keyed by src and the packed-key closing probe — worst-case
+# ~40 B/edge of hashed-relation state, so 16 M edges ≈ 640 MB: inside
+# the normal 4-8 GB executor budget, and worth it because the
+# sort-merge fallback must SHUFFLE the wedge stream, which is 30-40x
+# |E| on co-purchase-shaped graphs (measured sf1, 12 M oriented edges /
+# 413 M wedges: fused 71.6 s vs co-partitioned 151 s). Past the budget
+# the |E| broadcast would be the classic works-at-toy-SF / OOMs-at-100x
+# failure, so the plan switches to co-partitioned sort-merge joins
+# (same runtime-dispatch idea as connected_components' local-union-find
+# threshold above).
+TRIANGLE_BROADCAST_MAX_EDGES = 16_000_000
 
 
 def triangle_counts_from_edges(
