@@ -149,16 +149,31 @@ def q_rfm(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q_basket_lift(spark: SparkSession, sf: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf)
-    op = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")).distinct()
-    # order-part pairs feed pair counts AND item supports; one scan each
-    # would re-run the distinct — materialize once
-    op = op.localCheckpoint(eager=False)
-    n = op.agg(F.count_distinct("o").alias("n_orders"))
-    item = op.groupBy("p").agg(F.count(F.lit(1)).alias("n_p"))
-    a, b = op.alias("a"), op.alias("b")
+    # ONE order-keyed shuffle builds the per-order distinct part set
+    # (collect_set dedups in the aggregate — no separate distinct pass,
+    # no order-keyed SELF-JOIN of the 6 M-row (o, p) table); orders are
+    # small (<= ~7 parts), so the basket rows are bounded structs and
+    # the in-row pair explode is a codegen expression, never a join.
+    # n_orders and item supports both derive from the basket table —
+    # every downstream pass reads the 4x-smaller grouped checkpoint.
+    baskets = (
+        li.groupBy(F.col("l_orderkey").alias("o"))
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+        .localCheckpoint(eager=False)
+    )
+    n = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
+    item = (
+        baskets.select(F.explode("ps").alias("p"))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("n_p"))
+    )
     pair = (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
-        .groupBy(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
+        baskets.selectExpr(
+            """explode(flatten(transform(ps, (x, i) ->
+                 transform(slice(ps, i + 2, size(ps)), y ->
+                   struct(x as pa, y as pb))))) as pr"""
+        )
+        .groupBy(F.col("pr.pa").alias("pa"), F.col("pr.pb").alias("pb"))
         .agg(F.count(F.lit(1)).alias("n_ab"))
         .filter(F.col("n_ab") >= BASKET_MIN_SUPPORT)
     )
