@@ -671,6 +671,11 @@ def text_perplexity(spark: SparkSession, sf: str) -> DataFrame:
     shuffles over the vocab — the fact side never shuffles)."""
     docs = load_table(spark, "documents", sf)
     ws = F.split(F.trim("text"), " ")
+    # ONE bigram explode feeds both the LM derivation and the scoring
+    # join (uncheckpointed, each branch would re-run the scan+explode —
+    # measured as ~2x the query at sf1); rows carry only (doc_id, g) —
+    # the LM's context word w1 is a prefix of g, recovered vocab-sized
+    # AFTER the bigram rollup instead of riding 25 M corpus rows.
     pairs = (
         docs.filter(F.size(ws) >= 2)
         .select(
@@ -679,22 +684,21 @@ def text_perplexity(spark: SparkSession, sf: str) -> DataFrame:
                 F.zip_with(
                     F.slice(ws, 1, F.size(ws) - 1),
                     F.slice(ws, 2, F.size(ws) - 1),
-                    lambda a, b: F.struct(a.alias("w1"), F.concat_ws(" ", a, b).alias("g")),
+                    lambda a, b: F.concat_ws(" ", a, b),
                 )
-            ).alias("z"),
+            ).alias("g"),
         )
-        .select("doc_id", "z.w1", "z.g")
+        .localCheckpoint(eager=False)
     )
-    bgc = pairs.groupBy("w1", "g").agg(F.count(F.lit(1)).alias("c"))
+    bgc = pairs.groupBy("g").agg(F.count(F.lit(1)).alias("c")).withColumn(
+        "w1", F.substring_index("g", " ", 1)
+    )
     ctx = bgc.groupBy("w1").agg(F.sum("c").alias("cw1"))
-    lm = (
-        bgc.join(F.broadcast(ctx), "w1")
-        .select(
-            "g",
-            F.round(F.log(F.col("c").cast("double") / F.col("cw1")) * 1e6, 0)
-            .cast("bigint")
-            .alias("t"),
-        )
+    lm = bgc.join(F.broadcast(ctx), "w1").select(
+        "g",
+        F.round(F.log(F.col("c").cast("double") / F.col("cw1")) * 1e6, 0)
+        .cast("bigint")
+        .alias("t"),
     )
     agg = (
         pairs.join(F.broadcast(lm), "g")
