@@ -550,8 +550,12 @@ def stats_ks_test(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(F.when(F.col("event_type") == KS_TYPE_B, 1).otherwise(0)).alias("b"),
     )
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    ranged = g.repartitionByRange(n_parts, "value").withColumn(
-        "_pid", F.spark_partition_id()
+    # pinned: the local-cumsum and slice-total branches must see ONE
+    # materialized range partitioning (see util.distributed_prefix_sum)
+    ranged = (
+        g.repartitionByRange(n_parts, "value")
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
     )
     # phase 1: local cumsums within each range slice (parallelism = slices)
     w_local = (
@@ -1627,4 +1631,190 @@ def q_bootstrap_ci(spark: SparkSession, sf: str) -> DataFrame:
             .alias("var_num"),
         )
         .orderBy("priority")
+    )
+
+
+# -- Kendall tau-b rank correlation ------------------------------------------
+
+
+@register(
+    "x_stats_kendall_tau",
+    "Kendall tau-b rank correlation between daily order volume and "
+    "daily revenue — the robust monotone-association check (Pearson "
+    "corr exists at x_stats_corr; tau-b is its outlier-immune twin "
+    "with exact tie handling). Concordant/discordant/tie counts are "
+    "EXACT integers from an ordered pair join over the daily rollup — "
+    "the rollup is bounded by distinct days at any SF (3650 rows for "
+    "a decade), so the broadcast self-join is aggregate-sized and the "
+    "one float op (the final tau ratio, correctly-rounded sqrt) is "
+    "identical on both engines. Fact rows shuffle ONCE into the "
+    "rollup; everything after is rollup-sized.",
+    """WITH d AS (
+         SELECT CAST(o_orderdate AS DATE) AS day,
+                COUNT(*) AS x,
+                CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                  AS y
+         FROM orders GROUP BY day
+       ),
+       p AS (
+         SELECT CAST(SUM(CASE WHEN (a.x < b.x AND a.y < b.y)
+                              OR (a.x > b.x AND a.y > b.y)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+                CAST(SUM(CASE WHEN (a.x < b.x AND a.y > b.y)
+                              OR (a.x > b.x AND a.y < b.y)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS nd,
+                CAST(SUM(CASE WHEN a.x = b.x THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n1,
+                CAST(SUM(CASE WHEN a.y = b.y THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n2,
+                CAST(COUNT(*) AS BIGINT) AS n0
+         FROM d a JOIN d b ON a.day < b.day
+       )
+       SELECT nc, nd, n1, n2, n0,
+              ROUND(CAST(nc - nd AS DOUBLE)
+                    / sqrt(CAST((n0 - n1) AS DOUBLE) * (n0 - n2)), 6)
+                AS tau_b
+       FROM p""",
+)
+def stats_kendall_tau(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf)
+    d = orders.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("x"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("y"),
+    )
+    # rollup feeds both sides of the pair join — pin it once
+    d = d.localCheckpoint(eager=False)
+    a, b = d.alias("a"), d.alias("b")
+    conc = (
+        ((F.col("a.x") < F.col("b.x")) & (F.col("a.y") < F.col("b.y")))
+        | ((F.col("a.x") > F.col("b.x")) & (F.col("a.y") > F.col("b.y")))
+    )
+    disc = (
+        ((F.col("a.x") < F.col("b.x")) & (F.col("a.y") > F.col("b.y")))
+        | ((F.col("a.x") > F.col("b.x")) & (F.col("a.y") < F.col("b.y")))
+    )
+    p = (
+        a.join(F.broadcast(b), F.col("a.day") < F.col("b.day"))
+        .agg(
+            F.sum(conc.cast("long")).cast("bigint").alias("nc"),
+            F.sum(disc.cast("long")).cast("bigint").alias("nd"),
+            F.sum((F.col("a.x") == F.col("b.x")).cast("long"))
+            .cast("bigint")
+            .alias("n1"),
+            F.sum((F.col("a.y") == F.col("b.y")).cast("long"))
+            .cast("bigint")
+            .alias("n2"),
+            F.count(F.lit(1)).cast("bigint").alias("n0"),
+        )
+    )
+    tau = F.round(
+        (F.col("nc") - F.col("nd")).cast("double")
+        / F.sqrt((F.col("n0") - F.col("n1")).cast("double") * (F.col("n0") - F.col("n2"))),
+        6,
+    )
+    return p.select("nc", "nd", "n1", "n2", "n0", tau.alias("tau_b"))
+
+
+# -- Mann-Whitney U (Wilcoxon rank-sum) --------------------------------------
+
+MW_GROUP_A = "1-URGENT"
+MW_GROUP_B = "5-LOW"
+
+
+@register(
+    "x_stats_mann_whitney",
+    "Mann-Whitney U (Wilcoxon rank-sum) between URGENT and LOW "
+    "priority order values — the nonparametric twin of x_stats_ttest "
+    "(no normality assumption; detects any location shift). Ranks "
+    "with exact tie midpoints: doubled average rank of a tied value "
+    "is the INTEGER 2*(count below) + count(tied) + 1, accumulated "
+    "over the (cents -> counts) rollup with the two-phase distributed "
+    "prefix sum (range partition + broadcast slice offsets — never a "
+    "1-task global window). The 2-sigma verdict with the full tie "
+    "correction is evaluated in DECIMAL(38,0) cross-multiplication "
+    "(products reach ~1e33 at sf1; exact through n ~ 1e7 per side, "
+    "past which the comparison needs a rescale both engines would "
+    "apply identically). Fact rows shuffle once into the value "
+    "rollup; every later stage is rollup- or scalar-sized.",
+    f"""WITH v AS (
+         SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                COUNT(*) AS cnt,
+                CAST(SUM(CASE WHEN o_orderpriority = '{MW_GROUP_A}'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS na
+         FROM orders
+         WHERE o_orderpriority IN ('{MW_GROUP_A}', '{MW_GROUP_B}')
+         GROUP BY cents
+       ),
+       c AS (
+         SELECT cents, cnt, na,
+                SUM(cnt) OVER (ORDER BY cents) - cnt AS below
+         FROM v
+       ),
+       m AS (
+         SELECT CAST(SUM(na) AS BIGINT) AS n1,
+                CAST(SUM(cnt - na) AS BIGINT) AS n2,
+                CAST(SUM(na * (2 * below + cnt + 1)) AS BIGINT) AS r1_2x,
+                CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS tie_term
+         FROM c
+       )
+       SELECT n1, n2,
+              CAST(r1_2x - n1 * (n1 + 1) AS BIGINT) AS u1_2x,
+              tie_term,
+              (CAST(r1_2x - n1 * (n1 + 1) - n1 * n2 AS DECIMAL(38, 0))
+                 * CAST(r1_2x - n1 * (n1 + 1) - n1 * n2 AS DECIMAL(38, 0))
+                 * CAST(3 * (n1 + n2) * (n1 + n2 - 1) AS DECIMAL(38, 0)))
+              > (CAST(4 * n1 AS DECIMAL(38, 0)) * CAST(n2 AS DECIMAL(38, 0))
+                 * CAST((n1 + n2) * ((n1 + n2) * (n1 + n2) - 1) - tie_term
+                        AS DECIMAL(38, 0)))
+                AS shift_2sigma
+       FROM m""",
+)
+def stats_mann_whitney(spark: SparkSession, sf: str) -> DataFrame:
+    from geostore_spark.operators.util import distributed_prefix_sum
+
+    orders = load_table(spark, "orders", sf)
+    v = (
+        orders.filter(F.col("o_orderpriority").isin(MW_GROUP_A, MW_GROUP_B))
+        .groupBy(
+            F.round(F.col("o_totalprice") * 100, 0)
+            .cast("bigint")
+            .alias("cents")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum((F.col("o_orderpriority") == MW_GROUP_A).cast("long"))
+            .cast("bigint")
+            .alias("na"),
+        )
+    )
+    c = distributed_prefix_sum(v, [], ["cents"], "cnt", out_name="cum")
+    c = c.withColumn("below", F.col("cum") - F.col("cnt"))
+    m = c.agg(
+        F.sum("na").cast("bigint").alias("n1"),
+        F.sum(F.col("cnt") - F.col("na")).cast("bigint").alias("n2"),
+        F.sum(F.col("na") * (2 * F.col("below") + F.col("cnt") + 1))
+        .cast("bigint")
+        .alias("r1_2x"),
+        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt"))
+        .cast("bigint")
+        .alias("tie_term"),
+    )
+    u1_2x = (F.col("r1_2x") - F.col("n1") * (F.col("n1") + 1)).cast("bigint")
+    n = F.col("n1") + F.col("n2")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    lhs = (
+        dec(u1_2x - F.col("n1") * F.col("n2"))
+        * dec(u1_2x - F.col("n1") * F.col("n2"))
+        * dec(3 * n * (n - 1))
+    )
+    rhs = (
+        dec(4 * F.col("n1"))
+        * dec(F.col("n2"))
+        * dec(n * (n * n - 1) - F.col("tie_term"))
+    )
+    return m.select(
+        "n1", "n2", u1_2x.alias("u1_2x"), "tie_term",
+        (lhs > rhs).alias("shift_2sigma"),
     )

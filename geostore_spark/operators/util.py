@@ -73,9 +73,20 @@ def distributed_row_number(
         num_partitions = int(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
         )
-    ranged = df.repartitionByRange(
-        num_partitions, *part_cols, *order_cols
-    ).withColumn("_pid", F.spark_partition_id())
+    # PIN the ranged table: local ranks and the offset table both read
+    # it, and without a checkpoint each branch evaluates its OWN
+    # RangePartitioning exchange — the boundary sampling then sees the
+    # (shuffle-order-nondeterministic) upstream twice and can draw
+    # DIFFERENT boundaries, making the broadcast offsets inconsistent
+    # with the pids the local ranks saw (observed: +142-row rank drift
+    # on a 60 k-row rollup whose groupBy emitted rows in two different
+    # orders). The checkpoint makes one materialized partitioning the
+    # single source of truth for every consumer.
+    ranged = (
+        df.repartitionByRange(num_partitions, *part_cols, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
     local_w = Window.partitionBy("_pid", *part_cols).orderBy(*order_cols)
     local = ranged.withColumn("_lrn", F.row_number().over(local_w))
     counts = ranged.groupBy("_pid", *part_cols).agg(F.count(F.lit(1)).alias("_cnt"))
@@ -124,9 +135,13 @@ def distributed_prefix_sum(
         num_partitions = int(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
         )
-    ranged = df.repartitionByRange(
-        num_partitions, *part_cols, *order_cols
-    ).withColumn("_pid", F.spark_partition_id())
+    # pinned for the same two-consumer consistency reason as
+    # distributed_row_number above
+    ranged = (
+        df.repartitionByRange(num_partitions, *part_cols, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
     local_w = (
         Window.partitionBy("_pid", *part_cols)
         .orderBy(*order_cols)
