@@ -67,21 +67,28 @@ _NEVER_DRIVER_SAMPLED = (
     "x_stats_approx_quantile_audit", "x_stats_linreg",
     "x_stats_runs_test", "x_text_template_fingerprint",
     "x_text_trigram_novelty", "x_win_ratio_to_report",
-    # -- 2: plans changed in round 5 (bloom xxhash probe; shared kmeans
-    # assignment; a8's Expand-free split HLL/exact aggregates)
+    # -- 2: round-5 additions, no driver row yet
+    "x_events_changepoint", "x_stats_bootstrap_ci",
+    "x_stats_kendall_tau", "x_stats_mann_whitney",
+    # -- 3: plans changed in round 5 (bloom xxhash probe; shared kmeans
+    # assignment; a8's Expand-free split aggregates; a9's rank-selection
+    # quantiles; bpe's vocabulary rollup; simhash pair-feed cap; the
+    # pagerank broadcast loop + kcore broadcast peel + triangle fusion
+    # budget; the fuzzy strategy dispatch; basket's in-row pair explode;
+    # perplexity's single bigram pass; and EVERY rider of the pinned
+    # distributed_row_number/prefix_sum helpers (rfm, pareto, gini,
+    # ntile, ks)
     "x_join_bloom_semi", "x_ml_kmeans", "x_dedup_semantic",
-    "a8_approx_distinct",
-    # -- 3: driver rows stale vs r3/r4 plan rewrites
-    "x_dedup_ngram_jaccard", "x_dedup_containment", "x_graph_triangles",
-    "x_dedup_minhash_lsh",
-    # -- 4: oldest d1-era rows
-    "x_dedup_exact", "x_dedup_url", "x_dedup_chunks",
-    "x_dedup_substring", "x_dedup_incremental", "x_dedup_simhash",
-    "x_dedup_simhash_pairs", "x_dedup_embed_cosine", "x_dedup_clusters",
-    "x_sim_topk_bruteforce", "x_sim_ann_lsh", "x_sim_ivf", "x_sim_ivfpq",
-    "x_sim_pq_adc", "x_sim_range_search", "x_sim_recall_eval",
-    "x_sim_label_purity", "x_text_winnow", "x_text_fingerprint",
-    "x_asof_join", "x_range_join", "x_geo_zorder", "x_geo_knn",
+    "a8_approx_distinct", "a9_quantiles", "x_text_bpe_pairs",
+    "x_dedup_simhash_pairs", "x_graph_pagerank", "x_graph_kcore",
+    "x_graph_triangles", "x_text_fuzzy_join", "x_orders_basket_lift",
+    "x_text_perplexity", "x_orders_rfm", "x_part_abc_pareto",
+    "x_stats_gini", "x_win_ntile_quartiles", "x_stats_ks_test",
+    # -- 4: driver rows stale vs r3/r4 plan rewrites
+    "x_dedup_ngram_jaccard", "x_dedup_containment", "x_dedup_minhash_lsh",
+    # -- 5: oldest d1-era rows (refresh as budget allows)
+    "x_dedup_exact", "x_dedup_url", "x_dedup_simhash",
+    "x_dedup_embed_cosine", "x_dedup_clusters",
 )
 
 
