@@ -1041,3 +1041,89 @@ def streaming_changepoint(stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# -- streaming Kendall tau-b -------------------------------------------------
+
+KT_SCHEMA = "n_days long, nc long, nd long, n1 long, n2 long, tau_q long"
+_KT_STATE_SCHEMA = "days array<string>, xs array<long>, ys array<long>"
+
+
+def _update_kendall(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Online Kendall tau-b between daily event count and daily summed
+    value: state is the (day -> (count, value_cents)) rollup — bounded
+    by distinct days — and each microbatch emits the CURRENT exact
+    concordant/discordant/tie counts (the O(days^2) pair pass runs over
+    the rollup, never over events). tau is emitted quantized at 1e6
+    (integer) so restarts and engines agree bit-for-bit."""
+    days: dict[str, list[int]] = {}
+    if state.exists:
+        ds, xs, ys = state.get
+        days = {d: [int(x), int(y)] for d, x, y in zip(ds, xs, ys)}
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        day = pd.to_datetime(pdf["ts"]).dt.strftime("%Y-%m-%d")
+        cents = (pdf["value"] * 100).round().astype("int64")
+        for d, n, c in zip(day, [1] * len(pdf), cents):
+            cur = days.setdefault(d, [0, 0])
+            cur[0] += n
+            cur[1] += int(c)
+    ds = sorted(days)
+    pts = [days[d] for d in ds]
+    n_days = len(pts)
+    nc = nd = n1 = n2 = 0
+    for i in range(n_days):
+        xi, yi = pts[i]
+        for j in range(i + 1, n_days):
+            xj, yj = pts[j]
+            if (xi < xj and yi < yj) or (xi > xj and yi > yj):
+                nc += 1
+            elif (xi < xj and yi > yj) or (xi > xj and yi < yj):
+                nd += 1
+            if xi == xj:
+                n1 += 1
+            if yi == yj:
+                n2 += 1
+    n0 = n_days * (n_days - 1) // 2
+    denom = (n0 - n1) * (n0 - n2)
+    tau_q = (
+        round(1_000_000 * (nc - nd) / (denom ** 0.5)) if denom > 0 else 0
+    )
+    state.update(
+        (ds, [days[d][0] for d in ds], [days[d][1] for d in ds])
+    )
+    yield pd.DataFrame(
+        {
+            "n_days": [n_days],
+            "nc": [nc],
+            "nd": [nd],
+            "n1": [n1],
+            "n2": [n2],
+            "tau_q": [int(tau_q)],
+        }
+    ).astype("int64")
+
+
+def streaming_kendall(stream: DataFrame) -> DataFrame:
+    """Streaming twin of ``operators.stats.stats_kendall_tau`` over the
+    event stream: one constant-key state holds the day rollup (at scale
+    a watermarked per-day pre-aggregation upstream shrinks the stateful
+    input to one row per (day, microbatch); the state itself is already
+    rollup-sized). Append mode: one current-answer row per microbatch;
+    the final row matches the batch pair-pass integer rule."""
+    return (
+        stream.withColumn("g", F.lit(0))
+        .groupBy("g")
+        .applyInPandasWithState(
+            _update_kendall,
+            outputStructType=KT_SCHEMA,
+            stateStructType=_KT_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -716,3 +716,59 @@ def test_streaming_changepoint_converges_to_batch_rule(spark, tmp_path):
     second = drain_collect(streaming_changepoint(event_stream(spark, events)), ckpt)
     assert second[-1]["total_events"] == total + 1
     assert second[-1]["n_days"] == n_days + 1
+
+
+def test_streaming_kendall_matches_pair_rule(spark, tmp_path):
+    """Streaming twin of x_stats_kendall_tau: the (day -> (count,
+    cents)) state is rollup-bounded, each microbatch emits the current
+    exact pair counts, and the final emission equals the batch integer
+    rule. A restart resumes from the state store."""
+    from geostore_spark.streaming.windows import streaming_kendall
+
+    events = str(tmp_path / "events")
+    ckpt = str(tmp_path / "ckpt")
+
+    # day i has i events of value 10*i -> x and y strictly concordant
+    # except day 4, which breaks the monotone pattern in y
+    per_day = {1: (1, 10.0), 2: (2, 20.0), 3: (3, 30.0), 4: (4, 5.0)}
+    eid = 0
+    for i, (n, val) in per_day.items():
+        rows = []
+        for j in range(n):
+            eid += 1
+            rows.append(_event(eid, 1, _ts(i, hour=j + 1), value=val))
+        _write_events(events, f"b{i}.json", rows)
+
+    got = drain_collect(streaming_kendall(event_stream(spark, events)), ckpt)
+    final = got[-1]
+
+    pts = sorted(
+        (i, (n, round(n * v * 100))) for i, (n, v) in per_day.items()
+    )
+    vals = [p for _, p in pts]
+    nc = nd = n1 = n2 = 0
+    for a in range(len(vals)):
+        for b in range(a + 1, len(vals)):
+            (xa, ya), (xb, yb) = vals[a], vals[b]
+            nc += (xa < xb and ya < yb) or (xa > xb and ya > yb)
+            nd += (xa < xb and ya > yb) or (xa > xb and ya < yb)
+            n1 += xa == xb
+            n2 += ya == yb
+    n0 = len(vals) * (len(vals) - 1) // 2
+    assert final["n_days"] == len(vals)
+    assert final["nc"] == nc and final["nd"] == nd
+    assert final["n1"] == n1 and final["n2"] == n2
+    assert final["tau_q"] == round(
+        1_000_000 * (nc - nd) / (((n0 - n1) * (n0 - n2)) ** 0.5)
+    )
+
+    # restart with a day that strictly dominates every prior day in
+    # BOTH count and cents — all 4 new pairs concordant
+    _write_events(
+        events, "b9.json",
+        [_event(eid + 1 + j, 1, _ts(9, hour=j + 1), value=50.0)
+         for j in range(5)],
+    )
+    second = drain_collect(streaming_kendall(event_stream(spark, events)), ckpt)
+    assert second[-1]["n_days"] == len(vals) + 1
+    assert second[-1]["nc"] == nc + len(vals)
