@@ -97,3 +97,29 @@ def test_ivf_probe_stage_logged(spark, logcap):
     all_queries()["x_sim_ivf"].spark(spark, SF)
     evs = [e for e in _dispatches(logcap) if e["stage"] == "ann_ivf_probe"]
     assert evs and evs[0]["n_cells"] > 0 and evs[0]["nprobe"] >= 1
+
+
+def test_fuzzy_join_dispatch_logged_both_ways(spark, logcap):
+    from geostore_spark.operators.text import fuzzy_edit_join
+
+    # constant-template names: the sensor must pick block_dp and log
+    # both candidate estimates it compared
+    const = spark.createDataFrame(
+        [(i, f"Customer#{i:09d}", 0) for i in range(40)],
+        "c_custkey long, c_name string, c_nationkey long",
+    )
+    fuzzy_edit_join(const).collect()
+    [ev] = [e for e in _dispatches(logcap) if e["stage"] == "fuzzy_join"]
+    assert ev["strategy"] == "block_dp"
+    assert ev["passjoin_candidates"] > ev["block_dp_candidates"]
+
+    logcap.clear()
+    # dispersed names: passjoin wins
+    disp = spark.createDataFrame(
+        [(i, f"{(i * 2654435761) % 10**9:09d}n{i}", 0) for i in range(40)],
+        "c_custkey long, c_name string, c_nationkey long",
+    )
+    fuzzy_edit_join(disp).collect()
+    [ev] = [e for e in _dispatches(logcap) if e["stage"] == "fuzzy_join"]
+    assert ev["strategy"] == "passjoin"
+    assert ev["passjoin_candidates"] <= ev["block_dp_candidates"]
