@@ -267,6 +267,15 @@ class MetadataStore:
             table, self.read(table, base).withColumn(name, default), base
         )
 
+    def create(self, table: str, df: DataFrame) -> None:
+        """Commit the FIRST snapshot (v0) of a new table — the path for
+        dynamically-named tables (materialized views, scratch outputs)
+        that have no entry in the fixed SCHEMAS registry. Errors if the
+        table already exists (use overwrite for that)."""
+        if self.current_version(table) >= 0:
+            raise ValueError(f"table '{table}' already exists")
+        self._write_snapshot(table, df, -1)
+
     def append(self, table: str, df: DataFrame) -> None:
         base = self.current_version(table)
         existing = self.read(table, base)
