@@ -73,12 +73,17 @@ def main() -> None:
             qs[name](spark, sf_dir).collect()
         except Exception as exc:  # record, don't zero the whole bench run
             seq_errors[name] = str(exc).splitlines()[0][:200]
+            # a partial elapsed time is NOT a completion time: keep it
+            # out of the published per-query map and the sequential sum
+            # (they'd silently mix failed and successful runs) — the
+            # failure is visible in sequential_errors instead
+            continue
         timings[name] = round(time.perf_counter() - start, 4)
     sequential_sum = round(sum(timings.values()), 4)
 
     # Pass 2: throughput — all queries again from `streams` driver threads,
     # longest-first (LPT makespan heuristic), one FAIR pool per thread.
-    order = sorted(qs, key=lambda n: -timings[n])
+    order = sorted(qs, key=lambda n: -timings.get(n, 0.0))
 
     def run_one(idx_name: tuple[int, str]) -> None:
         idx, name = idx_name

@@ -213,17 +213,19 @@ def pagerank(
     (magnitudes ≤ 8.5e13 < 2^53, so the double ops are exact and
     identical everywhere).
 
-    Scale notes: runtime strategy dispatch (the pattern proven on
-    ``connected_components``) — an edge list under ``local_threshold``
-    rows runs all iterations in one vectorized single-task kernel (zero
-    shuffle rounds; cluster choreography is pure overhead there). The
-    50 M default is a per-task memory budget, not a guess: the kernel's
-    peak is the packed-edge array plus np.unique's sort workspace,
-    ~3 × 8 B × |E| ≈ 1.2 GB at the threshold — comfortably inside a
-    normal 4–8 GB executor-task budget, and 3 shuffle-free iterations
-    there beat ~9 shuffle stages of cluster choreography by an order of
-    magnitude (measured sf1, 12 M raw edges: 20.4 s distributed vs
-    ~2 s kernel). Above it, the distributed loop: the edge list is hash-partitioned on
+    Scale notes: two-level runtime strategy dispatch (the pattern
+    proven on ``connected_components``). An edge list under
+    ``local_threshold`` rows runs all iterations in one vectorized
+    single-task kernel (zero shuffle rounds). The kernel's cost is its
+    np.unique sorts — O(|E| log |E|) in ONE task — so it only wins
+    where per-iteration job floors dominate real work: measured at sf1
+    (12 M raw edges) the kernel needs ~15 s of single-task sort+Arrow
+    time while the broadcast-state distributed loop below finishes in
+    ~5 s; at sf0.1 (1.2 M edges) the kernel's ~2 s beats the loop's
+    ~6 jobs of scheduling floor. The 2 M default is that measured
+    break-even, not a memory bound (memory would allow ~50 M:
+    ~3 × 8 B × |E| of packed-array + sort workspace). Above it, the
+    distributed loop: the edge list is hash-partitioned on
     ``src`` ONCE and lazily checkpointed — every iteration's
     contribution join reuses that partitioning instead of re-shuffling
     the (at 100 TB, dominant) edge side. Rank state carries (id, deg, r)

@@ -1721,6 +1721,12 @@ def stats_kendall_tau(spark: SparkSession, sf: str) -> DataFrame:
 
 MW_GROUP_A = "1-URGENT"
 MW_GROUP_B = "5-LOW"
+# DECIMAL(38,0) cross-multiplication bound: the largest term is
+# (2U - n1*n2)^2 * 3n(n-1) <= (n^2/4)^2 * 3n^2 = 3n^6/16, which fits
+# 38 digits iff n <= ~2.8e6; the guard keeps a provable margin. Past
+# it BOTH engines emit NULL via the same CASE (unguarded, Spark would
+# silently NULL on decimal overflow while DuckDB raises).
+MW_EXACT_MAX_N = 2_000_000
 
 
 @register(
@@ -1733,11 +1739,14 @@ MW_GROUP_B = "5-LOW"
     "over the (cents -> counts) rollup with the two-phase distributed "
     "prefix sum (range partition + broadcast slice offsets — never a "
     "1-task global window). The 2-sigma verdict with the full tie "
-    "correction is evaluated in DECIMAL(38,0) cross-multiplication "
-    "(products reach ~1e33 at sf1; exact through n ~ 1e7 per side, "
-    "past which the comparison needs a rescale both engines would "
-    "apply identically). Fact rows shuffle once into the value "
-    "rollup; every later stage is rollup- or scalar-sized.",
+    "correction is evaluated in DECIMAL(38,0) cross-multiplication; "
+    "the worst term is bounded by 3n^6/16, so the decimals provably "
+    "fit width 38 for n <= 2M combined — past that bound the verdict "
+    "is emitted NULL by an explicit CASE on BOTH engines (without the "
+    "guard Spark would silently NULL on overflow while DuckDB "
+    "errors); a deployment needing the verdict at larger n compares "
+    "in int256. Fact rows shuffle once into the value rollup; every "
+    "later stage is rollup- or scalar-sized.",
     f"""WITH v AS (
          SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
                 COUNT(*) AS cnt,
@@ -1762,13 +1771,14 @@ MW_GROUP_B = "5-LOW"
        SELECT n1, n2,
               CAST(r1_2x - n1 * (n1 + 1) AS BIGINT) AS u1_2x,
               tie_term,
-              (CAST(r1_2x - n1 * (n1 + 1) - n1 * n2 AS DECIMAL(38, 0))
-                 * CAST(r1_2x - n1 * (n1 + 1) - n1 * n2 AS DECIMAL(38, 0))
-                 * CAST(3 * (n1 + n2) * (n1 + n2 - 1) AS DECIMAL(38, 0)))
-              > (CAST(4 * n1 AS DECIMAL(38, 0)) * CAST(n2 AS DECIMAL(38, 0))
-                 * CAST((n1 + n2) * ((n1 + n2) * (n1 + n2) - 1) - tie_term
-                        AS DECIMAL(38, 0)))
-                AS shift_2sigma
+              CASE WHEN n1 + n2 <= {MW_EXACT_MAX_N} THEN
+                (CAST(r1_2x - n1 * (n1 + 1) - n1 * n2 AS DECIMAL(38, 0))
+                   * CAST(r1_2x - n1 * (n1 + 1) - n1 * n2 AS DECIMAL(38, 0))
+                   * CAST(3 * (n1 + n2) * (n1 + n2 - 1) AS DECIMAL(38, 0)))
+                > (CAST(4 * n1 AS DECIMAL(38, 0)) * CAST(n2 AS DECIMAL(38, 0))
+                   * CAST((n1 + n2) * ((n1 + n2) * (n1 + n2) - 1) - tie_term
+                          AS DECIMAL(38, 0)))
+              END AS shift_2sigma
        FROM m""",
 )
 def stats_mann_whitney(spark: SparkSession, sf: str) -> DataFrame:
@@ -1814,7 +1824,8 @@ def stats_mann_whitney(spark: SparkSession, sf: str) -> DataFrame:
         * dec(F.col("n2"))
         * dec(n * (n * n - 1) - F.col("tie_term"))
     )
+    verdict = F.when(n <= MW_EXACT_MAX_N, lhs > rhs)
     return m.select(
         "n1", "n2", u1_2x.alias("u1_2x"), "tie_term",
-        (lhs > rhs).alias("shift_2sigma"),
+        verdict.alias("shift_2sigma"),
     )

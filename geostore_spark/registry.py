@@ -47,14 +47,12 @@ def register(key: str, doc: str, oracle: str | None):
 #      (tests/test_canonical.py) but have never appeared in any driver
 #      CORRECTNESS file — after these, every registered key will have
 #      been driver-verified at least once;
-#   2. the 3 queries whose plans changed THIS round (bloom probe hash
-#      md5→xxhash64; kmeans/semantic now ride the shared assignment
-#      checkpoint);
-#   3. the 4 queries whose driver rows pre-date r3/r4 plan rewrites
-#      (PPJoin POSITION filter, barrier removal, triangle dispatch,
-#      banded-join touch-ups);
-#   4. the oldest d1-era dedup/sim/geo keys, to refresh the stalest rows.
-# Everything else (driver-green r1 ∪ r2 ∪ r3 ∪ r4 — 191 keys) enumerates
+#   2. the 4 round-5 additions (changepoint, bootstrap, kendall,
+#      mann-whitney), also never driver-sampled;
+#   3. every query whose plan changed in round 5 (see section comment);
+#   4. the 3 queries whose driver rows pre-date r3/r4 plan rewrites;
+#   5. the oldest d1-era dedup keys, to refresh the stalest rows.
+# Everything else (driver-green r1 ∪ r2 ∪ r3 ∪ r4 — 187 keys) enumerates
 # last. Purely an enumeration-order hint — every query stays registered
 # and locally oracle-tested either way.
 _NEVER_DRIVER_SAMPLED = (
@@ -97,7 +95,7 @@ def all_queries() -> dict[str, RegisteredQuery]:
 
     Enumeration order: the round-5 priority prefix first (see
     _NEVER_DRIVER_SAMPLED), then any new queries added this round, then
-    the 191 keys the driver already verified green in rounds 1-4.
+    the 187 keys the driver already verified green in rounds 1-4.
     """
     # Imports are effectful: each module registers its queries on import.
     from geostore_spark.operators import (  # noqa: F401
@@ -128,7 +126,7 @@ def all_queries() -> dict[str, RegisteredQuery]:
     return {k: REGISTRY[k] for k in (*never, *fresh, *tail)}
 
 
-# 191 keys with a green hash row in CORRECTNESS_r01 ∪ r02 ∪ r03 ∪ r04.
+# 187 keys with a green hash row in CORRECTNESS_r01 ∪ r02 ∪ r03 ∪ r04.
 _DRIVER_VERIFIED = frozenset((
     "a10_pivot_crosstab", "a1_filtered_count", "a2_existence_aggregate",
     "a3_group_collect_extrema", "a4_minmax_summary", "a5_status_rollup",

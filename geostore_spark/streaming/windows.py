@@ -26,6 +26,7 @@ import math
 from collections.abc import Iterator
 from typing import Any
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -1068,7 +1069,11 @@ def _update_kendall(
         if not len(pdf):
             continue
         day = pd.to_datetime(pdf["ts"]).dt.strftime("%Y-%m-%d")
-        cents = (pdf["value"] * 100).round().astype("int64")
+        # HALF_UP (away from zero), matching the batch rule's Spark
+        # F.round / DuckDB round — pandas .round() is half-to-even and
+        # would diverge from the batch answer on half-cent values
+        v = pdf["value"].to_numpy() * 100
+        cents = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype("int64")
         for d, n, c in zip(day, [1] * len(pdf), cents):
             cur = days.setdefault(d, [0, 0])
             cur[0] += n

@@ -822,5 +822,10 @@ def test_a9_quantiles_is_rank_selection_not_map_aggregate(spark):
     # aggregate over only the rows AT the six cut positions.
     plan = _plan(spark, "a9_quantiles")
     assert "percentile" not in plan
-    assert "rangepartitioning" in plan.lower()
+    # the two-phase rank's signature: the local row_number windows are
+    # partitioned by (_pid, group) — a naive 1-task-per-group global
+    # rank would windowspec on the group alone (the RangePartitioning
+    # exchange itself hides behind the helper's pinned checkpoint, so
+    # the _pid in the windowspec is the observable witness of it)
+    assert "windowspecdefinition(_pid" in plan
     assert "BroadcastHashJoin" in plan
