@@ -573,11 +573,17 @@ def q_triangles(spark: SparkSession, sf: str) -> DataFrame:
 # (same runtime-dispatch idea as connected_components' local-union-find
 # threshold above).
 TRIANGLE_BROADCAST_MAX_EDGES = 16_000_000
+# Middle-tier budget: only the single-column packed closing probe is
+# broadcast (~24 B/edge hashed), so it stretches further than the
+# 3-column fusion — 40 M edges ≈ 1 GB per executor, paid once to keep
+# the 30-100x-|E| wedge stream from ever shuffling.
+TRIANGLE_CLOSING_BROADCAST_MAX_EDGES = 40_000_000
 
 
 def triangle_counts_from_edges(
     edges: DataFrame,
     broadcast_max_edges: int = TRIANGLE_BROADCAST_MAX_EDGES,
+    closing_broadcast_max_edges: int = TRIANGLE_CLOSING_BROADCAST_MAX_EDGES,
 ) -> DataFrame:
     """(n_edges, n_wedges, n_triangles) of an undirected edge list via
     Schank-Wagner degree orientation; the physical strategy for the
@@ -617,6 +623,8 @@ def triangle_counts_from_edges(
         strategy=(
             "broadcast_fusion"
             if n_edges <= broadcast_max_edges
+            else "closing_broadcast"
+            if n_edges <= closing_broadcast_max_edges
             else "copartitioned_shuffle"
         ),
     )
@@ -646,13 +654,31 @@ def triangle_counts_from_edges(
         probed = wedges.withColumn("pk", pair_key).join(
             F.broadcast(closing), "pk", "left"
         )
+    elif n_edges <= closing_broadcast_max_edges:
+        # Middle tier: the 3-column e2 wedge side no longer fits the
+        # broadcast budget, but the SINGLE-column packed closing probe
+        # still does (~24 B/edge of hashed relation — 40 M edges ≈
+        # 1 GB, one copy per executor). Co-partition the wedge join on
+        # src (one exchange of |E| each side) and probe the broadcast
+        # closing set IN the wedge stage: the wedge stream — 30-100x
+        # |E| on co-purchase graphs — is counted in-flight and NEVER
+        # shuffled. Measured sf3 (36 M oriented edges, 3.7 G wedges):
+        # the full sort-merge path below shuffles the wedges and takes
+        # 427 s; this tier removes that shuffle.
+        wedges = e1.join(
+            e2, (F.col("e1.src") == F.col("e2.src")) & ordered
+        ).select(F.col("e1.dst").alias("b"), F.col("e2.dst").alias("c"))
+        probed = wedges.withColumn("pk", pair_key).join(
+            F.broadcast(closing), "pk", "left"
+        )
     else:
-        # Past the broadcast budget a multi-GB |E| broadcast OOMs the
-        # executors; instead co-partition both wedge sides on src (one
-        # exchange each, reused by the sort-merge join) and close wedges
-        # with a pk-keyed sort-merge join against the oriented list.
-        # Wedges do shuffle here — that is the price of not holding |E|
-        # per task, and it scales horizontally with partition count.
+        # Past even the closing budget a multi-GB |E| broadcast OOMs
+        # the executors; co-partition both wedge sides on src (one
+        # exchange each, reused by the sort-merge join) and close
+        # wedges with a pk-keyed sort-merge join against the oriented
+        # list. Wedges do shuffle here — that is the price of not
+        # holding |E| per task, and it scales horizontally with
+        # partition count.
         wedges = e1.join(
             e2, (F.col("e1.src") == F.col("e2.src")) & ordered
         ).select(F.col("e1.dst").alias("b"), F.col("e2.dst").alias("c"))

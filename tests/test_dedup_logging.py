@@ -74,6 +74,13 @@ def test_triangle_dispatch_logged_both_ways(spark, logcap):
     logcap.clear()
     triangle_counts_from_edges(edges, broadcast_max_edges=0)
     [ev] = [e for e in _dispatches(logcap) if e["stage"] == "triangle_closure"]
+    assert ev["strategy"] == "closing_broadcast"
+
+    logcap.clear()
+    triangle_counts_from_edges(
+        edges, broadcast_max_edges=0, closing_broadcast_max_edges=0
+    )
+    [ev] = [e for e in _dispatches(logcap) if e["stage"] == "triangle_closure"]
     assert ev["strategy"] == "copartitioned_shuffle"
 
 

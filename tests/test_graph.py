@@ -152,7 +152,12 @@ def test_triangle_strategies_agree_at_volume(spark):
         .localCheckpoint()
     )
     fused = triangle_counts_from_edges(edges).collect()[0]
-    spilled = triangle_counts_from_edges(edges, broadcast_max_edges=0).collect()[0]
-    assert fused == spilled
+    middle = triangle_counts_from_edges(
+        edges, broadcast_max_edges=0
+    ).collect()[0]  # closing-broadcast tier
+    spilled = triangle_counts_from_edges(
+        edges, broadcast_max_edges=0, closing_broadcast_max_edges=0
+    ).collect()[0]  # full sort-merge tier
+    assert fused == middle == spilled
     assert fused["n_edges"] > 1_000_000  # really the at-volume graph
     assert fused["n_triangles"] > 0

@@ -390,7 +390,16 @@ def test_triangles_dispatch_on_edge_budget(spark):
     assert "BroadcastHashJoin" in plan_fused
     assert "SortMergeJoin" not in plan_fused
 
-    spilled = triangle_counts_from_edges(edges, broadcast_max_edges=0)
+    middle = triangle_counts_from_edges(edges, broadcast_max_edges=0)
+    plan_middle = middle._jdf.queryExecution().executedPlan().toString()
+    # closing-broadcast tier: wedge join shuffles, closing probe is the
+    # ONLY broadcast (single packed-long column)
+    assert "BroadcastHashJoin" in plan_middle
+    assert "SortMergeJoin" in plan_middle or "ShuffledHashJoin" in plan_middle
+
+    spilled = triangle_counts_from_edges(
+        edges, broadcast_max_edges=0, closing_broadcast_max_edges=0
+    )
     plan_spilled = spilled._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" not in plan_spilled
     assert "SortMergeJoin" in plan_spilled or "ShuffledHashJoin" in plan_spilled
@@ -398,6 +407,7 @@ def test_triangles_dispatch_on_edge_budget(spark):
     # both strategies compute identical counts
     expect = {"n_edges": 7, "n_wedges": None, "n_triangles": 4}
     r1, r2 = fused.collect()[0], spilled.collect()[0]
+    assert middle.collect()[0] == r1
     assert r1 == r2
     assert r1["n_edges"] == expect["n_edges"]
     assert r1["n_triangles"] == expect["n_triangles"]
