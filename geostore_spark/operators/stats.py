@@ -1829,3 +1829,89 @@ def stats_mann_whitney(spark: SparkSession, sf: str) -> DataFrame:
         "n1", "n2", u1_2x.alias("u1_2x"), "tie_term",
         verdict.alias("shift_2sigma"),
     )
+
+
+# -- Spearman rank correlation -----------------------------------------------
+
+
+@register(
+    "x_stats_spearman",
+    "Spearman rank correlation between daily order volume and revenue "
+    "— completes the association triad (x_stats_corr Pearson on "
+    "values; x_stats_kendall_tau pair-concordance; Spearman = Pearson "
+    "on ranks, robust to monotone-nonlinear relations). Ties use "
+    "exact midpoint ranks via the DOUBLED-rank integer trick "
+    "(2*avg_rank = 2*rank_min + cnt_tied - 1), so every moment the "
+    "Pearson form needs is an exact int64 over the day-bounded rollup "
+    "(<= 3650 rows for a decade: the rank windows run over the "
+    "ROLLUP, explicitly rollup-sized at any SF — fact rows shuffle "
+    "once). Only the final ratio is floating, identical on both "
+    "engines.",
+    """WITH d AS (
+         SELECT CAST(o_orderdate AS DATE) AS day,
+                COUNT(*) AS x,
+                CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                  AS y
+         FROM orders GROUP BY day
+       ),
+       r AS (
+         SELECT 2 * RANK() OVER (ORDER BY x)
+                  + COUNT(*) OVER (PARTITION BY x) - 1 AS rx2,
+                2 * RANK() OVER (ORDER BY y)
+                  + COUNT(*) OVER (PARTITION BY y) - 1 AS ry2
+         FROM d
+       ),
+       m AS (
+         SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(rx2) AS BIGINT) AS sx,
+                CAST(SUM(ry2) AS BIGINT) AS sy,
+                CAST(SUM(rx2 * ry2) AS BIGINT) AS sxy,
+                CAST(SUM(rx2 * rx2) AS BIGINT) AS sxx,
+                CAST(SUM(ry2 * ry2) AS BIGINT) AS syy
+         FROM r
+       )
+       SELECT n, sx, sy, sxy, sxx, syy,
+              ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                    / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                           * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+                AS rho
+       FROM m""",
+)
+def stats_spearman(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, "orders", sf)
+    d = orders.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("x"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("y"),
+    )
+
+    def rank2(col: str):
+        # doubled midpoint rank: 2*rank_min + n_tied - 1, all integer;
+        # the windows run over the day-bounded ROLLUP (never fact rows)
+        return (
+            2 * F.rank().over(Window.orderBy(col))
+            + F.count(F.lit(1)).over(Window.partitionBy(col))
+            - 1
+        ).cast("bigint")
+
+    r = d.select(rank2("x").alias("rx2"), rank2("y").alias("ry2"))
+    m = r.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("rx2").cast("bigint").alias("sx"),
+        F.sum("ry2").cast("bigint").alias("sy"),
+        F.sum(F.col("rx2") * F.col("ry2")).cast("bigint").alias("sxy"),
+        F.sum(F.col("rx2") * F.col("rx2")).cast("bigint").alias("sxx"),
+        F.sum(F.col("ry2") * F.col("ry2")).cast("bigint").alias("syy"),
+    )
+    rho = F.round(
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / F.sqrt(
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+            * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+        ),
+        6,
+    )
+    return m.select("n", "sx", "sy", "sxy", "sxx", "syy", rho.alias("rho"))

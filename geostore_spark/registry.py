@@ -67,7 +67,7 @@ _NEVER_DRIVER_SAMPLED = (
     "x_text_trigram_novelty", "x_win_ratio_to_report",
     # -- 2: round-5 additions, no driver row yet
     "x_events_changepoint", "x_stats_bootstrap_ci",
-    "x_stats_kendall_tau", "x_stats_mann_whitney",
+    "x_stats_kendall_tau", "x_stats_mann_whitney", "x_stats_spearman",
     # -- 3: plans changed in round 5 (bloom xxhash probe; shared kmeans
     # assignment; a8's Expand-free split aggregates; a9's rank-selection
     # quantiles; bpe's vocabulary rollup; simhash pair-feed cap; the
@@ -86,7 +86,7 @@ _NEVER_DRIVER_SAMPLED = (
     "x_dedup_ngram_jaccard", "x_dedup_containment", "x_dedup_minhash_lsh",
     # -- 5: oldest d1-era rows (refresh as budget allows)
     "x_dedup_exact", "x_dedup_url", "x_dedup_simhash",
-    "x_dedup_embed_cosine", "x_dedup_clusters",
+    "x_dedup_embed_cosine",
 )
 
 
