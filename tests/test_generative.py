@@ -419,3 +419,56 @@ def test_png_synth_decode_roundtrip_generative():
         raise AssertionError("no error for truncated PNG")
     except (ValueError, struct.error):
         pass
+
+
+def test_fuzzy_passjoin_candidate_completeness_random_batch(spark):
+    """PassJoin's pigeonhole candidate generation must be COMPLETE: on a
+    seeded batch of short random strings over a tiny alphabet (dense
+    with true near-pairs, lengths straddling the 3-segment minimum and
+    the brute-branch boundary), the forced-passjoin rollup must equal
+    the forced-block-DP rollup and a driver-side brute force. One batch,
+    one Spark job per strategy — the reference's fuzz-lite style."""
+    from geostore_spark.operators.text import FUZZY_MAX_DIST, fuzzy_edit_join
+
+    rng = random.Random(20260815)
+    alphabet = "abc"
+    rows = []
+    for i in range(160):
+        n = rng.randint(0, 9)  # includes <3-char (brute branch) strings
+        rows.append(
+            (i, "".join(rng.choice(alphabet) for _ in range(n)), i % 2)
+        )
+
+    def ed(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i] + [0] * len(b)
+            for j, cb in enumerate(b, 1):
+                cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            prev = cur
+        return prev[len(b)]
+
+    brute: dict[int, list[int]] = {}
+    for ai in range(len(rows)):
+        for bi in range(ai + 1, len(rows)):
+            k1, n1, nat1 = rows[ai]
+            k2, n2, nat2 = rows[bi]
+            if nat1 != nat2:
+                continue
+            d = ed(n1, n2)
+            if d <= FUZZY_MAX_DIST:
+                cur = brute.setdefault(nat1, [0, 99, 0])
+                cur[0] += 1
+                cur[1] = min(cur[1], d)
+                cur[2] += d
+    expect = {k: tuple(v) for k, v in brute.items()}
+
+    df = spark.createDataFrame(
+        rows, "c_custkey long, c_name string, c_nationkey long"
+    )
+    for force in ("passjoin", "block_dp"):
+        got = {
+            r["nation"]: (r["n_pairs"], r["min_dist"], r["sum_dist"])
+            for r in fuzzy_edit_join(df, force=force).collect()
+        }
+        assert got == expect, force
