@@ -839,3 +839,37 @@ def test_a9_quantiles_is_rank_selection_not_map_aggregate(spark):
     # the _pid in the windowspec is the observable witness of it)
     assert "windowspecdefinition(_pid" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_dynamic_partition_pruning_engages_on_partitioned_fact(spark, tmp_path):
+    """Partition pruning at runtime: joining a hive-partitioned fact
+    against a filtered dim must inject a dynamicpruning subquery into
+    the fact scan's partition filters — at 100 TB this is the
+    difference between scanning one partition and scanning the table
+    when the partition keys only become known at run time."""
+    from pyspark.sql import functions as F
+
+    from geostore_spark.sources.tables import load_table
+
+    path = str(tmp_path / "dpp_orders")
+    load_table(spark, "orders", SF).write.partitionBy(
+        "o_orderpriority"
+    ).parquet(path)
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [("1-URGENT", 10), ("5-LOW", 20)], "pr string, w int"
+    ).filter(F.col("w") == 10)
+    j = (
+        fact.join(dim, fact["o_orderpriority"] == dim["pr"])
+        .groupBy()
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    [row] = j.collect()
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+    expect = (
+        load_table(spark, "orders", SF)
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .count()
+    )
+    assert row["n"] == expect
