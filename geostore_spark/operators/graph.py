@@ -67,6 +67,7 @@ def connected_components(
     dst: str,
     max_iter: int = 25,
     local_threshold: int = 10_000_000,
+    broadcast_max_nodes: int = 8_000_000,
 ) -> DataFrame:
     """Label every vertex of an undirected edge list with the minimum
     vertex id reachable from it (= its component id).
@@ -115,10 +116,31 @@ def connected_components(
     )
     if n_sym <= local_threshold:
         return _local_union_find(sym)
-    labels = sym.select("v").distinct().select("v", F.col("v").alias("label"))
+    labels = (
+        sym.select("v")
+        .distinct()
+        .select("v", F.col("v").alias("label"))
+        .localCheckpoint(eager=False)
+    )
+    # Second-level dispatch (the pagerank/kcore pattern): the label
+    # table is |V| rows of 2 longs — aggregate-sized next to |E|.
+    # While it fits the broadcast budget, each round's hop join is a
+    # broadcast probe over the pinned edge list (the |E|-row side
+    # never re-shuffles; only |V|-row partial-agg shuffles move), and
+    # the pointer-jump join is |V|-broadcast too. Past the budget the
+    # loop falls back to the co-partitioned joins the edge
+    # repartition("v") above already serves.
+    n_nodes = labels.count()
+    use_bcast = n_nodes <= broadcast_max_nodes
+
+    def _side(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if use_bcast else df
+
     prev_sum = None
     for _ in range(max_iter):
-        offers = sym.join(labels, "v").select(F.col("n").alias("v"), "label")
+        offers = sym.join(_side(labels), "v").select(
+            F.col("n").alias("v"), "label"
+        )
         # checkpoint hopped: the jump join consumes it on BOTH sides, and an
         # unmaterialized plan would execute the hop join + groupBy twice per
         # round (measured ~2x round cost)
@@ -133,7 +155,7 @@ def connected_components(
         lookup = hopped.select(
             F.col("v").alias("label"), F.col("label").alias("jumped")
         )
-        labels = hopped.join(lookup, "label").select(
+        labels = hopped.join(_side(lookup), "label").select(
             "v", F.col("jumped").alias("label")
         ).localCheckpoint(eager=False)
         label_sum = labels.agg(F.sum("label")).collect()[0][0]
