@@ -84,9 +84,9 @@ _NEVER_DRIVER_SAMPLED = (
     "x_stats_gini", "x_win_ntile_quartiles", "x_stats_ks_test",
     # -- 4: driver rows stale vs r3/r4 plan rewrites
     "x_dedup_ngram_jaccard", "x_dedup_containment", "x_dedup_minhash_lsh",
-    # -- 5: oldest d1-era rows (refresh as budget allows)
+    # -- 5: round-5 storage query + oldest d1-era rows
+    "x_storage_bucketed_join",
     "x_dedup_exact", "x_dedup_url", "x_dedup_simhash",
-    "x_dedup_embed_cosine",
 )
 
 
@@ -117,6 +117,7 @@ def all_queries() -> dict[str, RegisteredQuery]:
         windows,
     )
     from geostore_spark.plans import canonical  # noqa: F401
+    from geostore_spark.sources import bucketed  # noqa: F401
 
     never = [k for k in _NEVER_DRIVER_SAMPLED if k in REGISTRY]
     never_set = set(never)

@@ -100,3 +100,31 @@ def cobucketed_revenue_join(
         )
         .orderBy("o_orderpriority")
     )
+
+
+def _register_query() -> None:
+    from geostore_spark.registry import register
+
+    @register(
+        "x_storage_bucketed_join",
+        "Bucketed co-located join as a registered, oracle-checked query: "
+        "both fact tables are written bucketed+sorted on the join key "
+        "(the one-time shuffle), then the revenue join runs as a "
+        "SortMergeJoin with no exchange and no sort under either side. "
+        "The oracle is the plain shuffled join - identical rows prove "
+        "the bucketing layout changes THE PLAN, not the answer. At "
+        "100 TB this is the amortized-shuffle lever for every "
+        "recurring fact-to-fact join.",
+        """SELECT o.o_orderpriority,
+                  COUNT(*) AS n_items,
+                  CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                      * 100) AS BIGINT)) AS BIGINT)
+                    AS revenue_cents
+           FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+           GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""",
+    )
+    def q_bucketed_join(spark: SparkSession, sf: str) -> DataFrame:
+        return cobucketed_revenue_join(spark, sf, suffix="reg")
+
+
+_register_query()
