@@ -423,15 +423,42 @@ def test_paragraph_dedup_is_digest_rollup_topk(spark):
 
 def test_bloom_semi_prefilter_is_in_scan_stage(spark):
     plan = _plan(spark, "x_join_bloom_semi")
-    # the Bloom membership probe must be a plain Filter over the orders
-    # scan (bit_get against the broadcast bitmap literal), and the exact
-    # verify must stay a broadcast semi join — fact side never shuffles
+    # the Bloom membership probes are broadcast semi joins against the
+    # 1024-row bitmap relation (bit_get residual on the word's bits),
+    # and the exact verify is a broadcast semi join too — the fact side
+    # never shuffles, and the bitmap never reaches the driver (the
+    # bit_or aggregate materializes executor-side in the session
+    # checkpoint; see test_bloom_bitmap_build_is_executor_side)
     assert "bit_get" in plan
     # probe hash must be native xxhash64 (codegen, no string building),
     # never a digest-of-concat — r4 verdict perf finding
     assert "xxhash64" in plan and "md5" not in plan
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
     assert "SortMergeJoin" not in plan
+    assert "Exchange hashpartitioning(o_custkey" not in plan
+
+
+def test_bloom_bitmap_build_is_executor_side(spark):
+    # the bitmap build must OR bits into words via a bit_or aggregate ON
+    # THE EXECUTORS — the driver collect is bounded by the 1024-word
+    # bitmap width, never by build-side key count (r5 verdict: the old
+    # per-position collect was the one data-proportional driver
+    # materialization left in the repo)
+    from pyspark.sql import functions as F
+
+    from geostore_spark.operators.runtime_filters import (
+        _WORDS,
+        bloom_words_df,
+        build_bloom_words,
+    )
+
+    keys = spark.range(0, 50_000).select(F.col("id").alias("k"))
+    agg = bloom_words_df(keys, "k")
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "bit_or" in plan and "HashAggregate" in plan
+    assert agg.count() <= _WORDS  # collected rows bounded by bitmap width
+    words = build_bloom_words(keys, "k")
+    assert len(words) == _WORDS
 
 
 def test_kcore_rounds_reuse_checkpointed_edges(spark):
