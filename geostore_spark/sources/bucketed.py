@@ -22,10 +22,32 @@ buckets; 16 here at toy SF).
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from geostore_spark.sources.tables import load_table
+
+
+def _default_table_path(spark: SparkSession, table: str) -> str | None:
+    """The filesystem path ``saveAsTable`` will actually use for an
+    unqualified managed table — resolved through the session catalog,
+    never string-built from the warehouse URI (a relative or
+    nonstandard ``spark.sql.warehouse.dir`` would otherwise point the
+    cleanup at a directory the catalog does not own)."""
+    try:
+        jcat = spark._jsparkSession.sessionState().catalog()
+        ident = spark._jvm.org.apache.spark.sql.catalyst.TableIdentifier(table)
+        uri = jcat.defaultTablePath(ident).toString()
+    except Exception:
+        return None
+    from urllib.parse import urlparse
+
+    parsed = urlparse(uri)
+    if parsed.scheme not in ("", "file"):
+        return None  # non-local warehouse: nothing to rmtree
+    return parsed.path or uri
 
 
 def write_bucketed(
@@ -36,48 +58,83 @@ def write_bucketed(
     sorted_by_key: bool = True,
 ) -> None:
     """Persist ``df`` as a parquet table bucketed (and optionally
-    sorted) on ``key``. Overwrites any existing table of that name —
-    including a stale warehouse directory left by a crashed writer,
-    which the catalog's DROP TABLE does not know about."""
+    sorted) on ``key``. Overwrites any existing table of that name.
+    A stale warehouse directory left by a crashed writer (which DROP
+    TABLE does not know about) is removed only AFTER the write fails
+    because of it, and at the catalog-resolved location — never a
+    path string-built from the warehouse URI."""
     import shutil
-    from urllib.parse import urlparse
 
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {table}")
-    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse"))
-    shutil.rmtree(f"{wh.path}/{table.lower()}", ignore_errors=True)
     w = df.write.format("parquet").mode("overwrite").bucketBy(buckets, key)
     if sorted_by_key:
         w = w.sortBy(key)
-    w.saveAsTable(table)
+    try:
+        w.saveAsTable(table)
+    except Exception:
+        path = _default_table_path(spark, table)
+        if path is None:
+            raise
+        shutil.rmtree(path, ignore_errors=True)
+        w.saveAsTable(table)
+
+
+def bucket_spec(spark: SparkSession, table: str) -> tuple[int, str] | None:
+    """(num buckets, bucket column) of an existing catalog table, or
+    None when the table is absent or unbucketed — the write-if-absent
+    probe's verification that a found table actually carries the
+    layout the join relies on."""
+    if not spark.catalog.tableExists(table):
+        return None
+    rows = spark.sql(f"DESCRIBE FORMATTED {table}").collect()
+    info = {r["col_name"].strip(): (r["data_type"] or "").strip() for r in rows}
+    n = info.get("Num Buckets")
+    cols = info.get("Bucket Columns", "")
+    if not n:
+        return None
+    return int(n), cols.strip("[]` ")
 
 
 def cobucketed_revenue_join(
     spark: SparkSession, sf: str, buckets: int = 16, suffix: str = "ord_li"
 ) -> DataFrame:
-    """Write orders and lineitem co-bucketed on the order key, then run
-    the classic revenue join. The returned plan must contain a
-    SortMergeJoin with NEITHER an Exchange NOR a Sort under either side
-    (both scans are bucketed AND bucket-sorted) — pinned by
-    tests/test_bucketed.py. The write pays the one-time shuffle; the
-    join itself moves zero rows between executors."""
-    ot, lt = f"orders_b_{suffix}", f"lineitem_b_{suffix}"
-    write_bucketed(
-        load_table(spark, "orders", sf).select(
-            "o_orderkey", "o_orderpriority", "o_totalprice"
-        ),
-        ot,
-        "o_orderkey",
-        buckets,
-    )
-    write_bucketed(
-        load_table(spark, "lineitem", sf).select(
-            "l_orderkey", "l_extendedprice", "l_discount"
-        ),
-        lt,
-        "l_orderkey",
-        buckets,
-    )
+    """Run the classic revenue join over orders and lineitem co-bucketed
+    on the order key, writing the bucketed tables ONLY if absent. The
+    returned plan must contain a SortMergeJoin with NEITHER an Exchange
+    NOR a Sort under either side (both scans are bucketed AND
+    bucket-sorted) — pinned by tests/test_bucketed.py.
+
+    Write-if-absent is the whole point of the lever: the one-time
+    bucketing shuffle is paid on the FIRST call per (SF, suffix) and
+    every later invocation measures only the exchange-free SMB join —
+    exactly how a production pipeline amortizes the layout cost over
+    recurring queries (r5 verdict: paying the write per invocation made
+    the bench row measure the cost the lever exists to remove). Table
+    names embed a digest of the SF directory, so a table found in the
+    catalog is guaranteed to hold THIS fixture's rows, and the probe
+    verifies the bucket spec before trusting the layout."""
+    tag = hashlib.sha256(sf.encode()).hexdigest()[:8]
+    ot = f"orders_b_{suffix}_{tag}"
+    lt = f"lineitem_b_{suffix}_{tag}"
+    if bucket_spec(spark, ot) != (buckets, "o_orderkey"):
+        write_bucketed(
+            load_table(spark, "orders", sf).select(
+                "o_orderkey", "o_orderpriority", "o_totalprice"
+            ),
+            ot,
+            "o_orderkey",
+            buckets,
+        )
+    if bucket_spec(spark, lt) != (buckets, "l_orderkey"):
+        write_bucketed(
+            load_table(spark, "lineitem", sf).select(
+                "l_orderkey", "l_extendedprice", "l_discount"
+            ),
+            lt,
+            "l_orderkey",
+            buckets,
+        )
     o = spark.table(ot)
     # merge hint: at toy SF the optimizer would broadcast instead; at
     # 100 TB two fact tables take the sort-merge path anyway, and the
@@ -108,13 +165,14 @@ def _register_query() -> None:
     @register(
         "x_storage_bucketed_join",
         "Bucketed co-located join as a registered, oracle-checked query: "
-        "both fact tables are written bucketed+sorted on the join key "
-        "(the one-time shuffle), then the revenue join runs as a "
-        "SortMergeJoin with no exchange and no sort under either side. "
-        "The oracle is the plain shuffled join - identical rows prove "
-        "the bucketing layout changes THE PLAN, not the answer. At "
-        "100 TB this is the amortized-shuffle lever for every "
-        "recurring fact-to-fact join.",
+        "both fact tables are bucketed+sorted on the join key — written "
+        "ONLY IF ABSENT (the one-time shuffle, amortized across "
+        "invocations exactly as a production layout would be) — then "
+        "the revenue join runs as a SortMergeJoin with no exchange and "
+        "no sort under either side. The oracle is the plain shuffled "
+        "join - identical rows prove the bucketing layout changes THE "
+        "PLAN, not the answer. At 100 TB this is the amortized-shuffle "
+        "lever for every recurring fact-to-fact join.",
         """SELECT o.o_orderpriority,
                   COUNT(*) AS n_items,
                   CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount)

@@ -52,3 +52,62 @@ def test_cobucketed_join_is_shuffle_and_sort_free(spark):
         .orderBy("o_orderpriority")
     )
     assert got == [r.asDict() for r in ref.collect()]
+
+
+def test_cobucketed_join_writes_only_if_absent(spark):
+    """Repeat invocations must NOT re-pay the one-time bucketing
+    shuffle: the bucketed tables are written on the first call per
+    (SF, suffix) and re-used — verified by the tables' created
+    timestamps staying identical across calls — while the answer stays
+    the same (r5 verdict: write-in-query-path was the worst bench row)."""
+    import hashlib
+
+    from geostore_spark.sources.bucketed import bucket_spec
+
+    first = [r.asDict() for r in cobucketed_revenue_join(spark, SF_DIR, suffix="t2").collect()]
+    tag = hashlib.sha256(SF_DIR.encode()).hexdigest()[:8]
+    tables = (f"orders_b_t2_{tag}", f"lineitem_b_t2_{tag}")
+
+    def created_times():
+        out = {}
+        for t in tables:
+            rows = spark.sql(f"DESCRIBE FORMATTED {t}").collect()
+            out[t] = next(
+                r["data_type"] for r in rows if r["col_name"].strip() == "Created Time"
+            )
+        return out
+
+    assert bucket_spec(spark, tables[0]) == (16, "o_orderkey")
+    assert bucket_spec(spark, tables[1]) == (16, "l_orderkey")
+    t0 = created_times()
+    second = [r.asDict() for r in cobucketed_revenue_join(spark, SF_DIR, suffix="t2").collect()]
+    assert created_times() == t0  # no rewrite on the repeat call
+    assert second == first
+
+    # a missing/unbucketed table fails the probe and triggers the write
+    assert bucket_spec(spark, "no_such_table_xyz") is None
+
+
+def test_partition_prune_scan_carries_partition_filter(spark):
+    """The year filter must reach the scan as a PARTITION filter
+    (directory elimination), not a data filter — at 100 TB the scan
+    reads one year's directories, never the table."""
+    from geostore_spark.registry import all_queries
+
+    q = all_queries()["x_storage_partition_prune"]
+    df = q.spark(spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "o_year" in m.group(1)  # the year predicate prunes dirs
+    # repeat invocation reuses the table (write-if-absent)
+    from geostore_spark.sources.partitioned import (
+        ensure_partitioned_orders,
+        partition_cols,
+    )
+
+    t = ensure_partitioned_orders(spark, SF_DIR)
+    assert partition_cols(spark, t) == ["o_year"]
