@@ -109,14 +109,22 @@ class MetadataStore:
             f.write(str(version))
         os.replace(tmp, self._pointer(table))  # atomic commit
 
-    def _write_snapshot(self, table: str, df: DataFrame, base: int) -> None:
+    def _write_snapshot(
+        self, table: str, df: DataFrame, base: int, meta: dict | None = None
+    ) -> None:
         """Commit ``df`` as ``v{base+1}``, where ``base`` is the version
         the mutator READ its input at — never re-resolved here. Re-reading
         the pointer at commit time would silently discard a concurrent
         writer's update (writer B, read at v0, would happily commit v2 on
         top of A's v1); pinning the version to the read makes
         ``errorifexists`` a true read-version conflict check, which is the
-        validation Delta's optimistic concurrency does at commit."""
+        validation Delta's optimistic concurrency does at commit.
+
+        ``meta`` is committed ATOMICALLY with the snapshot (Delta's
+        ``txn``/commitInfo shape): it lands inside the snapshot directory
+        BEFORE the pointer swap, so a reader either sees snapshot+meta or
+        neither — the primitive idempotent writers (streaming sinks, IVM
+        refresh) need to make "was this already applied?" crash-safe."""
         version = base + 1
         path = os.path.join(self._table_dir(table), f"v{version}")
 
@@ -137,7 +145,27 @@ class MetadataStore:
             if os.path.exists(path):
                 raise conflict(ex) from ex
             raise
+        if meta:
+            import json
+
+            with open(os.path.join(path, "_COMMIT.json"), "w") as f:
+                json.dump(meta, f)
         self._swap_pointer(table, version)
+
+    def commit_meta(self, table: str, version: int | None = None) -> dict:
+        """Transaction metadata committed with a snapshot (empty dict if
+        the commit carried none, or the table is absent)."""
+        import json
+
+        version = self.current_version(table) if version is None else version
+        if version < 0:
+            return {}
+        p = os.path.join(self._table_dir(table), f"v{version}", "_COMMIT.json")
+        try:
+            with open(p) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {}
 
     # -- public API ----------------------------------------------------------
 
@@ -267,25 +295,28 @@ class MetadataStore:
             table, self.read(table, base).withColumn(name, default), base
         )
 
-    def create(self, table: str, df: DataFrame) -> None:
+    def create(self, table: str, df: DataFrame, meta: dict | None = None) -> None:
         """Commit the FIRST snapshot (v0) of a new table — the path for
         dynamically-named tables (materialized views, scratch outputs)
         that have no entry in the fixed SCHEMAS registry. Errors if the
         table already exists (use overwrite for that)."""
         if self.current_version(table) >= 0:
             raise ValueError(f"table '{table}' already exists")
-        self._write_snapshot(table, df, -1)
+        self._write_snapshot(table, df, -1, meta=meta)
 
-    def append(self, table: str, df: DataFrame) -> None:
+    def append(self, table: str, df: DataFrame, meta: dict | None = None) -> None:
         base = self.current_version(table)
         existing = self.read(table, base)
         self._write_snapshot(
-            table, existing.unionByName(df.select(existing.columns)), base
+            table, existing.unionByName(df.select(existing.columns)), base,
+            meta=meta,
         )
 
-    def overwrite(self, table: str, df: DataFrame) -> None:
+    def overwrite(self, table: str, df: DataFrame, meta: dict | None = None) -> None:
         base = self.current_version(table)
-        self._write_snapshot(table, df.select(self.read(table, base).columns), base)
+        self._write_snapshot(
+            table, df.select(self.read(table, base).columns), base, meta=meta
+        )
 
     def delete_where(self, table: str, condition: Column) -> None:
         base = self.current_version(table)
@@ -308,24 +339,71 @@ class MetadataStore:
         on: list[str],
         when_matched_set: dict[str, Column] | None = None,
         insert_not_matched: bool = False,
+        source_cols: list[str] | None = None,
+        delete_matched_where: Column | None = None,
+        meta: dict | None = None,
     ) -> None:
         """Delta ``MERGE INTO`` shape: join target with source on keys;
         matched rows get the assignments, unmatched-source rows are
-        inserted when requested (V12 idempotent child-add)."""
+        inserted when requested (V12 idempotent child-add).
+
+        ``source_cols`` carries the named source columns into the
+        matched join as ``__src_<name>`` so assignments can combine
+        target and source values (the delta-apply shape IVM needs:
+        ``n = n + __src_n``); ``source`` must then be key-unique.
+        ``delete_matched_where`` drops matched rows satisfying the
+        predicate AFTER assignments (``WHEN MATCHED ... THEN DELETE``).
+        """
         base = self.current_version(table)
-        target = self.read(table, base)
-        marked_src = source.select(*on).distinct().withColumn("__hit", F.lit(True))
+        df = self._merge_frame(
+            self.read(table, base),
+            source,
+            on,
+            when_matched_set,
+            insert_not_matched,
+            source_cols,
+            delete_matched_where,
+        )
+        self._write_snapshot(table, df, base, meta=meta)
+
+    @staticmethod
+    def _merge_frame(
+        target: DataFrame,
+        source: DataFrame,
+        on: list[str],
+        when_matched_set: dict[str, Column] | None = None,
+        insert_not_matched: bool = False,
+        source_cols: list[str] | None = None,
+        delete_matched_where: Column | None = None,
+    ) -> DataFrame:
+        """The merged frame ``merge`` commits — exposed for plan
+        assertions: the target side is probed by key join only (never
+        shuffled when the source is broadcast-sized), so merge cost
+        tracks the source/delta, not the table."""
+        marked_src = (
+            source.select(*on, *(source_cols or []))
+            .withColumn("__hit", F.lit(True))
+        )
+        if not source_cols:
+            marked_src = marked_src.distinct()
+        for c in source_cols or []:
+            marked_src = marked_src.withColumnRenamed(c, f"__src_{c}")
         joined = target.join(marked_src, on, "left")
         updated = joined
         for col, expr in (when_matched_set or {}).items():
             updated = updated.withColumn(
                 col, F.when(F.col("__hit").isNotNull(), expr).otherwise(F.col(col))
             )
-        result = updated.drop("__hit")
+        if delete_matched_where is not None:
+            updated = updated.filter(
+                F.col("__hit").isNull() | ~delete_matched_where
+            )
+        drop = ["__hit", *(f"__src_{c}" for c in source_cols or [])]
+        result = updated.drop(*drop)
         if insert_not_matched:
             new_rows = source.join(target.select(*on).distinct(), on, "left_anti")
             result = result.unionByName(new_rows.select(result.columns))
-        self._write_snapshot(table, result, base)
+        return result
 
     def changes(
         self, table: str, from_version: int, to_version: int | None = None

@@ -69,3 +69,71 @@ def test_ivm_matches_recompute_through_churn(spark, store):
 
     # the refresh wrote a NEW view snapshot (versioned like any table)
     assert store.current_version(view.name) >= 2
+
+
+def test_ivm_refresh_shuffles_only_the_delta(spark, store):
+    """The r5 verdict fix: an incremental refresh must key-MERGE the
+    delta into the view — the only exchange in the refresh plan is the
+    delta aggregation; the view side is probed by a broadcast join and
+    never shuffles (plan-pinned on the exact merge frame the refresh
+    commits)."""
+    from geostore_spark.sources.store import MetadataStore as MS
+
+    src = spark.createDataFrame(
+        [("a", 100), ("b", 40), ("c", 7)], "k string, cents long"
+    )
+    store.create("facts_p", src)
+    view = IncrementalAggView(store, "facts_p", ["k"], ["cents"], name="vp")
+    view.refresh()
+    store.append(
+        "facts_p", spark.createDataFrame([("a", 1)], "k string, cents long")
+    )
+    delta = view._delta_frame(0, store.current_version("facts_p"))
+    merged = MS._merge_frame(
+        view.read(),
+        delta,
+        on=["k"],
+        source_cols=["n_rows", "sum_cents"],
+        when_matched_set={
+            "n_rows": (F.col("n_rows") + F.col("__src_n_rows")).cast("bigint"),
+            "sum_cents": (
+                F.col("sum_cents") + F.col("__src_sum_cents")
+            ).cast("bigint"),
+        },
+        delete_matched_where=F.col("n_rows") == 0,
+        insert_not_matched=True,
+    )
+    merged.collect()
+    plan = merged._jdf.queryExecution().executedPlan().toString()
+    # view side probed by broadcast joins; the only hash exchanges are
+    # the delta aggregation's, keyed on the view key
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_ivm_survives_draining_to_zero_keys(spark, store):
+    """The r5 advisor finding: a view whose source drains to zero rows
+    must keep refreshing (the applied version lives in commit metadata,
+    not in view rows — an empty view is not 'never built')."""
+    src = spark.createDataFrame([("a", 5), ("b", 6)], "k string, cents long")
+    store.create("facts_d", src)
+    view = IncrementalAggView(store, "facts_d", ["k"], ["cents"], name="vd")
+    assert view.refresh()["mode"] == "full"
+
+    store.delete_where("facts_d", F.lit(True))  # drain everything
+    s = view.refresh()
+    assert s["mode"] == "incremental"
+    assert view.read().count() == 0
+
+    # the drained view still refreshes incrementally — no create/exists
+    # wedge, no forced full rebuild
+    store.append(
+        "facts_d", spark.createDataFrame([("z", 9)], "k string, cents long")
+    )
+    s = view.refresh()
+    assert s["mode"] == "incremental"
+    got = [(r["k"], r["n_rows"], r["sum_cents"]) for r in view.read().collect()]
+    assert got == [("z", 1, 9)]
+    # replayed refresh is a provable noop (applied version is atomic
+    # with the fold commit)
+    assert view.refresh()["mode"] == "noop"

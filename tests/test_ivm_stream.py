@@ -77,3 +77,38 @@ def test_stream_sink_maintains_view_incrementally(spark, store, tmp_path):
     sink(replay, batch_id=99)
     got3 = {r["k"]: (r["n_rows"], r["sum_cents"]) for r in view.read().collect()}
     assert got3["a"] == (3, 1349)
+
+
+def test_stream_sink_torn_run_cannot_double_apply(spark, store):
+    """The r5 advisor finding: a crash after the source append but
+    before progress was recorded must NOT re-append the batch on
+    replay. The batch id now rides the append commit itself
+    (transaction metadata), so the torn state is indistinguishable
+    from a completed append — replay skips it and only catches the
+    view up."""
+    view = IncrementalAggView(store, "facts2", ["k"], ["cents"], name="v2")
+    sink = IvmStreamSink(store, "facts2", view)
+
+    b0 = spark.createDataFrame([("a", 10), ("b", 20)], "k string, cents long")
+    sink(b0, batch_id=0)
+
+    # simulate the torn run: batch 1's append COMMITTED (with its batch
+    # id in the commit meta) but the process died before view.refresh()
+    b1 = spark.createDataFrame([("a", 5)], "k string, cents long")
+    store.append("facts2", b1, meta={"stream_batch_id": 1})
+    assert store.current_version("facts2") == 1
+    stale = {r["k"]: r["n_rows"] for r in view.read().collect()}
+    assert stale["a"] == 1  # view not yet caught up — genuinely torn
+
+    # foreachBatch replays batch 1 after the restart
+    sink(b1, batch_id=1)
+    # source was NOT double-appended...
+    assert store.current_version("facts2") == 1
+    rows = store.read("facts2").collect()
+    assert len(rows) == 3
+    # ...and the view healed to the exact recompute
+    got = sorted(tuple(r) for r in view.read().collect())
+    assert got == sorted(tuple(r) for r in view.recompute().collect())
+    assert {r["k"]: (r["n_rows"], r["sum_cents"]) for r in view.read().collect()}[
+        "a"
+    ] == (2, 15)
