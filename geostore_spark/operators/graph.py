@@ -221,6 +221,7 @@ def pagerank(
     iters: int = PR_ITERS,
     local_threshold: int = 2_000_000,
     broadcast_max_nodes: int = 8_000_000,
+    pre_deduped: bool = False,
 ) -> DataFrame:
     """Damped PageRank (d=0.85) over a directed edge list, integer-exact.
 
@@ -270,8 +271,10 @@ def pagerank(
     if ed0.count() <= local_threshold:
         # kernel dedups in-task, so raw (possibly duplicated) pairs are fine
         return _local_pagerank(ed0, iters)
-    # distributed rounds double-count degree on duplicate edges — dedup here
-    ed = ed0.distinct().localCheckpoint(eager=False)
+    # distributed rounds double-count degree on duplicate edges — dedup
+    # here unless the caller already guarantees uniqueness (the shared
+    # supply-pair checkpoint), which saves the |E| dedup shuffle
+    ed = ed0 if pre_deduped else ed0.distinct().localCheckpoint(eager=False)
     nodes = (
         ed.groupBy("src")
         .agg(F.count(F.lit(1)).alias("deg"))
@@ -329,6 +332,43 @@ def pagerank(
     return ranks.select("id", "r")
 
 
+def symmetrize(pairs: DataFrame, a: str = "src", b: str = "dst") -> DataFrame:
+    """Both directed edges per undirected pair, in ONE generator pass —
+    a UNION of two selects would duplicate the (possibly expensive)
+    upstream subplan into both branches (Catalyst does not CSE it)."""
+    return pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col(a).alias("src"), F.col(b).alias("dst")),
+                F.struct(F.col(b).alias("src"), F.col(a).alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+
+
+def shared_supply_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Deduped (part → 2p, supplier → 2s+1) supply-pair table, computed
+    ONCE per session × SF and eagerly localCheckpointed.
+
+    Five registered graph queries (pagerank, kcore, bfs_layers,
+    assortativity, degree_stats) analyze the SAME graph; before round 6
+    each re-mined it from lineitem (a fact-table scan + distinct per
+    query — at sf1 the mining was ~2/3 of pagerank's measured wall).
+    The proven kmeans↔silhouette pattern applies verbatim: one
+    |E|-row checkpoint (two longs per row) shared by every consumer;
+    each query's oracle remains self-contained SQL over lineitem."""
+    from geostore_spark.operators.util import session_checkpoint
+
+    def build() -> DataFrame:
+        li = load_table(spark, "lineitem", sf)
+        return li.select(
+            (F.col("l_partkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        ).distinct()
+
+    return session_checkpoint(spark, ("supply_pairs", sf), build)
+
+
 def supply_edges(lineitem: DataFrame, pre_distinct: bool = True) -> DataFrame:
     """Symmetric part↔supplier supply graph from lineitem.
 
@@ -345,19 +385,7 @@ def supply_edges(lineitem: DataFrame, pre_distinct: bool = True) -> DataFrame:
     )
     if pre_distinct:
         pairs = pairs.distinct()
-    # symmetrize with one generator pass over the distinct pairs — a
-    # UNION of two selects would duplicate the distinct subplan into
-    # both branches (Catalyst does not CSE it)
-    return pairs.select(
-        F.explode(
-            F.array(
-                F.struct(F.col("src"), F.col("dst")),
-                F.struct(
-                    F.col("dst").alias("src"), F.col("src").alias("dst")
-                ),
-            )
-        ).alias("e")
-    ).select("e.src", "e.dst")
+    return symmetrize(pairs)
 
 
 def _pagerank_oracle(iters: int = PR_ITERS) -> str:
@@ -415,8 +443,12 @@ def _pagerank_oracle(iters: int = PR_ITERS) -> str:
     _pagerank_oracle(),
 )
 def q_pagerank(spark: SparkSession, sf: str) -> DataFrame:
-    li = load_table(spark, "lineitem", sf)
-    ranks = pagerank(supply_edges(li, pre_distinct=False), "src", "dst")
+    ranks = pagerank(
+        symmetrize(shared_supply_pairs(spark, sf)),
+        "src",
+        "dst",
+        pre_deduped=True,
+    )
     return (
         ranks.select(
             F.col("id").alias("node_id"),
@@ -504,9 +536,8 @@ def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
        FROM deg GROUP BY deg_bucket ORDER BY deg_bucket""",
 )
 def q_degree_stats(spark: SparkSession, sf: str) -> DataFrame:
-    li = load_table(spark, "lineitem", sf)
     deg = (
-        supply_edges(li)
+        symmetrize(shared_supply_pairs(spark, sf))
         .groupBy("src")
         .agg(F.count(F.lit(1)).alias("d"))
     )
@@ -784,14 +815,8 @@ def _kcore_oracle() -> str:
 def q_kcore(
     spark: SparkSession, sf: str, broadcast_max_nodes: int = 8_000_000
 ) -> DataFrame:
-    li = load_table(spark, "lineitem", sf)
-    edges = (
-        li.select(
-            (F.col("l_partkey") * 2).alias("u"),
-            (F.col("l_suppkey") * 2 + 1).alias("v"),
-        )
-        .distinct()
-        .localCheckpoint(eager=False)
+    edges = shared_supply_pairs(spark, sf).select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
     )
     stats = []
     for rnd in range(1, KCORE_ROUNDS + 1):
@@ -871,19 +896,14 @@ def _bfs_oracle() -> str:
     _bfs_oracle(),
 )
 def q_bfs_layers(spark: SparkSession, sf: str) -> DataFrame:
-    li = load_table(spark, "lineitem", sf)
-    e = (
-        li.select(
-            (F.col("l_partkey") * 2).alias("u"),
-            (F.col("l_suppkey") * 2 + 1).alias("v"),
-        )
-        .distinct()
+    pairs = shared_supply_pairs(spark, sf)
+    sym = symmetrize(pairs).select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
     )
-    sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     sym = sym.localCheckpoint(eager=False)
     frontier = (
-        li.filter(F.col("l_suppkey") < BFS_SEED_MAX)
-        .select((F.col("l_suppkey") * 2 + 1).alias("node"))
+        pairs.filter(F.col("dst") < 2 * BFS_SEED_MAX + 1)
+        .select(F.col("dst").alias("node"))
         .distinct()
         .localCheckpoint(eager=False)
     )
@@ -955,15 +975,9 @@ def q_bfs_layers(spark: SparkSession, sf: str) -> DataFrame:
        FROM s""",
 )
 def q_assortativity(spark: SparkSession, sf: str) -> DataFrame:
-    li = load_table(spark, "lineitem", sf)
-    e = (
-        li.select(
-            (F.col("l_partkey") * 2).alias("u"),
-            (F.col("l_suppkey") * 2 + 1).alias("v"),
-        )
-        .distinct()
+    sym = symmetrize(shared_supply_pairs(spark, sf)).select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
     )
-    sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     sym = sym.localCheckpoint(eager=False)
     deg = sym.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("d"))
     du = deg.select(F.col("node").alias("u"), F.col("d").alias("dx"))
@@ -983,3 +997,72 @@ def q_assortativity(spark: SparkSession, sf: str) -> DataFrame:
         n_d * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
     )
     return s.select("n", (num / den).alias("assortativity"))
+
+
+# -- supplier neighborhood Jaccard --------------------------------------------
+
+
+@register(
+    "x_graph_jaccard_suppliers",
+    "Top-20 most similar supplier pairs by part-neighborhood Jaccard "
+    "(|parts(a) ∩ parts(b)| / |parts(a) ∪ parts(b)|) — the "
+    "co-assortment similarity that drives substitute-vendor and "
+    "consolidation analyses. Candidate pairs are generated PER PART "
+    "(suppliers sharing a part; per-part supplier lists are fan-out "
+    "bounded, so the pair stream is Σ_p C(|s_p|,2), never "
+    "all-supplier-pairs), counted with map-side partial aggregation, "
+    "and the |V|-sized degree table joins back by broadcast. Rides the "
+    "session-shared deduped supply-pair checkpoint like the other five "
+    "supply-graph queries; the exact top-k is a TakeOrdered, never a "
+    "global sort.",
+    """WITH e AS (
+         SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+       ),
+       deg AS (SELECT s, COUNT(*) AS d FROM e GROUP BY s),
+       inter AS (
+         SELECT a.s AS sa, b.s AS sb, COUNT(*) AS i
+         FROM e a JOIN e b ON a.p = b.p AND a.s < b.s
+         GROUP BY a.s, b.s
+       )
+       SELECT inter.sa AS supp_a, inter.sb AS supp_b,
+              CAST(inter.i AS BIGINT) AS n_shared,
+              CAST(da.d AS BIGINT) AS deg_a, CAST(db.d AS BIGINT) AS deg_b,
+              ROUND(CAST(inter.i AS DOUBLE) / (da.d + db.d - inter.i), 6)
+                AS jaccard
+       FROM inter JOIN deg da ON inter.sa = da.s
+                  JOIN deg db ON inter.sb = db.s
+       ORDER BY jaccard DESC, supp_a, supp_b LIMIT 20""",
+)
+def q_jaccard_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+    pairs = shared_supply_pairs(spark, sf)
+    # decode the namespaced node ids back to raw keys (src = 2p, dst = 2s+1)
+    e = pairs.select(
+        (F.col("src") / 2).cast("bigint").alias("p"),
+        ((F.col("dst") - 1) / 2).cast("bigint").alias("s"),
+    )
+    deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
+    a, b = e.alias("a"), e.alias("b")
+    inter = (
+        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
+        .groupBy(F.col("a.s").alias("sa"), F.col("b.s").alias("sb"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    da = deg.select(F.col("s").alias("sa"), F.col("d").alias("d_a"))
+    db = deg.select(F.col("s").alias("sb"), F.col("d").alias("d_b"))
+    j = inter.join(F.broadcast(da), "sa").join(F.broadcast(db), "sb")
+    return (
+        j.select(
+            F.col("sa").alias("supp_a"),
+            F.col("sb").alias("supp_b"),
+            F.col("i").cast("bigint").alias("n_shared"),
+            F.col("d_a").cast("bigint").alias("deg_a"),
+            F.col("d_b").cast("bigint").alias("deg_b"),
+            F.round(
+                F.col("i").cast("double")
+                / (F.col("d_a") + F.col("d_b") - F.col("i")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.col("jaccard").desc(), "supp_a", "supp_b")
+        .limit(20)
+    )

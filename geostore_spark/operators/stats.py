@@ -1637,6 +1637,29 @@ def q_bootstrap_ci(spark: SparkSession, sf: str) -> DataFrame:
 # -- Kendall tau-b rank correlation ------------------------------------------
 
 
+def shared_daily_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """(day, x = order count, y = exact revenue cents) daily rollup over
+    orders, computed ONCE per session × SF and eagerly localCheckpointed
+    — the association triad's shared scaffolding (Kendall tau-b and
+    Spearman rank the SAME rollup; before round 6 each consumer re-ran
+    the fact scan + day shuffle). Day-bounded at any SF (3650 rows for
+    a decade), so pinning it costs kilobytes of block storage."""
+    from geostore_spark.operators.util import session_checkpoint
+
+    def build() -> DataFrame:
+        orders = load_table(spark, "orders", sf)
+        return orders.groupBy(
+            F.col("o_orderdate").cast("date").alias("day")
+        ).agg(
+            F.count(F.lit(1)).alias("x"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("y"),
+        )
+
+    return session_checkpoint(spark, ("daily_orders_xy", sf), build)
+
+
 @register(
     "x_stats_kendall_tau",
     "Kendall tau-b rank correlation between daily order volume and "
@@ -1677,15 +1700,9 @@ def q_bootstrap_ci(spark: SparkSession, sf: str) -> DataFrame:
        FROM p""",
 )
 def stats_kendall_tau(spark: SparkSession, sf: str) -> DataFrame:
-    orders = load_table(spark, "orders", sf)
-    d = orders.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
-        F.count(F.lit(1)).alias("x"),
-        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
-        .cast("bigint")
-        .alias("y"),
-    )
-    # rollup feeds both sides of the pair join — pin it once
-    d = d.localCheckpoint(eager=False)
+    # session-shared, checkpointed: feeds both sides of the pair join
+    # here AND the rank windows in x_stats_spearman
+    d = shared_daily_orders(spark, sf)
     a, b = d.alias("a"), d.alias("b")
     conc = (
         ((F.col("a.x") < F.col("b.x")) & (F.col("a.y") < F.col("b.y")))
@@ -1880,13 +1897,7 @@ def stats_mann_whitney(spark: SparkSession, sf: str) -> DataFrame:
 def stats_spearman(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    orders = load_table(spark, "orders", sf)
-    d = orders.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
-        F.count(F.lit(1)).alias("x"),
-        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
-        .cast("bigint")
-        .alias("y"),
-    )
+    d = shared_daily_orders(spark, sf)
 
     def rank2(col: str):
         # doubled midpoint rank: 2*rank_min + n_tied - 1, all integer;
@@ -1915,3 +1926,68 @@ def stats_spearman(spark: SparkSession, sf: str) -> DataFrame:
         6,
     )
     return m.select("n", "sx", "sy", "sxy", "sxx", "syy", rho.alias("rho"))
+
+
+# -- Theil-Sen robust slope ----------------------------------------------------
+
+
+@register(
+    "x_stats_theil_sen",
+    "Theil-Sen robust trend: the MEDIAN pairwise slope of daily revenue "
+    "against daily order volume — the estimator drift dashboards use "
+    "when OLS (x_stats_linreg) is poisoned by outlier days (up to 29% "
+    "contamination tolerated). Pairs come from the session-shared daily "
+    "rollup (day-bounded at ANY SF: the date range is fixed, so the "
+    "pair table is rollup-squared, never fact-squared — fact rows "
+    "shuffle once into the rollup). The median is a deterministic "
+    "SELECTION, not an interpolation: pairs rank by (slope, day_a, "
+    "day_b) through the two-phase distributed ROW_NUMBER (range "
+    "partition + broadcast offsets — never a 1-task global sort) and "
+    "the lower-median rank picks ONE pair whose IEEE-double slope both "
+    "engines compute identically.",
+    """WITH d AS (
+         SELECT CAST(o_orderdate AS DATE) AS day,
+                COUNT(*) AS x,
+                CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                  AS y
+         FROM orders GROUP BY day
+       ),
+       p AS (
+         SELECT a.day AS da, b.day AS db,
+                CAST(b.y - a.y AS DOUBLE) / (b.x - a.x) AS slope
+         FROM d a JOIN d b ON a.day < b.day AND a.x != b.x
+       ),
+       r AS (
+         SELECT slope, ROW_NUMBER() OVER (ORDER BY slope, da, db) AS i,
+                COUNT(*) OVER () AS n
+         FROM p
+       )
+       SELECT CAST(n AS BIGINT) AS n_pairs,
+              ROUND(slope, 6) AS median_slope_cents_per_order
+       FROM r WHERE i = (n + 1) // 2""",
+)
+def stats_theil_sen(spark: SparkSession, sf: str) -> DataFrame:
+    from geostore_spark.operators.util import distributed_row_number
+
+    d = shared_daily_orders(spark, sf)
+    a, b = d.alias("a"), d.alias("b")
+    p = a.join(
+        F.broadcast(b),
+        (F.col("a.day") < F.col("b.day")) & (F.col("a.x") != F.col("b.x")),
+    ).select(
+        F.col("a.day").alias("da"),
+        F.col("b.day").alias("db"),
+        (
+            (F.col("b.y") - F.col("a.y")).cast("double")
+            / (F.col("b.x") - F.col("a.x"))
+        ).alias("slope"),
+    )
+    # pin the pair table: the rank pass and the count both consume it
+    p = p.localCheckpoint(eager=False)
+    ranked, _ = distributed_row_number(p, [], ["slope", "da", "db"], rn_name="i")
+    n = p.count()
+    k = (n + 1) // 2
+    return ranked.filter(F.col("i") == k).select(
+        F.lit(n).cast("bigint").alias("n_pairs"),
+        F.round(F.col("slope"), 6).alias("median_slope_cents_per_order"),
+    )
