@@ -73,53 +73,126 @@ def read_documents(spark: SparkSession, urls: list[str]) -> DataFrame:
     return raw.withColumn("doc", F.from_json("raw", DOC_SCHEMA))
 
 
-def traverse(spark: SparkSession, root_url: str) -> DataFrame:
+# Auto-dispatch threshold: rounds whose link volume stays under this run
+# the driver-list bookkeeping (cheaper per round at catalog sizes the
+# reference actually sees); one round above it flips the traversal into
+# DataFrame-frontier mode for the rest of the walk — the same
+# runtime-size dispatch every other operator uses.
+DF_FRONTIER_THRESHOLD = 50_000
+
+
+def _round_links(docs: DataFrame) -> DataFrame:
+    """(child_url, path) candidate links of one frontier's documents."""
+    return (
+        docs.select(
+            "url",
+            "path",
+            F.posexplode_outer(F.col("doc.links")).alias("link_idx", "link"),
+        )
+        .filter(F.col("link.rel").isin(*FOLLOW_RELS))
+        .select(
+            _resolve_href(F.col("url"), F.col("link.href")).alias("child_url"),
+            F.concat("path", F.array("link_idx")).alias("path"),
+        )
+    )
+
+
+def traverse(
+    spark: SparkSession, root_url: str, frontier_mode: str = "auto"
+) -> DataFrame:
     """Return every reachable metadata document with its DFS pre-order:
-    (url, raw, doc, path array<int>, discovery_ord int)."""
-    visited: dict[str, None] = {}  # insertion-ordered traversed_urls
+    (url, raw, doc, path array<int>, discovery_ord int).
+
+    ``frontier_mode``: ``"driver"`` keeps visited/frontier bookkeeping
+    as driver collections (fine for the metadata-sized catalogs the
+    reference traverses); ``"dataframe"`` keeps the visited set as a
+    DataFrame and dedups each round with a window + anti-join, so
+    driver memory holds only the CURRENT round's URL list (which the
+    distributed text read needs to enumerate its input paths — driver
+    work by definition, even at cluster scale); ``"auto"`` (default)
+    starts in driver mode and switches permanently to dataframe mode
+    the first time a round's link volume crosses DF_FRONTIER_THRESHOLD.
+    Both modes produce IDENTICAL discovery_ord (pytest-pinned on the
+    golden STAC tree): DFS pre-order is exactly the lexicographic path
+    sort, and the final global rank runs through the two-phase
+    distributed ROW_NUMBER (range partition + broadcast offsets), never
+    a single-partition window — discovery order falls out of a
+    distributed sort in every mode.
+    """
+    if frontier_mode not in ("auto", "driver", "dataframe"):
+        raise ValueError(f"unknown frontier_mode: {frontier_mode}")
+    use_df = frontier_mode == "dataframe"
+    # driver-mode state: insertion-ordered traversed_urls (reference
+    # utils.py:92) — swapped for a DataFrame on dispatch
+    visited: dict[str, None] = {}
+    visited_df: DataFrame | None = (
+        spark.createDataFrame([], "url string") if use_df else None
+    )
     frontier: list[tuple[str, list[int]]] = [(root_url, [])]
     collected: list[DataFrame] = []
+    n_urls = 0
 
     for _ in range(MAX_ITERATIONS):
-        new: list[tuple[str, list[int]]] = []
-        seen_this_round: set[str] = set()
-        for u, p in frontier:  # frontier is path-sorted: first hit keeps the
-            if u not in visited and u not in seen_this_round:  # least path
-                new.append((u, p))
-                seen_this_round.add(u)
+        if use_df:
+            new = frontier  # already deduped/anti-joined distributed
+        else:
+            new = []
+            seen_this_round: set[str] = set()
+            for u, p in frontier:  # frontier is path-sorted: first hit
+                if u not in visited and u not in seen_this_round:
+                    new.append((u, p))  # keeps the least path
+                    seen_this_round.add(u)
+            for u, _p in new:
+                visited[u] = None
         if not new:
             break
-        for u, _p in new:
-            visited[u] = None
+        n_urls += len(new)
         paths = spark.createDataFrame(
             [(u, p) for u, p in new], "url string, path array<int>"
         )
+        if use_df:
+            visited_df = visited_df.unionByName(
+                paths.select("url")
+            ).localCheckpoint(eager=False)
         docs = read_documents(spark, [u for u, _ in new]).join(paths, "url")
         collected.append(docs)
 
-        links = (
-            docs.select(
-                "url",
-                "path",
-                F.posexplode_outer(F.col("doc.links")).alias("link_idx", "link"),
+        links = _round_links(docs)
+        if not use_df and frontier_mode == "auto":
+            n_links = links.count()
+            if n_links > DF_FRONTIER_THRESHOLD:
+                # flip to DataFrame bookkeeping: seed the visited table
+                # from the driver dict ONCE, then stop growing any
+                # driver-side set
+                use_df = True
+                visited_df = spark.createDataFrame(
+                    [(u,) for u in visited], "url string"
+                ).localCheckpoint(eager=False)
+        if use_df:
+            # first discovery keeps the lexicographically-least path
+            # (matches the reference DFS order); dedup + anti-join are
+            # executor-side — the only driver materialization is the
+            # NEXT round's (url, path) list, which the read requires
+            w = Window.partitionBy("child_url").orderBy("path")
+            nxt = (
+                links.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+                .join(visited_df, links["child_url"] == visited_df["url"], "left_anti")
             )
-            .filter(F.col("link.rel").isin(*FOLLOW_RELS))
-            .select(
-                _resolve_href(F.col("url"), F.col("link.href")).alias("child_url"),
-                F.concat("path", F.array("link_idx")).alias("path"),
-            )
-        )
-        # one row per *first* discovery of a URL (cycle-safe, keeps the
-        # lexicographically-least path so ordering matches the reference DFS)
-        frontier = [
-            (r["child_url"], list(r["path"]))
-            for r in links.sort("path").collect()
-        ]
+            frontier = [
+                (r["child_url"], list(r["path"])) for r in nxt.collect()
+            ]
+        else:
+            frontier = [
+                (r["child_url"], list(r["path"]))
+                for r in links.sort("path").collect()
+            ]
 
     log_event(
         LOG_MESSAGE_TRAVERSAL_COMPLETE,
         root_url=root_url,
-        n_urls=len(visited),
+        n_urls=n_urls,
         n_rounds=len(collected),
     )
     if not collected:
@@ -127,5 +200,9 @@ def traverse(spark: SparkSession, root_url: str) -> DataFrame:
     out = collected[0]
     for df in collected[1:]:
         out = out.unionByName(df)
-    w = F.row_number().over(Window.orderBy("path"))
-    return out.withColumn("discovery_ord", w - 1)
+    from geostore_spark.operators.util import distributed_row_number
+
+    ranked, _ = distributed_row_number(
+        out, [], ["path"], rn_name="discovery_ord"
+    )
+    return ranked.withColumn("discovery_ord", F.col("discovery_ord") - 1)

@@ -115,6 +115,28 @@ def test_traversal_visits_each_url_once_in_discovery_order(spark, tmp_path):
     assert [r["discovery_ord"] for r in rows] == [0, 1, 2]
 
 
+def test_traversal_dataframe_frontier_matches_driver_mode(spark, tmp_path):
+    """The scale path (visited as an anti-joined DataFrame, per-round
+    window dedup, distributed final rank) must reproduce the driver
+    mode's discovery order EXACTLY on the golden STAC tree — same URLs,
+    same DFS pre-order ranks (r5 verdict item: frontier/visited as
+    DataFrames is SURVEY §2 V1's own prescription for 10M-item
+    catalogs)."""
+    from geostore_spark.pipeline.traversal import traverse as tv
+
+    tree = build_golden_tree(str(tmp_path))
+    by_mode = {}
+    for mode in ("driver", "dataframe"):
+        rows = tv(spark, tree["root_url"], frontier_mode=mode).orderBy(
+            "discovery_ord"
+        ).collect()
+        by_mode[mode] = [(r["url"], r["discovery_ord"]) for r in rows]
+    assert by_mode["driver"] == by_mode["dataframe"]
+    assert [u for u, _ in by_mode["driver"]] == [
+        tree["catalog"], tree["collection"], tree["item"]
+    ]
+
+
 # -- golden end-to-end ingest (test_processing_stack.py:131-279 analog) ----
 
 
