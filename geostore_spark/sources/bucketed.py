@@ -50,6 +50,25 @@ def _default_table_path(spark: SparkSession, table: str) -> str | None:
     return parsed.path or uri
 
 
+def save_table_clearing_stale_dir(writer, spark: SparkSession, table: str) -> None:
+    """``writer.saveAsTable(table)`` with one retry after clearing a
+    stale warehouse directory (left by a crashed writer or an earlier
+    session's catalog — DROP TABLE does not know about it). The
+    cleanup runs only AFTER the write fails because of it, and at the
+    catalog-resolved location — never a path string-built from the
+    warehouse URI."""
+    import shutil
+
+    try:
+        writer.saveAsTable(table)
+    except Exception:
+        path = _default_table_path(spark, table)
+        if path is None:
+            raise
+        shutil.rmtree(path, ignore_errors=True)
+        writer.saveAsTable(table)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,
@@ -58,26 +77,13 @@ def write_bucketed(
     sorted_by_key: bool = True,
 ) -> None:
     """Persist ``df`` as a parquet table bucketed (and optionally
-    sorted) on ``key``. Overwrites any existing table of that name.
-    A stale warehouse directory left by a crashed writer (which DROP
-    TABLE does not know about) is removed only AFTER the write fails
-    because of it, and at the catalog-resolved location — never a
-    path string-built from the warehouse URI."""
-    import shutil
-
+    sorted) on ``key``. Overwrites any existing table of that name."""
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     w = df.write.format("parquet").mode("overwrite").bucketBy(buckets, key)
     if sorted_by_key:
         w = w.sortBy(key)
-    try:
-        w.saveAsTable(table)
-    except Exception:
-        path = _default_table_path(spark, table)
-        if path is None:
-            raise
-        shutil.rmtree(path, ignore_errors=True)
-        w.saveAsTable(table)
+    save_table_clearing_stale_dir(w, spark, table)
 
 
 def bucket_spec(spark: SparkSession, table: str) -> tuple[int, str] | None:

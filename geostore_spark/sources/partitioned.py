@@ -27,7 +27,7 @@ import hashlib
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from geostore_spark.sources.bucketed import write_bucketed  # noqa: F401 (sibling lever)
+from geostore_spark.sources.bucketed import save_table_clearing_stale_dir
 from geostore_spark.sources.tables import load_table
 
 PRUNE_YEAR = 1995
@@ -63,9 +63,8 @@ def ensure_partitioned_orders(spark: SparkSession, sf: str) -> str:
         "o_orderdate",
         F.year("o_orderdate").alias("o_year"),
     )
-    df.write.format("parquet").mode("overwrite").partitionBy(
-        "o_year"
-    ).saveAsTable(table)
+    w = df.write.format("parquet").mode("overwrite").partitionBy("o_year")
+    save_table_clearing_stale_dir(w, spark, table)
     return table
 
 
