@@ -64,6 +64,9 @@ _NEVER_DRIVER_SAMPLED = (
     "x_graph_pagerank", "x_graph_kcore", "x_graph_bfs_layers",
     "x_graph_assortativity", "x_graph_degree_stats",
     "x_stats_kendall_tau", "x_stats_spearman",
+    # -- 2: round-6 additions, no driver row yet
+    "x_stats_theil_sen", "x_graph_jaccard_suppliers",
+    "x_storage_partition_prune",
     # -- 3: stalest driver rows (d2-era canonical + d1-era dedup)
     "a1_filtered_count", "a2_existence_aggregate",
     "a3_group_collect_extrema", "a4_minmax_summary", "a5_status_rollup",
