@@ -242,10 +242,14 @@ def pagerank(
     single-task kernel (zero shuffle rounds). The kernel's cost is its
     np.unique sorts — O(|E| log |E|) in ONE task — so it only wins
     where per-iteration job floors dominate real work: measured at sf1
-    (12 M raw edges) the kernel needs ~15 s of single-task sort+Arrow
-    time while the broadcast-state distributed loop below finishes in
-    ~5 s; at sf0.1 (1.2 M edges) the kernel's ~2 s beats the loop's
-    ~6 jobs of scheduling floor. The 2 M default is that measured
+    the kernel needs ~15 s of single-task sort+Arrow time while the
+    broadcast-state distributed loop below runs in ~6-9 s loop-only
+    (round-6 measurement with the supply-pair mining amortized into
+    the session checkpoint shared by all six supply-graph queries;
+    a standalone first call pays mining + loop ≈ 16 s — the r5
+    BENCH_sf1 row was exactly that un-amortized case); at sf0.1
+    (1.2 M edges) the kernel's ~2 s beats the loop's ~6 jobs of
+    scheduling floor. The 2 M default is that measured
     break-even, not a memory bound (memory would allow ~50 M:
     ~3 × 8 B × |E| of packed-array + sort workspace). Above it, the
     distributed loop: the edge list is hash-partitioned on
@@ -999,61 +1003,74 @@ def q_assortativity(spark: SparkSession, sf: str) -> DataFrame:
     return s.select("n", (num / den).alias("assortativity"))
 
 
-# -- supplier neighborhood Jaccard --------------------------------------------
+# -- part neighborhood Jaccard ------------------------------------------------
 
 
 @register(
-    "x_graph_jaccard_suppliers",
-    "Top-20 most similar supplier pairs by part-neighborhood Jaccard "
-    "(|parts(a) ∩ parts(b)| / |parts(a) ∪ parts(b)|) — the "
-    "co-assortment similarity that drives substitute-vendor and "
-    "consolidation analyses. Candidate pairs are generated PER PART "
-    "(suppliers sharing a part; per-part supplier lists are fan-out "
-    "bounded, so the pair stream is Σ_p C(|s_p|,2), never "
-    "all-supplier-pairs), counted with map-side partial aggregation, "
-    "and the |V|-sized degree table joins back by broadcast. Rides the "
-    "session-shared deduped supply-pair checkpoint like the other five "
-    "supply-graph queries; the exact top-k is a TakeOrdered, never a "
-    "global sort.",
+    "x_graph_jaccard_parts",
+    "Top-20 most similar part pairs by order-neighborhood Jaccard "
+    "(|orders(a) ∩ orders(b)| / |orders(a) ∪ orders(b)|) — the "
+    "co-purchase similarity behind substitute/complement detection. "
+    "Candidate pairs are generated IN-ROW from each order's collected "
+    "part set (the basket-lift pattern): orders are SMALL blocks, so "
+    "the pair stream is Σ_o C(|o|,2) ≈ 6x orders — LINEAR in the fact "
+    "table, never all-part-pairs — and the expansion runs inside the "
+    "scan stage with map-side partial aggregation compressing it "
+    "before the only pair-keyed exchange. (The supplier-side variant "
+    "of this query was measured and REJECTED: with 10k suppliers the "
+    "co-assortment graph is near-complete — ~90M pair instances / "
+    "~50M distinct pairs at sf1 — so blocking on the small-cardinality "
+    "basket is the scale decision, not a convenience.) The |V|-sized "
+    "degree table joins back by broadcast; the exact top-k is a "
+    "TakeOrdered, never a global sort.",
     """WITH e AS (
-         SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+         SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
        ),
-       deg AS (SELECT s, COUNT(*) AS d FROM e GROUP BY s),
+       deg AS (SELECT p, COUNT(*) AS d FROM e GROUP BY p),
        inter AS (
-         SELECT a.s AS sa, b.s AS sb, COUNT(*) AS i
-         FROM e a JOIN e b ON a.p = b.p AND a.s < b.s
-         GROUP BY a.s, b.s
+         SELECT a.p AS pa, b.p AS pb, COUNT(*) AS i
+         FROM e a JOIN e b ON a.o = b.o AND a.p < b.p
+         GROUP BY a.p, b.p
        )
-       SELECT inter.sa AS supp_a, inter.sb AS supp_b,
+       SELECT inter.pa AS part_a, inter.pb AS part_b,
               CAST(inter.i AS BIGINT) AS n_shared,
               CAST(da.d AS BIGINT) AS deg_a, CAST(db.d AS BIGINT) AS deg_b,
               ROUND(CAST(inter.i AS DOUBLE) / (da.d + db.d - inter.i), 6)
                 AS jaccard
-       FROM inter JOIN deg da ON inter.sa = da.s
-                  JOIN deg db ON inter.sb = db.s
-       ORDER BY jaccard DESC, supp_a, supp_b LIMIT 20""",
+       FROM inter JOIN deg da ON inter.pa = da.p
+                  JOIN deg db ON inter.pb = db.p
+       ORDER BY jaccard DESC, part_a, part_b LIMIT 20""",
 )
-def q_jaccard_suppliers(spark: SparkSession, sf: str) -> DataFrame:
-    pairs = shared_supply_pairs(spark, sf)
-    # decode the namespaced node ids back to raw keys (src = 2p, dst = 2s+1)
-    e = pairs.select(
-        (F.col("src") / 2).cast("bigint").alias("p"),
-        ((F.col("dst") - 1) / 2).cast("bigint").alias("s"),
+def q_jaccard_parts(spark: SparkSession, sf: str) -> DataFrame:
+    e = (
+        load_table(spark, "lineitem", sf)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+        # feeds the degree rollup AND the per-order sets — pin once
+        .localCheckpoint(eager=False)
     )
-    deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
-    a, b = e.alias("a"), e.alias("b")
+    deg = e.groupBy("p").agg(F.count(F.lit(1)).alias("d"))
+    # per-order part sets, sorted so in-row expansion emits each
+    # unordered pair exactly once with pa < pb
+    sets_ = e.groupBy("o").agg(F.sort_array(F.collect_set("p")).alias("ps"))
+    pair_expr = F.expr(
+        "flatten(transform(ps, (x, i) -> "
+        "transform(slice(ps, i + 2, size(ps)), "
+        "y -> struct(x AS pa, y AS pb))))"
+    )
     inter = (
-        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
-        .groupBy(F.col("a.s").alias("sa"), F.col("b.s").alias("sb"))
+        sets_.select(F.explode(pair_expr).alias("pr"))
+        .select("pr.pa", "pr.pb")
+        .groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).alias("i"))
     )
-    da = deg.select(F.col("s").alias("sa"), F.col("d").alias("d_a"))
-    db = deg.select(F.col("s").alias("sb"), F.col("d").alias("d_b"))
-    j = inter.join(F.broadcast(da), "sa").join(F.broadcast(db), "sb")
+    da = deg.select(F.col("p").alias("pa"), F.col("d").alias("d_a"))
+    db = deg.select(F.col("p").alias("pb"), F.col("d").alias("d_b"))
+    j = inter.join(F.broadcast(da), "pa").join(F.broadcast(db), "pb")
     return (
         j.select(
-            F.col("sa").alias("supp_a"),
-            F.col("sb").alias("supp_b"),
+            F.col("pa").alias("part_a"),
+            F.col("pb").alias("part_b"),
             F.col("i").cast("bigint").alias("n_shared"),
             F.col("d_a").cast("bigint").alias("deg_a"),
             F.col("d_b").cast("bigint").alias("deg_b"),
@@ -1063,6 +1080,6 @@ def q_jaccard_suppliers(spark: SparkSession, sf: str) -> DataFrame:
                 6,
             ).alias("jaccard"),
         )
-        .orderBy(F.col("jaccard").desc(), "supp_a", "supp_b")
+        .orderBy(F.col("jaccard").desc(), "part_a", "part_b")
         .limit(20)
     )

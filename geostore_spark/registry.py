@@ -65,7 +65,7 @@ _NEVER_DRIVER_SAMPLED = (
     "x_graph_assortativity", "x_graph_degree_stats",
     "x_stats_kendall_tau", "x_stats_spearman",
     # -- 2: round-6 additions, no driver row yet
-    "x_stats_theil_sen", "x_graph_jaccard_suppliers",
+    "x_stats_theil_sen", "x_graph_jaccard_parts",
     "x_storage_partition_prune",
     # -- 3: stalest driver rows (d2-era canonical + d1-era dedup)
     "a1_filtered_count", "a2_existence_aggregate",
