@@ -762,3 +762,104 @@ def q_events_changepoint(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("cusum_abs").desc(), "cp_day")
         .limit(1)
     )
+
+
+# -- sweep-line interval aggregation ------------------------------------------
+
+
+@register(
+    "x_orders_active_intervals",
+    "Active-interval count by day (sweep line): how many orders are in "
+    "fulfillment — between order date and their last line's ship date, "
+    "inclusive — on each day, plus the exact open order value in "
+    "cents. THE interval-aggregation shape (hotel occupancy / "
+    "concurrent sessions / open connections): never expand intervals "
+    "into per-day rows (days x intervals blows up at 100 TB) — each "
+    "order contributes +1 at its start and -1 the day after its end, "
+    "the deltas partially aggregate into a day-bounded rollup (the "
+    "interval build is ONE orderkey-rollup shuffle + one co-keyed "
+    "join), and the running totals are the two-phase distributed "
+    "prefix sum (range partition + broadcast slice offsets — never a "
+    "1-task global window). Value sums are exact integer cents, so "
+    "the cumulative is shuffle-order-independent. Output trimmed to "
+    "days with at least one open order.",
+    """WITH iv AS (
+         SELECT o.o_orderdate AS start_day,
+                MAX(l.l_shipdate) AS end_day,
+                CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+         FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+         GROUP BY o.o_orderkey, o.o_orderdate, o.o_totalprice
+       ),
+       d AS (
+         SELECT start_day AS day, 1 AS dn, cents AS dv FROM iv
+         UNION ALL
+         SELECT end_day + INTERVAL 1 DAY, -1, -cents FROM iv
+       ),
+       r AS (
+         SELECT day, CAST(SUM(dn) AS BIGINT) AS dn,
+                CAST(SUM(dv) AS BIGINT) AS dv
+         FROM d GROUP BY day
+       ),
+       c AS (
+         SELECT day,
+                CAST(SUM(dn) OVER (ORDER BY day) AS BIGINT) AS n_open,
+                CAST(SUM(dv) OVER (ORDER BY day) AS BIGINT)
+                  AS open_value_cents
+         FROM r
+       )
+       SELECT CAST(day AS DATE) AS day, n_open, open_value_cents
+       FROM c WHERE n_open > 0 ORDER BY day""",
+)
+def q_orders_active_intervals(spark: SparkSession, sf: str) -> DataFrame:
+    from geostore_spark.operators.util import distributed_prefix_sum
+
+    orders = load_table(spark, "orders", sf).select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    li = load_table(spark, "lineitem", sf).select("l_orderkey", "l_shipdate")
+    ends = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.max("l_shipdate").alias("end_day")
+    )
+    iv = orders.join(ends, "o_orderkey").select(
+        F.col("o_orderdate").alias("start_day"),
+        "end_day",
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    # one generator pass emits both endpoint deltas inside the join
+    # stage (a UNION of two selects would run the join twice)
+    deltas = iv.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("start_day").alias("day"),
+                    F.lit(1).alias("dn"),
+                    F.col("cents").alias("dv"),
+                ),
+                F.struct(
+                    F.date_add(F.col("end_day"), 1).alias("day"),
+                    F.lit(-1).alias("dn"),
+                    (-F.col("cents")).alias("dv"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.day", "e.dn", "e.dv")
+    r = deltas.groupBy("day").agg(
+        F.sum("dn").cast("bigint").alias("dn"),
+        F.sum("dv").cast("bigint").alias("dv"),
+    )
+    # both cumulatives ride ONE range partitioning / window / offset
+    # join (the helper's multi-column form)
+    c = distributed_prefix_sum(
+        r, [], ["day"], "dn", out_name="n_open", also={"dv": "v_cum"}
+    )
+    return (
+        c.filter(F.col("n_open") > 0)
+        .select(
+            # midnight timestamp, not date: DuckDB's pandas bridge maps
+            # DATE to datetime64, so the comparable shape is timestamp
+            F.col("day").cast("timestamp").alias("day"),
+            F.col("n_open").cast("bigint").alias("n_open"),
+            F.col("v_cum").cast("bigint").alias("open_value_cents"),
+        )
+        .orderBy("day")
+    )

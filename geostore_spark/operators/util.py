@@ -142,6 +142,7 @@ def distributed_prefix_sum(
     val_col: str,
     out_name: str = "cum",
     num_partitions: int | None = None,
+    also: dict[str, str] | None = None,
 ):
     """Two-phase distributed cumulative SUM — same scale argument as
     ``distributed_row_number``: a running total OVER a low-cardinality
@@ -154,7 +155,11 @@ def distributed_prefix_sum(
        global cum = offset + local running sum.
 
     ``val_col`` should be an exact (integer/decimal) column — float
-    prefix sums would depend on slice boundaries.
+    prefix sums would depend on slice boundaries. ``also`` maps extra
+    value columns to their output names: every additional cumulative
+    rides the SAME range partitioning, local window, and broadcast
+    offset join — N prefix sums for the price of one pass (chaining
+    the helper would re-shuffle and re-checkpoint per column).
     """
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
@@ -163,6 +168,7 @@ def distributed_prefix_sum(
         num_partitions = int(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
         )
+    vals = {val_col: out_name, **(also or {})}
     # pinned for the same two-consumer consistency reason as
     # distributed_row_number above
     ranged = (
@@ -175,18 +181,28 @@ def distributed_prefix_sum(
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    local = ranged.withColumn("_lcum", F.sum(val_col).over(local_w))
-    totals = ranged.groupBy("_pid", *part_cols).agg(F.sum(val_col).alias("_tot"))
+    local = ranged
+    for v, o in vals.items():
+        local = local.withColumn(f"_lcum_{o}", F.sum(v).over(local_w))
+    totals = ranged.groupBy("_pid", *part_cols).agg(
+        *[F.sum(v).alias(f"_tot_{o}") for v, o in vals.items()]
+    )
     off_w = (
         Window.partitionBy(*part_cols)
         .orderBy("_pid")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    offsets = totals.withColumn(
-        "_off", F.coalesce(F.sum("_tot").over(off_w), F.lit(0))
-    ).select("_pid", *part_cols, "_off")
-    return (
-        local.join(F.broadcast(offsets), ["_pid", *part_cols])
-        .withColumn(out_name, F.col("_off") + F.col("_lcum"))
-        .drop("_pid", "_lcum", "_off")
+    offsets = totals
+    for _v, o in vals.items():
+        offsets = offsets.withColumn(
+            f"_off_{o}", F.coalesce(F.sum(f"_tot_{o}").over(off_w), F.lit(0))
+        )
+    offsets = offsets.select(
+        "_pid", *part_cols, *[f"_off_{o}" for o in vals.values()]
     )
+    out = local.join(F.broadcast(offsets), ["_pid", *part_cols])
+    drop = ["_pid"]
+    for _v, o in vals.items():
+        out = out.withColumn(o, F.col(f"_off_{o}") + F.col(f"_lcum_{o}"))
+        drop += [f"_lcum_{o}", f"_off_{o}"]
+    return out.drop(*drop)

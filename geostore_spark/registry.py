@@ -66,7 +66,9 @@ _NEVER_DRIVER_SAMPLED = (
     "x_stats_kendall_tau", "x_stats_spearman",
     # -- 2: round-6 additions, no driver row yet
     "x_stats_theil_sen", "x_graph_jaccard_parts",
-    "x_storage_partition_prune",
+    "x_storage_partition_prune", "x_orders_active_intervals",
+    # -- riders of the round-6 multi-column prefix-sum helper change
+    "x_stats_mann_whitney",
     # -- 3: stalest driver rows (d2-era canonical + d1-era dedup)
     "a1_filtered_count", "a2_existence_aggregate",
     "a3_group_collect_extrema", "a4_minmax_summary", "a5_status_rollup",
