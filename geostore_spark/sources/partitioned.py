@@ -56,6 +56,23 @@ def ensure_partitioned_orders(spark: SparkSession, sf: str) -> str:
     table = f"orders_part_{tag}"
     if partition_cols(spark, table) == ["o_year"]:
         return table
+    # a fresh session's catalog is empty but the partitioned files are
+    # durable: adopt them (then recover the partition entries) instead
+    # of re-paying the layout write
+    if not spark.catalog.tableExists(table):
+        from geostore_spark.sources.bucketed import adopt_existing_table
+
+        if adopt_existing_table(
+            spark,
+            table,
+            "PARTITIONED BY (o_year)",
+            "o_orderkey bigint, o_totalprice double, "
+            "o_orderdate timestamp, o_year int",
+        ):
+            spark.sql(f"MSCK REPAIR TABLE {table}")
+            if partition_cols(spark, table) == ["o_year"]:
+                return table
+            spark.sql(f"DROP TABLE IF EXISTS {table}")  # unexpected spec
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     df = load_table(spark, "orders", sf).select(
         "o_orderkey",

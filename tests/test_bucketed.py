@@ -88,6 +88,48 @@ def test_cobucketed_join_writes_only_if_absent(spark):
     assert bucket_spec(spark, "no_such_table_xyz") is None
 
 
+def test_bucketed_tables_adopted_across_catalog_loss(spark, tmp_path):
+    """A fresh session's in-memory catalog forgets the table while the
+    bucketed parquet files survive in the warehouse: the probe must
+    ADOPT the existing directory (external CREATE TABLE over it) and
+    never re-pay the layout shuffle — the amortization must hold
+    across sessions, not just calls."""
+    import hashlib
+    import os
+    import shutil
+
+    from geostore_spark.sources.bucketed import (
+        _default_table_path,
+        bucket_spec,
+    )
+
+    first = [r.asDict() for r in cobucketed_revenue_join(spark, SF_DIR, suffix="t3").collect()]
+    tag = hashlib.sha256(SF_DIR.encode()).hexdigest()[:8]
+    tables = (f"orders_b_t3_{tag}", f"lineitem_b_t3_{tag}")
+    mtimes = {}
+    for t in tables:
+        p = _default_table_path(spark, t)
+        # simulate the fresh-session state: catalog entry gone, files
+        # intact (managed DROP deletes files, so back them up around it)
+        shutil.copytree(p, str(tmp_path / t))
+        spark.sql(f"DROP TABLE {t}")
+        shutil.rmtree(p, ignore_errors=True)
+        shutil.copytree(str(tmp_path / t), p)
+        assert not spark.catalog.tableExists(t)
+        mtimes[t] = sorted(
+            os.path.getmtime(os.path.join(p, f)) for f in os.listdir(p)
+        )
+    second = [r.asDict() for r in cobucketed_revenue_join(spark, SF_DIR, suffix="t3").collect()]
+    assert second == first
+    for t in tables:
+        assert bucket_spec(spark, t) == (16, "o_orderkey" if "orders" in t else "l_orderkey")
+        p = _default_table_path(spark, t)
+        got = sorted(
+            os.path.getmtime(os.path.join(p, f)) for f in os.listdir(p)
+        )
+        assert got == mtimes[t]  # adopted, not rewritten
+
+
 def test_partition_prune_scan_carries_partition_filter(spark):
     """The year filter must reach the scan as a PARTITION filter
     (directory elimination), not a data filter — at 100 TB the scan
