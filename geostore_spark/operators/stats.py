@@ -1999,3 +1999,82 @@ def stats_theil_sen(spark: SparkSession, sf: str) -> DataFrame:
             F.round(F.col("slope"), 6).alias("median_slope_cents_per_order"),
         )
     )
+
+
+# -- Mann-Kendall trend test ---------------------------------------------------
+
+
+@register(
+    "x_stats_mann_kendall",
+    "Mann-Kendall monotonic-trend test on the daily revenue series — "
+    "the standard is-this-series-drifting gate (hydrology/climate "
+    "lineage) and the one-series complement of x_stats_kendall_tau "
+    "(which correlates TWO series): S = sum of sign(y_j - y_i) over "
+    "all day pairs i<j, with the exact tie-corrected variance "
+    "Var = [n(n-1)(2n+5) - sum t(t-1)(2t+5)] / 18. Everything is "
+    "integer-exact — the 2-sigma verdict is the cross-multiplied "
+    "9*S^2 > 2*[n(n-1)(2n+5) - tie_term], so no float forms at all. "
+    "Rides the session-shared daily rollup (day-bounded at any SF; "
+    "fact rows shuffle once); the pair join broadcasts the rollup "
+    "against itself, aggregate-sized forever.",
+    """WITH d AS (
+         SELECT CAST(o_orderdate AS DATE) AS day,
+                CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                  AS y
+         FROM orders GROUP BY day
+       ),
+       s AS (
+         SELECT CAST(SUM(CASE WHEN b.y > a.y THEN 1
+                              WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT)
+                  AS s_stat
+         FROM d a JOIN d b ON a.day < b.day
+       ),
+       n_ AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d),
+       t_ AS (
+         SELECT CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+                  AS tie_term
+         FROM (SELECT COUNT(*) AS t FROM d GROUP BY y) g WHERE t > 1
+       )
+       SELECT s_stat, n, tie_term,
+              9 * s_stat * s_stat
+                > 2 * (n * (n - 1) * (2 * n + 5) - tie_term)
+                AS trend_2sigma
+       FROM s, n_, t_""",
+)
+def stats_mann_kendall(spark: SparkSession, sf: str) -> DataFrame:
+    d = shared_daily_orders(spark, sf).select("day", "y")
+    a, b = d.alias("a"), d.alias("b")
+    s = a.join(F.broadcast(b), F.col("a.day") < F.col("b.day")).agg(
+        F.sum(
+            F.when(F.col("b.y") > F.col("a.y"), 1)
+            .when(F.col("b.y") < F.col("a.y"), -1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("s_stat")
+    )
+    n_ = d.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    t_ = (
+        d.groupBy("y")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("tie_term")
+        )
+    )
+    out = s.join(F.broadcast(n_)).join(F.broadcast(t_))
+    verdict = (9 * F.col("s_stat") * F.col("s_stat")) > (
+        2
+        * (
+            F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+            - F.col("tie_term")
+        )
+    )
+    return out.select(
+        "s_stat", "n", "tie_term", verdict.alias("trend_2sigma")
+    )

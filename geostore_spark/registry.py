@@ -67,6 +67,7 @@ _NEVER_DRIVER_SAMPLED = (
     # -- 2: round-6 additions, no driver row yet
     "x_stats_theil_sen", "x_graph_jaccard_parts",
     "x_storage_partition_prune", "x_orders_active_intervals",
+    "x_stats_mann_kendall",
     # -- riders of the round-6 multi-column prefix-sum helper change
     "x_stats_mann_whitney",
     # -- 3: stalest driver rows (d2-era canonical + d1-era dedup)
