@@ -781,8 +781,10 @@ def q_events_changepoint(spark: SparkSession, sf: str) -> DataFrame:
     "join), and the running totals are the two-phase distributed "
     "prefix sum (range partition + broadcast slice offsets — never a "
     "1-task global window). Value sums are exact integer cents, so "
-    "the cumulative is shuffle-order-independent. Output trimmed to "
-    "days with at least one open order.",
+    "the cumulative is shuffle-order-independent. Output is the step "
+    "function's BREAKPOINTS — one row per endpoint day, each count "
+    "holding until the next row — trimmed to breakpoints with at "
+    "least one open order.",
     """WITH iv AS (
          SELECT o.o_orderdate AS start_day,
                 MAX(l.l_shipdate) AS end_day,

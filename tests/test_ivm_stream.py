@@ -112,3 +112,43 @@ def test_stream_sink_torn_run_cannot_double_apply(spark, store):
     assert {r["k"]: (r["n_rows"], r["sum_cents"]) for r in view.read().collect()}[
         "a"
     ] == (2, 15)
+
+
+def test_streaming_active_intervals_composition(spark, store):
+    """Late-data-safe streaming sweep line from existing layers: the
+    producer emits commutative endpoint DELTAS (+1 at start, -1 after
+    end), the IVM sink folds them into a per-day delta view, and the
+    active-interval profile is a read-time prefix sum over the
+    day-bounded view — running totals never live in stream state, so
+    out-of-order intervals cannot corrupt them (the batch twin is
+    x_orders_active_intervals)."""
+    from pyspark.sql import functions as F
+
+    from geostore_spark.operators.util import distributed_prefix_sum
+
+    view = IncrementalAggView(store, "iv_deltas", ["day"], ["dn"], name="vi")
+    sink = IvmStreamSink(store, "iv_deltas", view)
+
+    def deltas(intervals):  # [(start_day, end_day)] -> endpoint delta rows
+        rows = []
+        for s, e in intervals:
+            rows.append((s, 1))
+            rows.append((e + 1, -1))
+        return spark.createDataFrame(rows, "day int, dn int")
+
+    # batch 0, then an OUT-OF-ORDER batch 1 covering earlier days
+    sink(deltas([(5, 9), (7, 12)]), batch_id=0)
+    sink(deltas([(1, 6)]), batch_id=1)
+
+    cum = distributed_prefix_sum(
+        view.read().select("day", "sum_dn"), [], ["day"], "sum_dn",
+        out_name="n_active",
+    )
+    got = {
+        r["day"]: r["n_active"]
+        for r in cum.filter(F.col("n_active") > 0).collect()
+    }
+    # sweep-line output is the step function's BREAKPOINTS (endpoint
+    # days); each count holds until the next breakpoint. Intervals
+    # [5,9], [7,12], [1,6] -> endpoints {1,5,7,10,13}, hand-checked:
+    assert got == {1: 1, 5: 2, 7: 2, 10: 1}  # day 13 drops to 0
