@@ -146,3 +146,22 @@ def test_event_gap_hand_computed(spark, tmp_path):
     assert row["max_gap_us"] == 20_000_000
     assert math.isclose(row["avg_gap_s"], 15.0, rel_tol=1e-12)
 
+
+
+def test_theil_sen_selection_tiers_agree(spark):
+    """The histogram k-th selection and the two-phase rank fallback
+    must pick the SAME median pair (dispatch never changes the
+    answer); the degenerate guard (winner bucket too big) routes to
+    the rank path."""
+    from geostore_spark.operators import stats as st
+
+    sf = "/root/testdata/sf0.001"
+    fast = [tuple(r) for r in st.stats_theil_sen(spark, sf).collect()]
+    orig = st.TS_WINNER_MAX
+    try:
+        st.TS_WINNER_MAX = 0  # every bucket 'too big' -> rank fallback
+        slow = [tuple(r) for r in st.stats_theil_sen(spark, sf).collect()]
+    finally:
+        st.TS_WINNER_MAX = orig
+    assert fast == slow
+    assert len(fast) == 1 and fast[0][0] > 0
