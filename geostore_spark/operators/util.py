@@ -24,8 +24,22 @@ def session_checkpoint(
     build: Callable[[], DataFrame],
     eager: bool = True,
 ) -> DataFrame:
-    """Build-once-per-session localCheckpoint memo for ``key``."""
-    k = (spark.sparkContext.applicationId, *key)
+    """Build-once-per-session localCheckpoint memo for ``key``.
+
+    Dead sessions' entries are purged on every call (an entry's
+    applicationId no longer matching the caller's means its context is
+    gone and the DataFrame plan is unusable — r6 advisor finding: the
+    memo would otherwise grow for the process lifetime across session
+    restarts). Exposure note: localCheckpoint blocks are NOT
+    recomputable on executor loss — on a real cluster a lost executor
+    fails the shared scaffold's consumers until rebuilt; callers that
+    need executor-loss resilience should prefer reliable
+    ``checkpoint()`` to a checkpoint dir, at the cost of an HDFS write.
+    In local mode (one executor = the JVM) the distinction is moot."""
+    app = spark.sparkContext.applicationId
+    for stale in [k for k in _SESSION_CKPT if k[0] != app]:
+        del _SESSION_CKPT[stale]
+    k = (app, *key)
     df = _SESSION_CKPT.get(k)
     if df is None:
         df = build().localCheckpoint(eager=eager)

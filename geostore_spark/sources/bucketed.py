@@ -22,12 +22,10 @@ buckets; 16 here at toy SF).
 
 from __future__ import annotations
 
-import hashlib
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from geostore_spark.sources.tables import load_table
+from geostore_spark.sources.tables import fixture_tag, load_table
 
 
 def _default_table_path(spark: SparkSession, table: str) -> str | None:
@@ -54,16 +52,26 @@ def save_table_clearing_stale_dir(writer, spark: SparkSession, table: str) -> No
     """``writer.saveAsTable(table)`` with one retry after clearing a
     stale warehouse directory (left by a crashed writer or an earlier
     session's catalog — DROP TABLE does not know about it). The
-    cleanup runs only AFTER the write fails because of it, and at the
-    catalog-resolved location — never a path string-built from the
-    warehouse URI."""
+    cleanup runs only when the failure actually IS the stale-location
+    conflict — the directory pre-existed the write AND the error is the
+    location-already-exists class — and at the catalog-resolved
+    location, never a path string-built from the warehouse URI. Any
+    other failure (executor OOM, analysis error) re-raises untouched:
+    a transient error from a caller that did not pre-drop the table
+    must never delete live table data (r6 advisor finding)."""
+    import os
     import shutil
 
+    path = _default_table_path(spark, table)
+    pre_existing = path is not None and os.path.exists(path)
     try:
         writer.saveAsTable(table)
-    except Exception:
-        path = _default_table_path(spark, table)
-        if path is None:
+    except Exception as e:
+        msg = str(e).lower()
+        stale_location = pre_existing and (
+            "location_already_exists" in msg or "already exists" in msg
+        )
+        if not stale_location:
             raise
         shutil.rmtree(path, ignore_errors=True)
         writer.saveAsTable(table)
@@ -150,10 +158,13 @@ def cobucketed_revenue_join(
     exactly how a production pipeline amortizes the layout cost over
     recurring queries (r5 verdict: paying the write per invocation made
     the bench row measure the cost the lever exists to remove). Table
-    names embed a digest of the SF directory, so a table found in the
-    catalog is guaranteed to hold THIS fixture's rows, and the probe
-    verifies the bucket spec before trusting the layout."""
-    tag = hashlib.sha256(sf.encode()).hexdigest()[:8]
+    names embed a digest of the SF directory AND the fixture files'
+    stat fingerprint (``fixture_tag``), so a table found in the catalog
+    — or adopted from a surviving warehouse directory — is guaranteed
+    to hold THIS fixture's rows even after the fixture is regenerated
+    in place, and the probe verifies the bucket spec before trusting
+    the layout."""
+    tag = fixture_tag(sf, ("orders", "lineitem"))
     ot = f"orders_b_{suffix}_{tag}"
     lt = f"lineitem_b_{suffix}_{tag}"
 

@@ -4,8 +4,8 @@ The reference maintains derived metadata incrementally — the catalog
 update appends ONE child link instead of rebuilding the catalog
 (``geostore/populate_catalog/task.py:89-105``), and dataset versions
 accrete instead of rewriting history. Generalized to analytics: a
-materialized aggregate (per-key counts + exact sums) refreshed by
-applying the store's CDF deltas, so the refresh SHUFFLE is
+materialized aggregate (per-key counts + exact sums + min/max)
+refreshed by applying the store's CDF deltas, so the refresh SHUFFLE is
 proportional to CHANGED rows, never table size: the only exchange in
 an incremental refresh is the delta aggregation; the view side is
 probed by a key merge (broadcast-sized delta -> broadcast join, no
@@ -13,14 +13,28 @@ view shuffle), and the snapshot commit is a shuffle-free rewrite of an
 aggregate-sized table. At 100 TB a full recompute of a daily rollup
 re-shuffles the world; applying a day's delta shuffles a day.
 
-Algebra: counts and sums form a commutative group under signed-row
-addition (insert = +1, delete = -1), so any churn the CDF can express
-— updates, deletes, multiplicity shifts — folds into the view with one
-delta aggregation plus one key merge; keys whose count reaches zero
-are deleted by the merge (WHEN MATCHED ... DELETE). (AVG and friends
-derive from (sum, count); MIN/MAX are NOT group-invertible and would
-need a recompute-on-retract path — out of scope here, and the view
-refuses nothing silently: it only offers sums and counts.)
+Algebra, two tiers:
+
+* **Group-invertible** (counts, sums): signed-row addition (insert =
+  +1, delete = -1) folds any churn into the view with one delta
+  aggregation plus one key merge; keys whose count reaches zero are
+  deleted by the merge (WHEN MATCHED ... DELETE). NULL semantics are
+  exact, not approximated: each sum column carries a non-null-count
+  companion, the internal running sum treats NULL as 0, and ``read()``
+  restores SQL's SUM-of-all-NULLs-is-NULL at projection time — so a
+  delta whose changed rows all carry NULL can never poison the running
+  sum, and a key retracted down to only-NULL values reads back NULL
+  exactly like a recompute would.
+* **Non-invertible** (MIN/MAX — the reference's own ``asset_summaries``
+  are min/max datetime ranges, SURVEY §2 A4 /
+  ``/root/reference/tests/stac_generators.py:63-81``): the standard
+  recompute-on-retract treatment. Insert-only delta keys fold
+  incrementally (LEAST/GREATEST, whose null-skipping matches MIN/MAX's);
+  only keys that saw a delete in the delta window are re-aggregated
+  from the current source snapshot, via a broadcast semi-join of
+  exactly those keys. A delete-free refresh therefore never touches
+  the source snapshot beyond the CDF diff itself — pinned by a
+  read-call spy in ``tests/test_ivm.py``.
 
 The view itself lives in the same snapshot store, so refreshes are
 OCC-protected and versioned like every other write. The applied
@@ -36,18 +50,20 @@ wedge the next refresh on a create-vs-exists conflict).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from geostore_spark.sources.store import MetadataStore
 
 
 class IncrementalAggView:
-    """Materialized ``SELECT keys, COUNT(*), SUM(cols)...`` over a store
-    table, maintained from the change feed.
+    """Materialized ``SELECT keys, COUNT(*), SUM(cols)..., MIN/MAX(cols)...``
+    over a store table, maintained from the change feed.
 
     ``sum_cols`` should be exact-typed (integer cents, not floats):
     group-inverse arithmetic on floats would drift under churn.
+    ``minmax_cols`` may be any orderable type; they are maintained
+    incrementally on inserts and recomputed per-key on retraction.
     """
 
     def __init__(
@@ -56,21 +72,43 @@ class IncrementalAggView:
         source: str,
         keys: list[str],
         sum_cols: list[str],
+        minmax_cols: list[str] | None = None,
         name: str | None = None,
     ) -> None:
         self.store = store
         self.source = source
         self.keys = list(keys)
         self.sum_cols = list(sum_cols)
+        self.minmax_cols = list(minmax_cols or [])
         self.name = name or f"__view_{source}_{'_'.join(keys)}"
 
     # -- internals -----------------------------------------------------------
 
-    def _aggregate(self, df: DataFrame, weight) -> DataFrame:
-        aggs = [F.sum(weight).cast("bigint").alias("n_rows")] + [
-            F.sum(F.col(c) * weight).cast("bigint").alias(f"sum_{c}")
-            for c in self.sum_cols
-        ]
+    @property
+    def _val_cols(self) -> list[str]:
+        """Stored (internal) value columns, merge-assignment order."""
+        return (
+            ["n_rows"]
+            + [f"sum_{c}" for c in self.sum_cols]
+            + [f"__nn_{c}" for c in self.sum_cols]
+            + [f"min_{c}" for c in self.minmax_cols]
+            + [f"max_{c}" for c in self.minmax_cols]
+        )
+
+    def _build_frame(self, df: DataFrame) -> DataFrame:
+        """Full-build internal aggregate: NULL-as-0 running sums plus
+        their non-null counts, natural MIN/MAX."""
+        aggs: list[Column] = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
+        for c in self.sum_cols:
+            aggs.append(
+                F.sum(F.coalesce(F.col(c), F.lit(0))).cast("bigint").alias(f"sum_{c}")
+            )
+        for c in self.sum_cols:
+            aggs.append(F.count(F.col(c)).cast("bigint").alias(f"__nn_{c}"))
+        for c in self.minmax_cols:
+            aggs.append(F.min(F.col(c)).alias(f"min_{c}"))
+        for c in self.minmax_cols:
+            aggs.append(F.max(F.col(c)).alias(f"max_{c}"))
         return df.groupBy(*self.keys).agg(*aggs)
 
     def _applied_version(self) -> int | None:
@@ -87,10 +125,106 @@ class IncrementalAggView:
 
     def _delta_frame(self, applied: int, cur: int) -> DataFrame:
         """Signed per-key delta aggregate between two source versions —
-        the ONLY shuffle an incremental refresh performs."""
+        the ONLY shuffle a delete-free incremental refresh performs.
+        Carries ``__has_del`` (any retraction for the key in the window)
+        and insert-only MIN/MAX candidates; retraction keys get their
+        absolute min/max patched in by ``_merge_source``."""
         cdf = self.store.changes(self.source, applied, cur)
-        sign = F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
-        return self._aggregate(cdf.withColumn("__w", sign), F.col("__w"))
+        w = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(F.lit(-1))
+        cdf = cdf.withColumn("__w", w)
+        aggs: list[Column] = [F.sum("__w").cast("bigint").alias("n_rows")]
+        for c in self.sum_cols:
+            aggs.append(
+                F.sum(F.coalesce(F.col(c), F.lit(0)) * F.col("__w"))
+                .cast("bigint")
+                .alias(f"sum_{c}")
+            )
+        for c in self.sum_cols:
+            aggs.append(
+                F.sum(F.when(F.col(c).isNotNull(), F.col("__w")).otherwise(0))
+                .cast("bigint")
+                .alias(f"__nn_{c}")
+            )
+        for c in self.minmax_cols:
+            aggs.append(
+                F.min(F.when(F.col("__w") > 0, F.col(c))).alias(f"min_{c}")
+            )
+        for c in self.minmax_cols:
+            aggs.append(
+                F.max(F.when(F.col("__w") > 0, F.col(c))).alias(f"max_{c}")
+            )
+        aggs.append(
+            F.max(F.when(F.col("__w") < 0, 1).otherwise(0)).alias("__has_del")
+        )
+        return cdf.groupBy(*self.keys).agg(*aggs)
+
+    def _merge_source(self, delta: DataFrame) -> DataFrame:
+        """The frame the key-merge consumes. Without minmax columns (or
+        with a delete-free delta) this IS the delta. With retractions
+        present, the keys that saw a delete get absolute min/max
+        recomputed from the current source snapshot — a broadcast
+        semi-join of exactly those keys, so the re-aggregation cost
+        tracks rows under CHURNED keys, never the table."""
+        if not self.minmax_cols:
+            return delta
+        # Aggregate-sized: persist so the retraction probe + merge reuse
+        # one CDF shuffle instead of recomputing the snapshot diff.
+        delta = delta.localCheckpoint(eager=True)
+        has_del = delta.agg(F.max("__has_del")).first()[0]
+        if not has_del:
+            return delta
+        del_keys = delta.filter(F.col("__has_del") == 1).select(*self.keys)
+        absolute = (
+            self.store.read(self.source)
+            .join(F.broadcast(del_keys), self.keys, "left_semi")
+            .groupBy(*self.keys)
+            .agg(
+                *[F.min(F.col(c)).alias(f"__abs_min_{c}") for c in self.minmax_cols],
+                *[F.max(F.col(c)).alias(f"__abs_max_{c}") for c in self.minmax_cols],
+            )
+        )
+        patched = delta.join(F.broadcast(absolute), self.keys, "left")
+        for c in self.minmax_cols:
+            patched = patched.withColumn(
+                f"min_{c}",
+                F.when(F.col("__has_del") == 1, F.col(f"__abs_min_{c}")).otherwise(
+                    F.col(f"min_{c}")
+                ),
+            ).withColumn(
+                f"max_{c}",
+                F.when(F.col("__has_del") == 1, F.col(f"__abs_max_{c}")).otherwise(
+                    F.col(f"max_{c}")
+                ),
+            )
+        return patched.drop(
+            *[f"__abs_min_{c}" for c in self.minmax_cols],
+            *[f"__abs_max_{c}" for c in self.minmax_cols],
+        )
+
+    def _matched_assignments(self) -> dict[str, Column]:
+        """WHEN MATCHED SET expressions. Sums/counts coalesce both sides
+        to 0 (the r6 advisor finding: a delta key whose changed rows all
+        carry NULL in a sum column must not poison the running sum, and
+        an old NULL must not poison a real delta); min/max take the
+        recomputed absolute when the key retracted, else fold with
+        LEAST/GREATEST (null-skipping, like MIN/MAX themselves)."""
+        sets: dict[str, Column] = {
+            "n_rows": (F.col("n_rows") + F.col("__src_n_rows")).cast("bigint")
+        }
+        for c in self.sum_cols:
+            for stored in (f"sum_{c}", f"__nn_{c}"):
+                sets[stored] = (
+                    F.coalesce(F.col(stored), F.lit(0))
+                    + F.coalesce(F.col(f"__src_{stored}"), F.lit(0))
+                ).cast("bigint")
+        for c in self.minmax_cols:
+            sets[f"min_{c}"] = F.when(
+                F.col("__src___has_del") == 1, F.col(f"__src_min_{c}")
+            ).otherwise(F.least(F.col(f"min_{c}"), F.col(f"__src_min_{c}")))
+            sets[f"max_{c}"] = F.when(
+                F.col("__src___has_del") == 1, F.col(f"__src_max_{c}")
+            ).otherwise(F.greatest(F.col(f"max_{c}"), F.col(f"__src_max_{c}")))
+        return sets
 
     # -- API -----------------------------------------------------------------
 
@@ -100,15 +234,16 @@ class IncrementalAggView:
         First call = full build. Later calls read ONLY the CDF between
         the last applied version and current, aggregate the deltas
         signed (insert +1 / delete -1), and key-MERGE them into the
-        view: matched keys add the delta to their running count/sums,
-        keys whose count reaches zero are deleted, unmatched delta keys
+        view: matched keys add the delta to their running count/sums
+        (min/max fold or recompute per ``_matched_assignments``), keys
+        whose count reaches zero are deleted, unmatched delta keys
         insert. Returns a small stats dict (the logging breadcrumb a
         pipeline records per refresh)."""
         cur = self.store.current_version(self.source)
         applied = self._applied_version()
         meta = {"ivm_applied": cur}
         if applied is None:
-            built = self._aggregate(self.store.read(self.source), F.lit(1))
+            built = self._build_frame(self.store.read(self.source))
             if self.store.current_version(self.name) >= 0:
                 self.store.overwrite(self.name, built, meta=meta)
             else:
@@ -116,17 +251,16 @@ class IncrementalAggView:
             return {"mode": "full", "source_version": cur}
         if applied == cur:
             return {"mode": "noop", "source_version": cur}
-        delta = self._delta_frame(applied, cur)
-        val_cols = ["n_rows"] + [f"sum_{c}" for c in self.sum_cols]
+        src = self._merge_source(self._delta_frame(applied, cur))
+        src_cols = list(self._val_cols)
+        if self.minmax_cols:
+            src_cols.append("__has_del")
         self.store.merge(
             self.name,
-            delta,
+            src,
             on=self.keys,
-            source_cols=val_cols,
-            when_matched_set={
-                c: (F.col(c) + F.col(f"__src_{c}")).cast("bigint")
-                for c in val_cols
-            },
+            source_cols=src_cols,
+            when_matched_set=self._matched_assignments(),
             delete_matched_where=F.col("n_rows") == 0,
             insert_not_matched=True,
             meta=meta,
@@ -134,8 +268,32 @@ class IncrementalAggView:
         return {"mode": "incremental", "from": applied, "to": cur}
 
     def read(self) -> DataFrame:
-        return self.store.read(self.name)
+        """The view with SQL aggregate semantics restored: a sum column
+        whose key currently holds zero non-null values reads NULL (the
+        internal 0-based running sum and its non-null count stay private
+        to the store)."""
+        raw = self.store.read(self.name)
+        cols: list[Column] = [F.col(k) for k in self.keys] + [F.col("n_rows")]
+        for c in self.sum_cols:
+            cols.append(
+                F.when(F.col(f"__nn_{c}") > 0, F.col(f"sum_{c}"))
+                .otherwise(F.lit(None).cast("bigint"))
+                .alias(f"sum_{c}")
+            )
+        for c in self.minmax_cols:
+            cols.append(F.col(f"min_{c}"))
+        for c in self.minmax_cols:
+            cols.append(F.col(f"max_{c}"))
+        return raw.select(*cols)
 
     def recompute(self) -> DataFrame:
-        """The full-scan answer (test oracle / audit path)."""
-        return self._aggregate(self.store.read(self.source), F.lit(1))
+        """The full-scan answer (test oracle / audit path) — plain SQL
+        aggregates, same exposed columns as ``read()``."""
+        aggs: list[Column] = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
+        for c in self.sum_cols:
+            aggs.append(F.sum(F.col(c)).cast("bigint").alias(f"sum_{c}"))
+        for c in self.minmax_cols:
+            aggs.append(F.min(F.col(c)).alias(f"min_{c}"))
+        for c in self.minmax_cols:
+            aggs.append(F.max(F.col(c)).alias(f"max_{c}"))
+        return self.store.read(self.source).groupBy(*self.keys).agg(*aggs)

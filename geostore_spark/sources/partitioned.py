@@ -22,13 +22,11 @@ every downstream query, same discipline as the bucketed tables.
 
 from __future__ import annotations
 
-import hashlib
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from geostore_spark.sources.bucketed import save_table_clearing_stale_dir
-from geostore_spark.sources.tables import load_table
+from geostore_spark.sources.tables import fixture_tag, load_table
 
 PRUNE_YEAR = 1995
 
@@ -50,9 +48,10 @@ def partition_cols(spark: SparkSession, table: str) -> list[str]:
 
 def ensure_partitioned_orders(spark: SparkSession, sf: str) -> str:
     """Write orders partitioned by order year — only if absent — and
-    return the table name (SF-digest-keyed, so a catalog hit is
-    guaranteed to hold THIS fixture's rows)."""
-    tag = hashlib.sha256(sf.encode()).hexdigest()[:8]
+    return the table name (keyed on the SF digest plus the fixture
+    file's stat fingerprint, so a catalog hit is guaranteed to hold
+    THIS fixture's rows even after in-place regeneration)."""
+    tag = fixture_tag(sf, ("orders",))
     table = f"orders_part_{tag}"
     if partition_cols(spark, table) == ["o_year"]:
         return table

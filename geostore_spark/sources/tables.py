@@ -106,3 +106,26 @@ def register_views(spark: SparkSession, sf_dir: str | None = None) -> None:
     """Register every fixture table as a temp view for spark.sql plans."""
     for name in TABLE_NAMES:
         load_table(spark, name, sf_dir).createOrReplaceTempView(name)
+
+
+def fixture_tag(sf_dir: str, tables: tuple[str, ...] | list[str]) -> str:
+    """8-hex tag identifying BOTH a fixture path and the data it holds:
+    folds each table file's (size, mtime_ns) into the path digest, so a
+    durable storage layout (bucketed/partitioned warehouse table) keyed
+    by this tag can never silently serve rows from a REGENERATED
+    fixture at the same path — the stat changes, the tag changes, the
+    stale layout is simply never found (r6 advisor finding).
+    Non-statable paths (object-store URIs) fold a constant instead:
+    those fixtures are not regenerated in place, and a production
+    deployment keys layouts on table VERSION, not file stats."""
+    import hashlib
+
+    h = hashlib.sha256(sf_dir.encode())
+    for t in tables:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        try:
+            st = os.stat(p)
+            h.update(f"|{t}:{st.st_size}:{st.st_mtime_ns}".encode())
+        except OSError:
+            h.update(f"|{t}:unstat".encode())
+    return h.hexdigest()[:8]

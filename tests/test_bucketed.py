@@ -60,12 +60,11 @@ def test_cobucketed_join_writes_only_if_absent(spark):
     (SF, suffix) and re-used — verified by the tables' created
     timestamps staying identical across calls — while the answer stays
     the same (r5 verdict: write-in-query-path was the worst bench row)."""
-    import hashlib
-
     from geostore_spark.sources.bucketed import bucket_spec
+    from geostore_spark.sources.tables import fixture_tag
 
     first = [r.asDict() for r in cobucketed_revenue_join(spark, SF_DIR, suffix="t2").collect()]
-    tag = hashlib.sha256(SF_DIR.encode()).hexdigest()[:8]
+    tag = fixture_tag(SF_DIR, ("orders", "lineitem"))
     tables = (f"orders_b_t2_{tag}", f"lineitem_b_t2_{tag}")
 
     def created_times():
@@ -94,7 +93,6 @@ def test_bucketed_tables_adopted_across_catalog_loss(spark, tmp_path):
     ADOPT the existing directory (external CREATE TABLE over it) and
     never re-pay the layout shuffle — the amortization must hold
     across sessions, not just calls."""
-    import hashlib
     import os
     import shutil
 
@@ -102,9 +100,10 @@ def test_bucketed_tables_adopted_across_catalog_loss(spark, tmp_path):
         _default_table_path,
         bucket_spec,
     )
+    from geostore_spark.sources.tables import fixture_tag
 
     first = [r.asDict() for r in cobucketed_revenue_join(spark, SF_DIR, suffix="t3").collect()]
-    tag = hashlib.sha256(SF_DIR.encode()).hexdigest()[:8]
+    tag = fixture_tag(SF_DIR, ("orders", "lineitem"))
     tables = (f"orders_b_t3_{tag}", f"lineitem_b_t3_{tag}")
     mtimes = {}
     for t in tables:
@@ -153,3 +152,28 @@ def test_partition_prune_scan_carries_partition_filter(spark):
 
     t = ensure_partitioned_orders(spark, SF_DIR)
     assert partition_cols(spark, t) == ["o_year"]
+
+
+def test_fixture_tag_changes_when_fixture_regenerated(tmp_path):
+    """The r6 advisor finding: durable layouts were keyed on the SF
+    directory PATH alone, so regenerating the fixture in place would
+    silently serve the stale layout's rows. The tag now folds each
+    table file's (size, mtime_ns) in: rewriting a file at the same
+    path yields a different tag, so the stale table is never found."""
+    import os
+    import shutil
+
+    from geostore_spark.sources.tables import fixture_tag
+
+    src = "/root/testdata/sf0.001/orders.parquet"
+    d = tmp_path / "sf"
+    d.mkdir()
+    shutil.copyfile(src, d / "orders.parquet")
+    t1 = fixture_tag(str(d), ("orders",))
+    os.utime(d / "orders.parquet", ns=(1, 1))  # regenerate-in-place stand-in
+    t2 = fixture_tag(str(d), ("orders",))
+    assert t1 != t2
+    # unstatable paths still produce a stable path-keyed tag
+    t3 = fixture_tag("s3://bucket/sf1", ("orders",))
+    assert t3 == fixture_tag("s3://bucket/sf1", ("orders",))
+    assert t3 != fixture_tag("s3://bucket/sf2", ("orders",))

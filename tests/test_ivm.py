@@ -70,6 +70,113 @@ def test_ivm_matches_recompute_through_churn(spark, store):
     # the refresh wrote a NEW view snapshot (versioned like any table)
     assert store.current_version(view.name) >= 2
 
+    # churn 3 (the r6 advisor finding): a delta key whose changed rows
+    # all carry NULL in the sum column must not poison the running sum
+    # to NULL, and a key retracted down to only-NULL values must read
+    # back NULL exactly like a recompute
+    store.append(
+        "facts",
+        spark.createDataFrame([("a", None), ("e", None)], "k string, cents long"),
+    )
+    view.refresh()
+    got = _rows(view.read())
+    assert got == _rows(view.recompute())
+    assert ("a", 3, 400) in got   # NULL insert left the sum intact
+    assert ("e", 1, None) in got  # all-NULL key reads NULL, not 0
+    store.delete_where("facts", (F.col("k") == "a") & F.col("cents").isNotNull())
+    store.append(
+        "facts", spark.createDataFrame([("e", 4)], "k string, cents long")
+    )
+    view.refresh()
+    got = _rows(view.read())
+    assert got == _rows(view.recompute())
+    assert ("a", 1, None) in got  # retracted to only-NULL -> NULL sum
+    assert ("e", 2, 4) in got     # NULL old state gained a real value
+
+
+def _mm_rows(df):
+    return sorted(
+        tuple(r)
+        for r in df.select(
+            "k", "n_rows", "sum_cents", "min_cents", "max_cents"
+        ).collect()
+    )
+
+
+def test_ivm_minmax_recompute_on_retract(spark, store):
+    """MIN/MAX are not group-invertible (the reference's asset_summaries
+    are min/max datetime ranges — SURVEY §2 A4); the view maintains them
+    incrementally on inserts and re-aggregates exactly the retracted
+    keys from the source on deletes. view == recompute through the full
+    churn matrix: insert / delete-of-extreme / update / NULLs / drain."""
+    src = spark.createDataFrame(
+        [("a", 5), ("a", 9), ("b", 40), ("b", None), ("c", 7)],
+        "k string, cents long",
+    )
+    store.create("mm", src)
+    view = IncrementalAggView(
+        store, "mm", ["k"], ["cents"], minmax_cols=["cents"], name="vmm"
+    )
+    assert view.refresh()["mode"] == "full"
+    assert _mm_rows(view.read()) == _mm_rows(view.recompute())
+
+    # insert-only churn folds without touching the source snapshot:
+    # count store.read('mm') calls during the refresh — the CDF diff
+    # reads the two snapshots, and NOTHING ELSE may read the source
+    store.append(
+        "mm", spark.createDataFrame([("a", 3), ("d", 1)], "k string, cents long")
+    )
+    reads = []
+    orig_read = store.read
+
+    def spying_read(table, version=None):
+        reads.append(table)
+        return orig_read(table, version)
+
+    store.read = spying_read
+    try:
+        assert view.refresh()["mode"] == "incremental"
+    finally:
+        store.read = orig_read
+    assert reads.count("mm") == 2  # the CDF's two snapshots, no recompute scan
+    got = _mm_rows(view.read())
+    assert got == _mm_rows(view.recompute())
+    assert ("a", 3, 17, 3, 9) in got  # min folded 5 -> 3 incrementally
+
+    # delete the current MIN of 'a' -> only 'a' gets re-aggregated
+    store.delete_where("mm", (F.col("k") == "a") & (F.col("cents") == 3))
+    reads.clear()
+    store.read = spying_read
+    try:
+        view.refresh()
+    finally:
+        store.read = orig_read
+    assert reads.count("mm") == 3  # CDF snapshots + ONE recompute scan
+    got = _mm_rows(view.read())
+    assert got == _mm_rows(view.recompute())
+    assert ("a", 2, 14, 5, 9) in got  # min rewound to 5 via recompute
+
+    # update shifting MAX + NULL-bearing key retraction + full drain
+    store.update_where(
+        "mm", (F.col("k") == "b") & (F.col("cents") == 40), {"cents": F.lit(2)}
+    )
+    view.refresh()
+    got = _mm_rows(view.read())
+    assert got == _mm_rows(view.recompute())
+    assert ("b", 2, 2, 2, 2) in got  # max 40 -> 2, NULL row ignored
+
+    store.delete_where("mm", (F.col("k") == "b") & F.col("cents").isNotNull())
+    view.refresh()
+    got = _mm_rows(view.read())
+    assert got == _mm_rows(view.recompute())
+    assert ("b", 1, None, None, None) in got  # only-NULL key: all aggregates NULL
+
+    store.delete_where("mm", F.col("k") == "c")
+    view.refresh()
+    got = _mm_rows(view.read())
+    assert got == _mm_rows(view.recompute())
+    assert not any(r[0] == "c" for r in got)  # drained key dropped
+
 
 def test_ivm_refresh_shuffles_only_the_delta(spark, store):
     """The r5 verdict fix: an incremental refresh must key-MERGE the

@@ -85,6 +85,89 @@ def run_duck(sf_dir: str, out: str, keys: list[str]) -> None:
         print(f"duck {k}: {len(pdf)} rows in {dt:.1f}s", flush=True)
 
 
+def run_duck_clusters_lp(sf_dir: str, out: str, max_rounds: int = 200) -> None:
+    """Finishable ``x_dedup_clusters`` oracle (round-7 verdict item #1).
+
+    The registered oracle's recursive CTE enumerates label-bearing WALKS
+    (``walk`` is UNION-deduped over (vertex, label) pairs reached along
+    every path) — state that grows with path count, not vertex count; at
+    sf1 it ran >3 h / 60 GB RSS twice and was killed both times.  This
+    computes the SAME min-label fixpoint by bounded-round iterative label
+    propagation over temp tables: O(rounds * |E|) per round, one GROUP BY
+    each, converging in O(component diameter) rounds.  Identical edge
+    definition (simhash bands, Hamming <= 3) and identical output shape,
+    so ``--compare`` works unchanged against the dumped Spark side.
+    """
+    import duckdb
+
+    from geostore_spark.operators.dedup import simhash_pairs_ctes
+
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(f"SET threads={os.environ.get('DUCK_THREADS', '8')}")
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    t0 = time.time()
+    con.execute(
+        f"""CREATE TEMP TABLE edges AS
+        WITH {simhash_pairs_ctes()},
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.fp, b.fp)) <= 3
+        )
+        SELECT doc_a AS u, doc_b AS w FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs"""
+    )
+    n_edges = con.execute("SELECT count(*) FROM edges").fetchone()[0]
+    print(f"duck-lp edges built: {n_edges} in {time.time()-t0:.1f}s", flush=True)
+    con.execute(
+        "CREATE TEMP TABLE labels AS "
+        "SELECT u AS v, u AS label FROM (SELECT DISTINCT u FROM edges)"
+    )
+    rounds = 0
+    while rounds < max_rounds:
+        rounds += 1
+        con.execute(
+            """CREATE TEMP TABLE labels_next AS
+            SELECT v, MIN(label) AS label FROM (
+              SELECT v, label FROM labels
+              UNION ALL
+              SELECT e.w AS v, l.label FROM labels l JOIN edges e ON e.u = l.v
+            ) GROUP BY v"""
+        )
+        changed = con.execute(
+            "SELECT count(*) FROM labels_next n JOIN labels l USING (v) "
+            "WHERE n.label <> l.label"
+        ).fetchone()[0]
+        con.execute("DROP TABLE labels")
+        con.execute("ALTER TABLE labels_next RENAME TO labels")
+        print(f"duck-lp round {rounds}: {changed} changed "
+              f"({time.time()-t0:.1f}s)", flush=True)
+        if changed == 0:
+            break
+    if rounds >= max_rounds:
+        raise RuntimeError(f"label propagation did not converge in {max_rounds} rounds")
+    pdf = con.execute(
+        """SELECT v AS doc_id, label AS cluster_id,
+                  COUNT(*) OVER (PARTITION BY label) AS cluster_size,
+                  v = label AS keep
+           FROM labels
+           ORDER BY cluster_id, doc_id"""
+    ).df()
+    dt = time.time() - t0
+    k = "x_dedup_clusters"
+    pdf.to_parquet(os.path.join(out, f"{k}.duck.parquet"))
+    with open(os.path.join(out, f"{k}.duck.json"), "w") as f:
+        json.dump({"rows": len(pdf), "sec": round(dt, 2), "lp_rounds": rounds}, f)
+    print(f"duck-lp {k}: {len(pdf)} rows in {dt:.1f}s ({rounds} rounds)", flush=True)
+
+
 def compare(out: str, keys: list[str]) -> dict:
     import pandas as pd
 
@@ -115,7 +198,7 @@ def compare(out: str, keys: list[str]) -> dict:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--engine", choices=["spark", "duck"])
+    ap.add_argument("--engine", choices=["spark", "duck", "duck_lp"])
     ap.add_argument("--compare", action="store_true")
     ap.add_argument("--sf-dir", default="/tmp/sf1")
     ap.add_argument("--out", default="/tmp/sf1_ans")
@@ -128,6 +211,8 @@ def main() -> None:
         run_spark(args.sf_dir, args.out, keys)
     elif args.engine == "duck":
         run_duck(args.sf_dir, args.out, keys)
+    elif args.engine == "duck_lp":
+        run_duck_clusters_lp(args.sf_dir, args.out)
     else:
         ap.error("need --engine or --compare")
 
