@@ -183,25 +183,21 @@ def kmeans_assign(
 # x_ml_silhouette and x_dedup_semantic all ride the SAME Lloyd loop, so
 # running the 3-iteration driver loop once per (context, sf, k, iters)
 # and localCheckpointing the result saves two full re-runs per suite.
-# Keyed on applicationId so a restarted SparkContext never sees a stale
-# checkpoint; the cached table is (n_vectors × 4 int64) — tiny.
-_ASSIGN_CACHE: dict[tuple[str, str, int, int], DataFrame] = {}
-
-
 def shared_kmeans_assignment(
     spark: SparkSession, sf: str, k: int = K, iters: int = ITERS
 ) -> DataFrame:
     """Final k-means assignment (vec_id, cluster, distq, distq2) over the
     sf embeddings table, computed once per session and localCheckpointed
-    so every consumer shares one assignment pass."""
-    key = (spark.sparkContext.applicationId, sf, k, iters)
-    df = _ASSIGN_CACHE.get(key)
-    if df is None:
+    so every consumer shares one assignment pass. Lives in the common
+    session-checkpoint memo (keyed on applicationId, dead-session
+    entries purged) — the cached table is (n_vectors × 4 int64), tiny."""
+    from geostore_spark.operators.util import session_checkpoint
+
+    def build() -> DataFrame:
         emb = load_table(spark, "embeddings", sf)
-        df = kmeans_assign(spark, emb, k=k, iters=iters, with_second=True)
-        df = df.localCheckpoint(eager=True)
-        _ASSIGN_CACHE[key] = df
-    return df
+        return kmeans_assign(spark, emb, k=k, iters=iters, with_second=True)
+
+    return session_checkpoint(spark, ("kmeans_assign", sf, k, iters), build)
 
 
 def kmeans_ctes(k: int = K, iters: int = ITERS) -> tuple[str, str]:

@@ -32,11 +32,34 @@ def get_cpus() -> int:
     return os.cpu_count() or 4
 
 
+def persistent_catalog_conf(catalog_dir: str) -> dict[str, str]:
+    """Session conf for a FILE-BACKED catalog: a local Derby metastore
+    plus a pinned warehouse dir, so managed tables (and their bucketing
+    / partitioning specs) survive session restarts through the CATALOG
+    itself — a second session sees the table like any persistent
+    metastore deployment would, demoting ``adopt_existing_table``
+    (sources/bucketed.py) to the fallback for plain in-memory-catalog
+    sessions. Derby allows ONE process at a time; concurrent sessions
+    on a cluster use a shared metastore service instead — the conf
+    shape is identical, only the JDBC URL changes."""
+    import os as _os
+
+    return {
+        "spark.sql.catalogImplementation": "hive",
+        "spark.sql.warehouse.dir": _os.path.join(catalog_dir, "warehouse"),
+        "javax.jdo.option.ConnectionURL": (
+            f"jdbc:derby:;databaseName={_os.path.join(catalog_dir, 'metastore_db')}"
+            ";create=true"
+        ),
+    }
+
+
 def build_session(
     app_name: str = DEFAULT_APP_NAME,
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    persistent_catalog_dir: str | None = None,
 ) -> SparkSession:
     cpus = get_cpus()
     master = master or f"local[{cpus}]"
@@ -78,6 +101,9 @@ def build_session(
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
     )
+    if persistent_catalog_dir is not None:
+        for k, v in persistent_catalog_conf(persistent_catalog_dir).items():
+            builder = builder.config(k, v)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -106,7 +106,11 @@ def adopt_existing_table(
     ``CREATE TABLE ... USING parquet <layout_ddl> LOCATION <dir>`` over
     the completed write (gated on the ``_SUCCESS`` marker) — so the
     one-time layout shuffle is amortized across SESSIONS, not just
-    calls, exactly as a persistent metastore would behave. Returns
+    calls. This is the FALLBACK path for plain in-memory-catalog
+    sessions: a session built with
+    ``session.persistent_catalog_conf`` (file-backed Derby metastore)
+    keeps the table in the catalog itself across restarts — bucket spec
+    included, no adoption — pinned by tests/test_metastore.py. Returns
     False when there is nothing adoptable."""
     import os
 

@@ -137,6 +137,30 @@ def test_traversal_dataframe_frontier_matches_driver_mode(spark, tmp_path):
     ]
 
 
+def test_traversal_dataframe_mode_reads_executor_side(spark, tmp_path, monkeypatch):
+    """The r6 verdict item: dataframe mode must never enumerate a
+    round's URL list on the driver — the frontier feeds an executor-side
+    mapInPandas reader, and the driver-list reader is provably not
+    called."""
+    from geostore_spark.pipeline import traversal as tmod
+
+    tree = build_golden_tree(str(tmp_path))
+
+    def forbidden(spark_, urls):
+        raise AssertionError(
+            f"driver-list read_documents called in dataframe mode: {urls}"
+        )
+
+    monkeypatch.setattr(tmod, "read_documents", forbidden)
+    rows = tmod.traverse(
+        spark, tree["root_url"], frontier_mode="dataframe"
+    ).orderBy("discovery_ord").collect()
+    assert [r["url"] for r in rows] == [
+        tree["catalog"], tree["collection"], tree["item"]
+    ]
+    assert [r["discovery_ord"] for r in rows] == [0, 1, 2]
+
+
 # -- golden end-to-end ingest (test_processing_stack.py:131-279 analog) ----
 
 

@@ -34,3 +34,35 @@ def test_shared_supply_pairs_identity_across_consumers(spark):
     assert p1 is p2
     # deduped: symmetric pair table has no duplicate rows
     assert p1.count() == p1.distinct().count()
+
+
+def test_dead_session_entries_are_purged(spark):
+    """The r6 advisor finding: entries keyed by a dead context's
+    applicationId accumulated for the process lifetime. Any call now
+    purges entries whose applicationId differs from the caller's."""
+    from geostore_spark.operators import util
+
+    util._SESSION_CKPT[("dead-app-id", "t_purge", "k")] = spark.range(1)
+    session_checkpoint(spark, ("t_purge", "live"), lambda: spark.range(2))
+    assert ("dead-app-id", "t_purge", "k") not in util._SESSION_CKPT
+    app = spark.sparkContext.applicationId
+    assert (app, "t_purge", "live") in util._SESSION_CKPT
+
+
+def test_shared_scaffold_builders_cover_the_session_scaffolds(spark):
+    """bench.py's labeled warmup must build every scaffold the suite
+    shares — each builder returns the SAME checkpointed object its
+    consumers get, so pre-building genuinely removes first-consumer
+    cost from per-query rows."""
+    from geostore_spark.operators.graph import shared_supply_pairs
+    from geostore_spark.operators.util import shared_scaffold_builders
+
+    sf = "/root/testdata/sf0.001"
+    builders = shared_scaffold_builders()
+    assert set(builders) == {
+        "supply_pairs", "daily_orders", "kmeans_assignment", "bloom_state"
+    }
+    built = {name: fn(spark, sf) for name, fn in builders.items()}
+    for name, df in built.items():
+        assert df.count() >= 0
+    assert built["supply_pairs"] is shared_supply_pairs(spark, sf)
