@@ -42,54 +42,57 @@ def register(key: str, doc: str, oracle: str | None):
 
 # Driver-coverage rotation: the per-round correctness harness samples a
 # prefix (~50) of the enumerated queries. The keys below enumerate
-# FIRST this round (round 6), in priority order:
-#   1. every query whose PLAN changed in round 6: the bloom semi join
-#      (executor-side bit_or bitmap + broadcast bitmap-relation probes +
-#      session-checkpointed keys), the bucketed join (write-if-absent),
-#      the five supply-graph queries now riding the shared deduped-pair
-#      session checkpoint (pagerank also skips its dedup shuffle), and
-#      the two association-triad queries riding the shared daily-orders
-#      rollup checkpoint;
-#   2. round-6 additions with no driver row yet (enumerated by the
-#      fresh-key rule below — new registrations land after this list
-#      automatically);
-#   3. the oldest driver rows (d1/d2-era canonical keys) to refresh the
-#      stalest evidence with the remaining budget.
-# Everything else (driver-green r1 ∪ ... ∪ r5 — 213 keys) enumerates
+# FIRST this round (round 7), in priority order:
+#   1. the round-7 addition (the IVM refresh demonstration query);
+#   2. every query whose PLAN or code path changed in round 7: the
+#      bloom semi join (state extracted into the named shared scaffold),
+#      the k-means-memo riders, the two durable-layout queries (tables
+#      now keyed on the fixture stat fingerprint), and every
+#      session_checkpoint consumer (the memo gained dead-session
+#      eviction) — supply-graph five + daily-rollup four;
+#   3. the stalest driver rows (latest green in round 1, then round 2)
+#      with the remaining budget.
+# Everything else (driver-green r1 ∪ ... ∪ r6 — 218 keys) enumerates
 # last. Purely an enumeration-order hint — every query stays registered
 # and locally oracle-tested either way.
 _NEVER_DRIVER_SAMPLED = (
-    # -- 1: plans changed in round 6
-    "x_join_bloom_semi", "x_storage_bucketed_join",
-    "x_graph_pagerank", "x_graph_kcore", "x_graph_bfs_layers",
-    "x_graph_assortativity", "x_graph_degree_stats",
-    "x_stats_kendall_tau", "x_stats_spearman",
-    # -- 2: round-6 additions, no driver row yet
-    "x_stats_theil_sen", "x_graph_jaccard_parts",
-    "x_storage_partition_prune", "x_orders_active_intervals",
+    # -- 1: round-7 addition (no driver row yet)
+    "x_storage_ivm_refresh",
+    # -- 2: plans changed in round 7
+    # bloom state extracted into the named shared scaffold bench pre-builds
+    "x_join_bloom_semi",
+    # k-means assignment migrated into the common session-checkpoint memo
+    "x_ml_kmeans", "x_ml_silhouette", "x_dedup_semantic",
+    # durable layouts now keyed on the fixture stat fingerprint
+    "x_storage_bucketed_join", "x_storage_partition_prune",
+    # session_checkpoint gained dead-session eviction: its consumers
+    "x_graph_pagerank", "x_graph_degree_stats", "x_graph_kcore",
+    "x_graph_bfs_layers", "x_graph_assortativity",
+    "x_stats_kendall_tau", "x_stats_spearman", "x_stats_theil_sen",
     "x_stats_mann_kendall",
-    # -- riders of the round-6 multi-column prefix-sum helper change
-    "x_stats_mann_whitney",
-    # -- 3: stalest driver rows (d2-era canonical + d1-era dedup)
-    "a1_filtered_count", "a2_existence_aggregate",
-    "a3_group_collect_extrema", "a4_minmax_summary", "a5_status_rollup",
-    "a6_distinct_set", "j1_semi_join_exists", "j2_anti_join_not_exists",
-    "j3_broadcast_lookup", "j4_update_via_join", "j5_multiway_join",
-    "j6_latest_version", "o1_limit_probe", "o2_topk",
-    "p1_project_rename", "p2_null_flag_predicate",
-    "s1_prefix_scan", "s2_point_lookup", "w1_enumeration", "w2_max_by",
-    "x_dedup_chunks", "x_dedup_paragraph", "x_dedup_substring",
-    "x_dedup_incremental", "x_dedup_embed_cosine", "x_dedup_clusters",
+    # -- 3: stalest driver rows (latest green in round 1)
+    "x_emb_quantize", "x_geo_extent_rollup", "x_geo_grid_join",
+    "x_geo_knn", "x_geo_zorder", "x_range_join", "x_sample_stratified",
+    "x_sample_token_budget", "x_sample_topk_hash", "x_sim_ann_lsh",
+    "x_sim_ivf", "x_sim_ivfpq", "x_sim_pq_adc", "x_sim_topk_bruteforce",
+    "x_stats_histogram", "x_stats_profile", "x_text_bigram_lm",
+    "x_text_decontaminate", "x_text_entropy", "x_text_fingerprint",
+    "x_text_lang_id", "x_text_pii_redact", "x_text_quality",
+    "x_text_repetition", "x_text_tfidf", "x_text_tokens", "x_text_winnow",
+    "x_win_moving_avg",
+    # -- 4: next-stalest (round 2), filling to 50
+    "f1_key_decompose", "f2_basename", "f3_url_parse", "f4_key_format",
+    "j7_topk_revenue", "o3_set_difference",
 )
 
 
 def all_queries() -> dict[str, RegisteredQuery]:
     """Import every contributing module, then return the registry.
 
-    Enumeration order: the round-6 priority prefix first (see
+    Enumeration order: the round-7 priority prefix first (see
     _NEVER_DRIVER_SAMPLED — changed plans, then stale-row refresh), then
-    any new queries added this round, then the 213 keys the driver
-    already verified green in rounds 1-5.
+    any new queries added this round, then the 218 keys the driver
+    already verified green in rounds 1-6.
     """
     # Imports are effectful: each module registers its queries on import.
     from geostore_spark.operators import (  # noqa: F401
@@ -111,7 +114,7 @@ def all_queries() -> dict[str, RegisteredQuery]:
         windows,
     )
     from geostore_spark.plans import canonical  # noqa: F401
-    from geostore_spark.sources import bucketed, partitioned  # noqa: F401
+    from geostore_spark.sources import bucketed, ivm, partitioned  # noqa: F401
 
     never = [k for k in _NEVER_DRIVER_SAMPLED if k in REGISTRY]
     never_set = set(never)
@@ -121,8 +124,8 @@ def all_queries() -> dict[str, RegisteredQuery]:
     return {k: REGISTRY[k] for k in (*never, *fresh, *tail)}
 
 
-# 213 keys with a green hash row in CORRECTNESS_r01 ∪ ... ∪ r05
-# (every registered key as of round 5 — 100% ever-driver-verified).
+# 218 keys with a green hash row in CORRECTNESS_r01 ∪ ... ∪ r06
+# (every registered key as of round 6 — 100% ever-driver-verified).
 _DRIVER_VERIFIED = frozenset((
     "a10_pivot_crosstab", "a1_filtered_count", "a2_existence_aggregate",
     "a3_group_collect_extrema", "a4_minmax_summary", "a5_status_rollup",
@@ -154,41 +157,43 @@ _DRIVER_VERIFIED = frozenset((
     "x_events_rolling_anomaly", "x_events_seasonality", "x_geo_density",
     "x_geo_extent_rollup", "x_geo_grid_join", "x_geo_hotspot", "x_geo_knn",
     "x_geo_zorder", "x_graph_assortativity", "x_graph_bfs_layers",
-    "x_graph_degree_stats", "x_graph_kcore", "x_graph_pagerank",
-    "x_graph_triangles", "x_join_bloom_semi", "x_join_full_outer",
-    "x_ml_kmeans", "x_ml_silhouette", "x_mm_bmp_decode", "x_mm_bmp_histogram",
-    "x_mm_decode", "x_mm_frames", "x_mm_png_decode", "x_mm_resize",
-    "x_mm_wav_decode", "x_mm_wav_windows", "x_orders_backlog",
-    "x_orders_basket_lift", "x_orders_repeat_rate", "x_orders_rfm",
-    "x_orders_skyline", "x_orders_survival", "x_part_abc_pareto",
-    "x_pipeline_dataset_card", "x_pipeline_filter_ablation",
-    "x_pipeline_funnel", "x_pipeline_mix_rebalance",
-    "x_pipeline_mix_temperature", "x_pipeline_pack_sequences",
-    "x_pipeline_shard_assign", "x_pipeline_training_set",
-    "x_posexplode_ordinality", "x_q6_discount_revenue", "x_range_join",
-    "x_sample_stratified", "x_sample_token_budget", "x_sample_topk_hash",
-    "x_sample_weighted", "x_shipping_lag", "x_sim_ann_lsh", "x_sim_ivf",
-    "x_sim_ivfpq", "x_sim_label_purity", "x_sim_pq_adc", "x_sim_range_search",
+    "x_graph_degree_stats", "x_graph_jaccard_parts", "x_graph_kcore",
+    "x_graph_pagerank", "x_graph_triangles", "x_join_bloom_semi",
+    "x_join_full_outer", "x_ml_kmeans", "x_ml_silhouette", "x_mm_bmp_decode",
+    "x_mm_bmp_histogram", "x_mm_decode", "x_mm_frames", "x_mm_png_decode",
+    "x_mm_resize", "x_mm_wav_decode", "x_mm_wav_windows",
+    "x_orders_active_intervals", "x_orders_backlog", "x_orders_basket_lift",
+    "x_orders_repeat_rate", "x_orders_rfm", "x_orders_skyline",
+    "x_orders_survival", "x_part_abc_pareto", "x_pipeline_dataset_card",
+    "x_pipeline_filter_ablation", "x_pipeline_funnel",
+    "x_pipeline_mix_rebalance", "x_pipeline_mix_temperature",
+    "x_pipeline_pack_sequences", "x_pipeline_shard_assign",
+    "x_pipeline_training_set", "x_posexplode_ordinality",
+    "x_q6_discount_revenue", "x_range_join", "x_sample_stratified",
+    "x_sample_token_budget", "x_sample_topk_hash", "x_sample_weighted",
+    "x_shipping_lag", "x_sim_ann_lsh", "x_sim_ivf", "x_sim_ivfpq",
+    "x_sim_label_purity", "x_sim_pq_adc", "x_sim_range_search",
     "x_sim_recall_eval", "x_sim_topk_bruteforce", "x_skew_distinct",
     "x_skew_salted_agg", "x_stats_approx_quantile_audit", "x_stats_autocorr",
     "x_stats_benford", "x_stats_bootstrap_ci", "x_stats_chi2",
     "x_stats_column_entropy", "x_stats_corr", "x_stats_cov_matrix",
-    "x_stats_gini", "x_stats_hhi", "x_stats_histogram", "x_stats_kendall_tau",
-    "x_stats_ks_test", "x_stats_linreg", "x_stats_mad_outliers",
-    "x_stats_mann_whitney", "x_stats_mutual_info", "x_stats_profile",
-    "x_stats_psi_drift", "x_stats_qq_deciles", "x_stats_runs_test",
-    "x_stats_skew_kurtosis", "x_stats_spearman", "x_stats_ttest",
+    "x_stats_gini", "x_stats_hhi", "x_stats_histogram",
+    "x_stats_kendall_tau", "x_stats_ks_test", "x_stats_linreg",
+    "x_stats_mad_outliers", "x_stats_mann_kendall", "x_stats_mann_whitney",
+    "x_stats_mutual_info", "x_stats_profile", "x_stats_psi_drift",
+    "x_stats_qq_deciles", "x_stats_runs_test", "x_stats_skew_kurtosis",
+    "x_stats_spearman", "x_stats_theil_sen", "x_stats_ttest",
     "x_stats_wilson_rank", "x_stats_winsorize", "x_stats_zscore",
-    "x_storage_bucketed_join", "x_text_bigram_lm", "x_text_bm25",
-    "x_text_bpe_pairs", "x_text_c4_lines", "x_text_chunk_windows",
-    "x_text_decontaminate", "x_text_entropy", "x_text_fingerprint",
-    "x_text_fuzzy_join", "x_text_gopher_rules", "x_text_heaps",
-    "x_text_heavy_hitters", "x_text_js_divergence", "x_text_kneser_ney",
-    "x_text_lang_id", "x_text_perplexity", "x_text_pii_redact",
-    "x_text_quality", "x_text_readability", "x_text_repetition",
-    "x_text_template_fingerprint", "x_text_tfidf", "x_text_tokens",
-    "x_text_trigram_novelty", "x_text_winnow", "x_text_zipf",
-    "x_unpivot_melt", "x_win_attribution", "x_win_cume_dist",
+    "x_storage_bucketed_join", "x_storage_partition_prune",
+    "x_text_bigram_lm", "x_text_bm25", "x_text_bpe_pairs", "x_text_c4_lines",
+    "x_text_chunk_windows", "x_text_decontaminate", "x_text_entropy",
+    "x_text_fingerprint", "x_text_fuzzy_join", "x_text_gopher_rules",
+    "x_text_heaps", "x_text_heavy_hitters", "x_text_js_divergence",
+    "x_text_kneser_ney", "x_text_lang_id", "x_text_perplexity",
+    "x_text_pii_redact", "x_text_quality", "x_text_readability",
+    "x_text_repetition", "x_text_template_fingerprint", "x_text_tfidf",
+    "x_text_tokens", "x_text_trigram_novelty", "x_text_winnow",
+    "x_text_zipf", "x_unpivot_melt", "x_win_attribution", "x_win_cume_dist",
     "x_win_dense_rank_topn", "x_win_event_gap", "x_win_first_last",
     "x_win_moving_avg", "x_win_ntile_quartiles", "x_win_pct_change",
     "x_win_ratio_to_report", "x_win_session", "x_win_sliding",

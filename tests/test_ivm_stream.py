@@ -152,3 +152,53 @@ def test_streaming_active_intervals_composition(spark, store):
     # days); each count holds until the next breakpoint. Intervals
     # [5,9], [7,12], [1,6] -> endpoints {1,5,7,10,13}, hand-checked:
     assert got == {1: 1, 5: 2, 7: 2, 10: 1}  # day 13 drops to 0
+
+
+def test_stream_sink_maintains_minmax_view(spark, store, tmp_path):
+    """The round-7 IVM extension works under the streaming sink too: a
+    view with MIN/MAX columns stays equal to a full recompute across
+    microbatches, including a batch whose rows only contain NULLs in
+    the aggregated column (streams deliver inserts, so the min/max path
+    is the incremental LEAST/GREATEST fold — retraction recompute is
+    exercised by the batch test_ivm_minmax_recompute_on_retract)."""
+    src_dir = str(tmp_path / "in_mm")
+    ckpt = str(tmp_path / "ckpt_mm")
+    view = IncrementalAggView(
+        store, "mm_stream", ["k"], ["cents"], minmax_cols=["cents"], name="vmms"
+    )
+    sink = IvmStreamSink(store, "mm_stream", view)
+
+    _write_batch(src_dir, "b0.json", [
+        {"k": "a", "cents": 5}, {"k": "a", "cents": 9}, {"k": "b", "cents": 40},
+    ])
+    _drain(spark, src_dir, ckpt, sink)
+
+    def rows():
+        return sorted(
+            tuple(r)
+            for r in view.read()
+            .select("k", "n_rows", "sum_cents", "min_cents", "max_cents")
+            .collect()
+        )
+
+    assert rows() == sorted(
+        tuple(r)
+        for r in view.recompute()
+        .select("k", "n_rows", "sum_cents", "min_cents", "max_cents")
+        .collect()
+    )
+
+    _write_batch(src_dir, "b1.json", [
+        {"k": "a", "cents": 3}, {"k": "b", "cents": None}, {"k": "c", "cents": None},
+    ])
+    _drain(spark, src_dir, ckpt, sink)
+    got = rows()
+    assert got == sorted(
+        tuple(r)
+        for r in view.recompute()
+        .select("k", "n_rows", "sum_cents", "min_cents", "max_cents")
+        .collect()
+    )
+    assert ("a", 3, 17, 3, 9) in got   # min folded incrementally
+    assert ("b", 2, 40, 40, 40) in got # NULL insert left extremes intact
+    assert ("c", 1, None, None, None) in got

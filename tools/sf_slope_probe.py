@@ -1,0 +1,73 @@
+"""Clean scale-slope measurement: the same queries at two (or more) SF
+fixtures, interleaved round-robin in ONE warm session, medians of
+>=reps — the protocol the heavy-tailed-host experience demands
+(BASELINE.md: cross-process absolutes under concurrent load have been
+seen 3-30x off; paired interleaving cancels drift).
+
+    python tools/sf_slope_probe.py --sf-dirs /tmp/sf1,/tmp/sf3 \
+        --queries x_graph_jaccard_parts,x_orders_active_intervals \
+        --reps 3 > /tmp/slope.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import statistics
+import sys
+import time
+from pathlib import Path
+
+_REPO = Path(__file__).resolve().parent.parent
+if str(_REPO) not in sys.path:
+    sys.path.insert(0, str(_REPO))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dirs", default="/tmp/sf1,/tmp/sf3")
+    ap.add_argument("--queries", required=True)
+    ap.add_argument("--reps", type=int, default=3)
+    args = ap.parse_args()
+    sf_dirs = args.sf_dirs.split(",")
+    queries = args.queries.split(",")
+
+    from geostore_spark.registry import all_queries
+    from geostore_spark.session import build_session
+
+    spark = build_session(app_name="sf-slope-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = all_queries()
+
+    # warm: one untimed pass of everything (JIT, codegen cache, memory
+    # pools, shared scaffolds) — first-run walls at sf3 have measured
+    # 3-6x the steady state in the same process
+    for q in queries:
+        for d in sf_dirs:
+            qs[q].spark(spark, d).collect()
+
+    times: dict[str, dict[str, list[float]]] = {
+        q: {d: [] for d in sf_dirs} for q in queries
+    }
+    for rep in range(args.reps):
+        for q in queries:
+            for d in sf_dirs:
+                t0 = time.time()
+                qs[q].spark(spark, d).collect()
+                dt = round(time.time() - t0, 2)
+                times[q][d].append(dt)
+                print(f"rep{rep} {q} {d}: {dt}s", file=sys.stderr, flush=True)
+
+    out = {}
+    for q in queries:
+        med = {d: round(statistics.median(ts), 2) for d, ts in times[q].items()}
+        entry = {d: {"runs": times[q][d], "median": med[d]} for d in sf_dirs}
+        if len(sf_dirs) == 2 and med[sf_dirs[0]] > 0:
+            entry["slope"] = round(med[sf_dirs[1]] / med[sf_dirs[0]], 2)
+        out[q] = entry
+    print(json.dumps({"sf_dirs": sf_dirs, "results": out}, indent=1))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
