@@ -26,6 +26,7 @@ the full replay history needed.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from geostore_spark.sources.ivm import IncrementalAggView
 from geostore_spark.sources.store import MetadataStore
@@ -58,3 +59,140 @@ class IvmStreamSink:
         # the append but before the refresh (refresh is a noop when the
         # view already reflects the source's current version)
         self.view.refresh()
+
+
+class CdcStreamSink:
+    """``writeStream.foreachBatch(sink)`` target for a CHANGE stream —
+    upserts and deletes, not just appends.
+
+    :class:`IvmStreamSink` models the reference's happy path (imports
+    only ever ADD catalog entries), but the reference's API also
+    mutates: datasets are deleted (``geostore/datasets/delete.py:27-64``)
+    and retitled (``geostore/datasets/update.py``). A change-data stream
+    of those events (the Debezium/CDC shape: primary key + row values +
+    an ``op`` tag) cannot be folded by blind appends — it needs MERGE
+    semantics. This sink applies each microbatch as ONE atomic
+    key-merge commit on the snapshot store:
+
+    * ``op = 'upsert'``, key present  -> matched row takes the source
+      values (``WHEN MATCHED SET``),
+    * ``op = 'upsert'``, key absent   -> row inserts,
+    * ``op = 'delete'``, key present  -> matched row is dropped
+      (``WHEN MATCHED ... DELETE``),
+    * ``op = 'delete'``, key absent   -> ignored (idempotent replay of
+      a delete, exactly like the reference returning 404 on a second
+      DELETE without corrupting state).
+
+    Because the store's change feed is a snapshot diff, the single
+    merge commit surfaces to downstream IVM views as row-level
+    insert/delete CDF rows — an upsert that changed values becomes
+    delete(old)+insert(new), so a maintained MIN/MAX view exercises its
+    recompute-on-retract path from a *stream* with no extra machinery.
+
+    Exactly-once mirrors :class:`IvmStreamSink`: the batch id rides the
+    merge commit's transaction metadata, so a replayed batch id is
+    provably already applied and only the (idempotent) view refresh
+    runs. Within a batch the latest event per key wins, ordered by
+    ``seq_col`` when given (multi-event keys without a sequence column
+    are rejected — silently picking one would be nondeterministic
+    apply order, the exact bug CDC consumers must not have).
+
+    At 100 TB: the merge probes the target by key join (broadcast-sized
+    batch -> no target shuffle), the within-batch dedup shuffles only
+    the batch, and the IVM refresh shuffles only the CDF delta — per
+    microbatch, cost tracks the CHANGES, never the table.
+    """
+
+    def __init__(
+        self,
+        store: MetadataStore,
+        table: str,
+        pk: list[str],
+        view: IncrementalAggView | None = None,
+        op_col: str = "op",
+        seq_col: str | None = None,
+    ) -> None:
+        self.store = store
+        self.table = table
+        self.pk = list(pk)
+        self.view = view
+        self.op_col = op_col
+        self.seq_col = seq_col
+
+    def _last_applied(self) -> int:
+        return int(self.store.commit_meta(self.table).get(_BATCH_KEY, -1))
+
+    def _latest_per_key(self, batch_df: DataFrame) -> DataFrame:
+        """Collapse the batch to the last event per key. With a seq_col,
+        max_by on it (one batch-sized shuffle); without one, any key
+        carrying >1 event is an error — there is no order to resolve."""
+        data_cols = [
+            c for c in batch_df.columns if c not in (*self.pk, self.op_col)
+        ]
+        if self.seq_col is None:
+            dups = (
+                batch_df.groupBy(*self.pk)
+                .count()
+                .filter(F.col("count") > 1)
+                .limit(1)
+                .collect()
+            )
+            if dups:
+                key = tuple(dups[0][k] for k in self.pk)
+                raise ValueError(
+                    f"CDC batch carries multiple events for key {key} "
+                    "but no seq_col was configured to order them"
+                )
+            return batch_df
+        others = [c for c in (*data_cols, self.op_col) if c != self.seq_col]
+        return batch_df.groupBy(*self.pk).agg(
+            *[
+                F.max_by(F.col(c), F.col(self.seq_col)).alias(c)
+                for c in others
+            ],
+            F.max(self.seq_col).alias(self.seq_col),
+        )
+
+    def _apply(self, events: DataFrame, meta: dict) -> None:
+        data_cols = [
+            c
+            for c in events.columns
+            if c not in (*self.pk, self.op_col, self.seq_col or "")
+        ]
+        if self.store.current_version(self.table) < 0:
+            self.store.create(
+                self.table,
+                events.filter(F.col(self.op_col) != "delete").select(
+                    *self.pk, *data_cols
+                ),
+                meta=meta,
+            )
+            return
+        # deletes for absent keys must not reach the merge's insert arm
+        # (they would materialize as rows); a broadcast-able semi probe
+        # of the target keys trims them inside the same commit's plan
+        target_keys = self.store.read(self.table).select(*self.pk)
+        applicable = events.filter(F.col(self.op_col) != "delete").unionByName(
+            events.filter(F.col(self.op_col) == "delete").join(
+                target_keys, self.pk, "left_semi"
+            )
+        )
+        self.store.merge(
+            self.table,
+            applicable,
+            on=self.pk,
+            source_cols=[*data_cols, self.op_col],
+            when_matched_set={c: F.col(f"__src_{c}") for c in data_cols},
+            delete_matched_where=F.col(f"__src_{self.op_col}") == "delete",
+            insert_not_matched=True,
+            meta=meta,
+        )
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id > self._last_applied():
+            self._apply(
+                self._latest_per_key(batch_df), {_BATCH_KEY: batch_id}
+            )
+        if self.view is not None:
+            # unconditional, same healing property as IvmStreamSink
+            self.view.refresh()

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from geostore_spark.sources.ivm import IncrementalAggView
 from geostore_spark.sources.store import MetadataStore
-from geostore_spark.streaming.ivm_sink import IvmStreamSink
+from geostore_spark.streaming.ivm_sink import CdcStreamSink, IvmStreamSink
 
 
 @pytest.fixture()
@@ -202,3 +202,105 @@ def test_stream_sink_maintains_minmax_view(spark, store, tmp_path):
     assert ("a", 3, 17, 3, 9) in got   # min folded incrementally
     assert ("b", 2, 40, 40, 40) in got # NULL insert left extremes intact
     assert ("c", 1, None, None, None) in got
+
+
+CDC_SCHEMA = "id int, grp string, cents long, op string"
+
+
+def _view_rows(view):
+    cols = ["grp", "n_rows", "sum_cents", "min_cents", "max_cents"]
+    return sorted(tuple(r) for r in view.read().select(*cols).collect())
+
+
+def _recomputed_rows(view):
+    cols = ["grp", "n_rows", "sum_cents", "min_cents", "max_cents"]
+    return sorted(tuple(r) for r in view.recompute().select(*cols).collect())
+
+
+def test_cdc_sink_applies_upserts_and_deletes(spark, store):
+    """A change stream (upsert/delete events keyed by id) applied as one
+    merge commit per microbatch keeps both the table and a maintained
+    MIN/MAX view exactly equal to replaying the events by hand — the
+    streamed delete retracts the group's minimum, so the view's
+    recompute-on-retract path fires from a STREAM."""
+    view = IncrementalAggView(
+        store, "cdc_t", ["grp"], ["cents"], minmax_cols=["cents"], name="vcdc"
+    )
+    sink = CdcStreamSink(store, "cdc_t", pk=["id"], view=view)
+
+    b0 = spark.createDataFrame(
+        [
+            (1, "a", 100, "upsert"),
+            (2, "a", 500, "upsert"),
+            (3, "b", 40, "upsert"),
+        ],
+        CDC_SCHEMA,
+    )
+    sink(b0, batch_id=0)
+    assert _view_rows(view) == _recomputed_rows(view)
+    assert ("a", 2, 600, 100, 500) in _view_rows(view)
+    v_table = store.current_version("cdc_t")
+
+    # delete id=1 (group a's MIN — a LEAST/GREATEST fold would keep the
+    # stale 100), update id=2 down to 50, and replay a delete for a key
+    # that never existed (the reference's second-DELETE-is-a-404 case)
+    b1 = spark.createDataFrame(
+        [
+            (1, None, None, "delete"),
+            (2, "a", 50, "upsert"),
+            (9, None, None, "delete"),
+        ],
+        CDC_SCHEMA,
+    )
+    sink(b1, batch_id=1)
+    # exactly ONE commit applied the whole batch
+    assert store.current_version("cdc_t") == v_table + 1
+    rows = {r["id"]: (r["grp"], r["cents"]) for r in store.read("cdc_t").collect()}
+    assert rows == {2: ("a", 50), 3: ("b", 40)}
+    got = _view_rows(view)
+    assert got == _recomputed_rows(view)
+    assert ("a", 1, 50, 50, 50) in got
+    assert ("b", 1, 40, 40, 40) in got
+
+    # replayed batch id: table untouched, view refresh is a noop
+    sink(b1, batch_id=1)
+    assert store.current_version("cdc_t") == v_table + 1
+    assert _view_rows(view) == got
+
+
+def test_cdc_sink_last_event_per_key_wins_by_seq(spark, store):
+    """A batch carrying several events for one key applies only the
+    latest by seq_col — insert-then-delete nets to absent, stale
+    updates lose to newer ones regardless of row order."""
+    sink = CdcStreamSink(store, "cdc_seq", pk=["id"], seq_col="seq")
+    b0 = spark.createDataFrame(
+        [
+            (1, "a", 10, "upsert", 100),
+            (1, None, None, "delete", 101),  # newest for id=1
+            (2, "a", 99, "upsert", 201),     # newest for id=2, listed first
+            (2, "a", 11, "upsert", 200),
+        ],
+        CDC_SCHEMA + ", seq long",
+    )
+    sink(b0, batch_id=0)
+    rows = {r["id"]: r["cents"] for r in store.read("cdc_seq").collect()}
+    assert rows == {2: 99}
+
+    # and across batches the merge path resolves the same way
+    b1 = spark.createDataFrame(
+        [(2, "a", 1, "upsert", 300), (2, None, None, "delete", 301)],
+        CDC_SCHEMA + ", seq long",
+    )
+    sink(b1, batch_id=1)
+    assert store.read("cdc_seq").count() == 0
+
+
+def test_cdc_sink_rejects_unordered_duplicate_keys(spark, store):
+    """Without a seq_col there is no defined apply order for a
+    multi-event key — the sink must refuse rather than pick one."""
+    sink = CdcStreamSink(store, "cdc_dup", pk=["id"])
+    bad = spark.createDataFrame(
+        [(1, "a", 10, "upsert"), (1, "a", 20, "upsert")], CDC_SCHEMA
+    )
+    with pytest.raises(ValueError, match="multiple events"):
+        sink(bad, batch_id=0)
