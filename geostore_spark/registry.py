@@ -56,8 +56,8 @@ def register(key: str, doc: str, oracle: str | None):
 # last. Purely an enumeration-order hint — every query stays registered
 # and locally oracle-tested either way.
 _NEVER_DRIVER_SAMPLED = (
-    # -- 1: round-7 addition (no driver row yet)
-    "x_storage_ivm_refresh",
+    # -- 1: round-7 additions (no driver row yet)
+    "x_storage_ivm_refresh", "x_storage_cdc_apply",
     # -- 2: plans changed in round 7
     # bloom state extracted into the named shared scaffold bench pre-builds
     "x_join_bloom_semi",
@@ -82,7 +82,7 @@ _NEVER_DRIVER_SAMPLED = (
     "x_win_moving_avg",
     # -- 4: next-stalest (round 2), filling to 50
     "f1_key_decompose", "f2_basename", "f3_url_parse", "f4_key_format",
-    "j7_topk_revenue", "o3_set_difference",
+    "j7_topk_revenue",
 )
 
 
@@ -115,6 +115,7 @@ def all_queries() -> dict[str, RegisteredQuery]:
     )
     from geostore_spark.plans import canonical  # noqa: F401
     from geostore_spark.sources import bucketed, ivm, partitioned  # noqa: F401
+    from geostore_spark.streaming import ivm_sink  # noqa: F401
 
     never = [k for k in _NEVER_DRIVER_SAMPLED if k in REGISTRY]
     never_set = set(never)

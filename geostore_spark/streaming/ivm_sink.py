@@ -196,3 +196,96 @@ class CdcStreamSink:
         if self.view is not None:
             # unconditional, same healing property as IvmStreamSink
             self.view.refresh()
+
+
+# -- registered demonstration query ------------------------------------------
+
+
+def _register_query() -> None:
+    from pyspark.sql import SparkSession
+
+    from geostore_spark.registry import register
+    from geostore_spark.sources.ivm import _DEMO_LOCK, _demo_store
+    from geostore_spark.sources.tables import load_table
+
+    @register(
+        "x_storage_cdc_apply",
+        "Change-data-capture apply as a registered, oracle-checked "
+        "query: a CDC event stream (upserts + deletes keyed by order "
+        "key) drives a snapshot-store table through CdcStreamSink — "
+        "batch 0 loads every pre-1996 order, batch 1 updates all "
+        "1-URGENT orders (cents + 7) and deletes every 5-LOW order — "
+        "while an attached IncrementalAggView maintains per-priority "
+        "(count, cents sum, min/max cents) incrementally off the change "
+        "feed. The final view must equal a plain GROUP BY over the "
+        "mutated slice, which the oracle computes directly from raw "
+        "orders: identical rows prove the one-commit merge apply (the "
+        "update surfaces as delete+insert in the CDF, firing the "
+        "min/max recompute-on-retract; the whole-group delete drains "
+        "5-LOW's count to zero, which must REMOVE the view row, not "
+        "zero it). Generalizes the reference's mutating API surface "
+        "(dataset delete geostore/datasets/delete.py:27-64, title "
+        "update geostore/datasets/update.py) from one-row endpoint "
+        "calls to a batched change stream. At 100 TB the merge probes "
+        "the target by key join and each refresh shuffles only the CDF "
+        "delta — per-batch cost tracks the CHANGES, never the table.",
+        """SELECT o_orderpriority AS pr,
+                  COUNT(*) AS n_rows,
+                  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)
+                           + CASE WHEN o_orderpriority = '1-URGENT'
+                                  THEN 7 ELSE 0 END) AS BIGINT)
+                      AS sum_cents,
+                  MIN(CAST(round(o_totalprice * 100) AS BIGINT)
+                      + CASE WHEN o_orderpriority = '1-URGENT'
+                             THEN 7 ELSE 0 END) AS min_cents,
+                  MAX(CAST(round(o_totalprice * 100) AS BIGINT)
+                      + CASE WHEN o_orderpriority = '1-URGENT'
+                             THEN 7 ELSE 0 END) AS max_cents
+           FROM orders
+           WHERE o_orderdate < TIMESTAMP '1996-01-01'
+             AND o_orderpriority <> '5-LOW'
+           GROUP BY o_orderpriority
+           ORDER BY pr""",
+    )
+    def q_cdc_apply(spark: SparkSession, sf: str) -> DataFrame:
+        from geostore_spark.sources.ivm import IncrementalAggView
+
+        store = _demo_store(spark, sf)
+        src = "orders_cdc"
+        slice_ = (
+            load_table(spark, "orders", sf)
+            .filter(F.col("o_orderdate") < F.lit("1996-01-01"))
+            .select(
+                F.col("o_orderkey").alias("okey"),
+                F.col("o_orderpriority").alias("pr"),
+                F.round(F.col("o_totalprice") * 100, 0)
+                .cast("bigint")
+                .alias("cents"),
+            )
+        )
+        view = IncrementalAggView(
+            store, src, ["pr"], ["cents"], minmax_cols=["cents"], name="v_cdc"
+        )
+        sink = CdcStreamSink(store, src, pk=["okey"], view=view)
+        # deterministic two-batch change script; the sink's batch-id
+        # guard makes replays (bench reruns, concurrent FAIR streams)
+        # provable no-ops, the shared lock makes the guards race-free
+        with _DEMO_LOCK:
+            sink(slice_.withColumn("op", F.lit("upsert")), batch_id=0)
+            updates = slice_.filter(F.col("pr") == "1-URGENT").select(
+                "okey",
+                "pr",
+                (F.col("cents") + F.lit(7)).alias("cents"),
+                F.lit("upsert").alias("op"),
+            )
+            deletes = slice_.filter(F.col("pr") == "5-LOW").select(
+                "okey",
+                F.lit(None).cast("string").alias("pr"),
+                F.lit(None).cast("bigint").alias("cents"),
+                F.lit("delete").alias("op"),
+            )
+            sink(updates.unionByName(deletes), batch_id=1)
+        return view.read().orderBy("pr")
+
+
+_register_query()
