@@ -251,6 +251,16 @@ class IncrementalAggView:
             return {"mode": "full", "source_version": cur}
         if applied == cur:
             return {"mode": "noop", "source_version": cur}
+        if not self.store.has_version(self.source, applied):
+            # the applied snapshot fell out of vacuum retention, so the
+            # change feed from it can no longer be computed — the
+            # standard CDF-unavailable treatment is a full rebuild (and
+            # an EAGER probe keeps the failure mode a decision here, not
+            # a file-not-found somewhere inside the merge job)
+            self.store.overwrite(
+                self.name, self._build_frame(self.store.read(self.source)), meta=meta
+            )
+            return {"mode": "rebuild", "from": applied, "to": cur}
         src = self._merge_source(self._delta_frame(applied, cur))
         src_cols = list(self._val_cols)
         if self.minmax_cols:

@@ -102,6 +102,17 @@ class MetadataStore:
         except FileNotFoundError:
             return -1
 
+    def has_version(self, table: str, version: int) -> bool:
+        """Whether the snapshot directory for ``version`` still exists —
+        i.e. it has not been removed by :meth:`vacuum`. Incremental
+        consumers anchored to an old version (IVM's applied watermark)
+        probe this EAGERLY before building a change-feed plan, so
+        retention races surface as a deliberate rebuild decision, not a
+        lazy file-not-found failure mid-merge."""
+        return version >= 0 and os.path.isdir(
+            os.path.join(self._table_dir(table), f"v{version}")
+        )
+
     def _swap_pointer(self, table: str, version: int) -> None:
         d = self._table_dir(table)
         fd, tmp = tempfile.mkstemp(dir=d, prefix="_LATEST.")

@@ -244,3 +244,36 @@ def test_ivm_survives_draining_to_zero_keys(spark, store):
     # replayed refresh is a provable noop (applied version is atomic
     # with the fold commit)
     assert view.refresh()["mode"] == "noop"
+
+
+def test_ivm_rebuilds_when_vacuum_outran_the_applied_version(spark, store):
+    """Retention race: vacuum may remove the source snapshot the view's
+    applied watermark anchors its change feed to. The refresh must
+    detect that EAGERLY and fall back to a full rebuild — never fail
+    lazily inside the merge job, never wedge — and later refreshes
+    resume incrementally off the rebuilt watermark."""
+    store.create(
+        "facts_v",
+        spark.createDataFrame([("a", 5), ("b", 6)], "k string, cents long"),
+    )
+    view = IncrementalAggView(store, "facts_v", ["k"], ["cents"], name="vv")
+    assert view.refresh()["mode"] == "full"  # applied = v0
+
+    # two more source commits, then vacuum down to only the newest —
+    # v0 (the applied snapshot) is gone, so no CDF from v0 can exist
+    store.append("facts_v", spark.createDataFrame([("a", 10)], "k string, cents long"))
+    store.delete_where("facts_v", F.col("k") == "b")
+    removed = store.vacuum("facts_v", keep_last=1)
+    assert 0 in removed and not store.has_version("facts_v", 0)
+
+    s = view.refresh()
+    assert s == {"mode": "rebuild", "from": 0, "to": 2}
+    got = _rows(view.read())
+    assert got == _rows(view.recompute())
+    assert got == [("a", 2, 15)]
+
+    # the rebuild re-anchored the watermark: still-retained churn folds
+    # incrementally again
+    store.append("facts_v", spark.createDataFrame([("c", 1)], "k string, cents long"))
+    assert view.refresh()["mode"] == "incremental"
+    assert _rows(view.read()) == _rows(view.recompute())
