@@ -295,6 +295,43 @@ def test_cdc_sink_last_event_per_key_wins_by_seq(spark, store):
     assert store.read("cdc_seq").count() == 0
 
 
+def test_cdc_sink_through_real_stream_drain(spark, store, tmp_path):
+    """The sink under an actual readStream->foreachBatch drain (not a
+    direct call): files landing between availableNow triggers become
+    separate batch ids, a restart re-delivers nothing, and the table
+    equals the hand-applied event log."""
+    src_dir = str(tmp_path / "cdc_in")
+    ckpt = str(tmp_path / "cdc_ckpt")
+    sink = CdcStreamSink(store, "cdc_rt", pk=["id"], seq_col="seq")
+
+    def drain():
+        q = (
+            spark.readStream.schema(CDC_SCHEMA + ", seq long")
+            .json(src_dir)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    _write_batch(src_dir, "e0.json", [
+        {"id": 1, "grp": "a", "cents": 10, "op": "upsert", "seq": 1},
+        {"id": 2, "grp": "b", "cents": 20, "op": "upsert", "seq": 2},
+    ])
+    drain()
+    _write_batch(src_dir, "e1.json", [
+        {"id": 1, "grp": None, "cents": None, "op": "delete", "seq": 3},
+        {"id": 3, "grp": "b", "cents": 5, "op": "upsert", "seq": 4},
+    ])
+    drain()
+    rows = {r["id"]: (r["grp"], r["cents"]) for r in store.read("cdc_rt").collect()}
+    assert rows == {2: ("b", 20), 3: ("b", 5)}
+    v = store.current_version("cdc_rt")
+    drain()  # nothing new: no batch delivered, no commit
+    assert store.current_version("cdc_rt") == v
+
+
 def test_cdc_sink_rejects_unordered_duplicate_keys(spark, store):
     """Without a seq_col there is no defined apply order for a
     multi-event key — the sink must refuse rather than pick one."""
