@@ -277,3 +277,38 @@ def test_ivm_rebuilds_when_vacuum_outran_the_applied_version(spark, store):
     store.append("facts_v", spark.createDataFrame([("c", 1)], "k string, cents long"))
     assert view.refresh()["mode"] == "incremental"
     assert _rows(view.read()) == _rows(view.recompute())
+
+
+def test_ivm_unbothered_by_compaction_and_retained_vacuum(spark, store):
+    """The real-world maintenance trio: OPTIMIZE (compact) rewrites the
+    same rows as a new snapshot, VACUUM trims history behind the view's
+    watermark. Neither may disturb the view — a compact surfaces as an
+    EMPTY change feed (the snapshot diff of identical rows), folded as a
+    plain incremental refresh that only advances the watermark, and a
+    vacuum that RETAINS the applied snapshot must not trigger the
+    rebuild path."""
+    store.create(
+        "facts_m",
+        spark.createDataFrame(
+            [("a", 1), ("a", 2), ("b", 3)], "k string, cents long"
+        ),
+    )
+    view = IncrementalAggView(store, "facts_m", ["k"], ["cents"], name="vm")
+    assert view.refresh()["mode"] == "full"
+    before = _rows(view.read())
+
+    stats = store.compact("facts_m", target_files=1)  # v1: same rows
+    assert stats["files_out"] >= 1
+    s = view.refresh()
+    assert s["mode"] == "incremental"  # empty delta, watermark advances
+    assert _rows(view.read()) == before
+    assert view.refresh()["mode"] == "noop"
+
+    # churn + vacuum that keeps the applied snapshot (v1): incremental,
+    # not rebuild
+    store.append("facts_m", spark.createDataFrame([("b", 7)], "k string, cents long"))
+    store.vacuum("facts_m", keep_last=2)  # keeps v1 (applied) and v2
+    assert store.has_version("facts_m", 1)
+    s = view.refresh()
+    assert s["mode"] == "incremental"
+    assert _rows(view.read()) == _rows(view.recompute())
