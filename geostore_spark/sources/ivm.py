@@ -173,17 +173,35 @@ class IncrementalAggView:
         has_del = delta.agg(F.max("__has_del")).first()[0]
         if not has_del:
             return delta
-        del_keys = delta.filter(F.col("__has_del") == 1).select(*self.keys)
+        # NULL grouping keys are one group (groupBy/CDF semantics), so
+        # every key join here must be null-safe — a plain equi-join
+        # would silently skip the NULL group's recompute and null out
+        # its extremes while rows still exist
+        def _ns_cond(renamed: str):
+            cond = None
+            for k in self.keys:
+                c = F.col(k).eqNullSafe(F.col(f"{renamed}{k}"))
+                cond = c if cond is None else (cond & c)
+            return cond
+
+        del_keys = delta.filter(F.col("__has_del") == 1).select(
+            *[F.col(k).alias(f"__dk_{k}") for k in self.keys]
+        )
         absolute = (
             self.store.read(self.source)
-            .join(F.broadcast(del_keys), self.keys, "left_semi")
+            .join(F.broadcast(del_keys), _ns_cond("__dk_"), "left_semi")
             .groupBy(*self.keys)
             .agg(
                 *[F.min(F.col(c)).alias(f"__abs_min_{c}") for c in self.minmax_cols],
                 *[F.max(F.col(c)).alias(f"__abs_max_{c}") for c in self.minmax_cols],
             )
         )
-        patched = delta.join(F.broadcast(absolute), self.keys, "left")
+        absolute = absolute.select(
+            *[F.col(k).alias(f"__ak_{k}") for k in self.keys],
+            *[F.col(f"__abs_min_{c}") for c in self.minmax_cols],
+            *[F.col(f"__abs_max_{c}") for c in self.minmax_cols],
+        )
+        patched = delta.join(F.broadcast(absolute), _ns_cond("__ak_"), "left")
         for c in self.minmax_cols:
             patched = patched.withColumn(
                 f"min_{c}",
@@ -199,6 +217,7 @@ class IncrementalAggView:
         return patched.drop(
             *[f"__abs_min_{c}" for c in self.minmax_cols],
             *[f"__abs_max_{c}" for c in self.minmax_cols],
+            *[f"__ak_{k}" for k in self.keys],
         )
 
     def _matched_assignments(self) -> dict[str, Column]:

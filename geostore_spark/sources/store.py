@@ -390,7 +390,17 @@ class MetadataStore:
         """The merged frame ``merge`` commits — exposed for plan
         assertions: the target side is probed by key join only (never
         shuffled when the source is broadcast-sized), so merge cost
-        tracks the source/delta, not the table."""
+        tracks the source/delta, not the table.
+
+        Keys compare NULL-SAFELY (``<=>``): a NULL-keyed target row and
+        a NULL-keyed source row MATCH, consistent with how groupBy and
+        the change feed treat NULL keys as one group. SQL MERGE's
+        NULL-never-matches equi-join would instead fire the insert arm
+        on every merge — an IVM view with a NULL grouping key would
+        grow a new duplicate row per refresh forever (the documented
+        Delta MERGE trap, deliberately not reproduced). EqualNullSafe
+        is still an equi-join predicate, so hash/broadcast strategies
+        and the probe-only target cost are unchanged."""
         marked_src = (
             source.select(*on, *(source_cols or []))
             .withColumn("__hit", F.lit(True))
@@ -399,7 +409,13 @@ class MetadataStore:
             marked_src = marked_src.distinct()
         for c in source_cols or []:
             marked_src = marked_src.withColumnRenamed(c, f"__src_{c}")
-        joined = target.join(marked_src, on, "left")
+        for k in on:
+            marked_src = marked_src.withColumnRenamed(k, f"__mk_{k}")
+        match_cond = None
+        for k in on:
+            c = F.col(k).eqNullSafe(F.col(f"__mk_{k}"))
+            match_cond = c if match_cond is None else (match_cond & c)
+        joined = target.join(marked_src, match_cond, "left")
         updated = joined
         for col, expr in (when_matched_set or {}).items():
             updated = updated.withColumn(
@@ -409,10 +425,21 @@ class MetadataStore:
             updated = updated.filter(
                 F.col("__hit").isNull() | ~delete_matched_where
             )
-        drop = ["__hit", *(f"__src_{c}" for c in source_cols or [])]
+        drop = [
+            "__hit",
+            *(f"__src_{c}" for c in source_cols or []),
+            *(f"__mk_{k}" for k in on),
+        ]
         result = updated.drop(*drop)
         if insert_not_matched:
-            new_rows = source.join(target.select(*on).distinct(), on, "left_anti")
+            tkeys = target.select(
+                *[F.col(k).alias(f"__tk_{k}") for k in on]
+            ).distinct()
+            anti_cond = None
+            for k in on:
+                c = F.col(k).eqNullSafe(F.col(f"__tk_{k}"))
+                anti_cond = c if anti_cond is None else (anti_cond & c)
+            new_rows = source.join(tkeys, anti_cond, "left_anti")
             result = result.unionByName(new_rows.select(result.columns))
         return result
 

@@ -1,0 +1,93 @@
+"""Randomized CDC apply, in the repo's seeded-generative style: a
+deterministic random event log (upserts / deletes / absent-key deletes /
+within-batch duplicate keys ordered by seq / NULL-valued columns) is
+applied batch by batch through CdcStreamSink while a plain Python model
+replays the same events by hand. After every batch the store table must
+equal the model exactly and an attached min/max IVM view must equal its
+own full recompute — so any error in the newest-event-per-key collapse,
+the one-commit merge apply, the unmatched-delete trim, or the CDF-driven
+retraction path surfaces as a divergence at some step."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from geostore_spark.sources.ivm import IncrementalAggView
+from geostore_spark.sources.store import MetadataStore
+from geostore_spark.streaming.ivm_sink import CdcStreamSink
+
+RNG = random.Random(20260815)
+IDS = list(range(1, 13))
+GRPS = ["a", "b", "c", None]
+CENTS = [None, 0, 7, 40, -5, 10**9]
+SCHEMA = "id int, grp string, cents long, op string, seq long"
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return MetadataStore(spark, str(tmp_path / "store"))
+
+
+def _gen_batch(rng, seq_start, n):
+    """n random events with strictly increasing seq, then shuffled so
+    DataFrame row order never encodes apply order."""
+    events = []
+    for i in range(n):
+        if rng.random() < 0.3:
+            events.append((rng.choice(IDS), None, None, "delete", seq_start + i))
+        else:
+            events.append(
+                (
+                    rng.choice(IDS),
+                    rng.choice(GRPS),
+                    rng.choice(CENTS),
+                    "upsert",
+                    seq_start + i,
+                )
+            )
+    rng.shuffle(events)
+    return events
+
+
+def _model_apply(model, events):
+    for id_, grp, cents, op, _ in sorted(events, key=lambda e: e[4]):
+        if op == "delete":
+            model.pop(id_, None)
+        else:
+            model[id_] = (grp, cents)
+
+
+def test_random_cdc_script_matches_hand_replay(spark, store):
+    view = IncrementalAggView(
+        store, "cdc_r", ["grp"], ["cents"], minmax_cols=["cents"], name="vcr"
+    )
+    sink = CdcStreamSink(store, "cdc_r", pk=["id"], view=view, seq_col="seq")
+    model: dict[int, tuple] = {}
+    seq = 0
+
+    for batch_id in range(6):
+        n = RNG.randint(4, 10)
+        events = _gen_batch(RNG, seq, n)
+        seq += n
+        sink(spark.createDataFrame(events, SCHEMA), batch_id=batch_id)
+        _model_apply(model, events)
+
+        got = {
+            r["id"]: (r["grp"], r["cents"])
+            for r in store.read("cdc_r").collect()
+        }
+        assert got == model, (
+            f"table diverged after batch {batch_id}: "
+            f"got={sorted(got.items())} model={sorted(model.items())}"
+        )
+        cols = ["grp", "n_rows", "sum_cents", "min_cents", "max_cents"]
+        key = lambda t: tuple((x is None, str(x)) for x in t)  # noqa: E731
+        v = sorted(
+            (tuple(r) for r in view.read().select(*cols).collect()), key=key
+        )
+        w = sorted(
+            (tuple(r) for r in view.recompute().select(*cols).collect()), key=key
+        )
+        assert v == w, f"view diverged after batch {batch_id}: {v} != {w}"

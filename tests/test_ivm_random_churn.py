@@ -17,8 +17,12 @@ from pyspark.sql import functions as F
 from geostore_spark.sources.ivm import IncrementalAggView
 from geostore_spark.sources.store import MetadataStore
 
-KEYS = ["a", "b", "c", "d"]
+KEYS = ["a", "b", "c", "d", None]  # NULL is a legitimate group key
 RNG = random.Random(20260815)
+
+
+def _key_eq(col, k):
+    return col.isNull() if k is None else (col == k)
 
 
 @pytest.fixture()
@@ -39,8 +43,11 @@ def _rand_rows(rng, n):
 
 def _views_equal(view):
     cols = ["k", "n_rows", "sum_v", "min_m", "max_m"]
-    got = sorted(tuple(r) for r in view.read().select(*cols).collect())
-    want = sorted(tuple(r) for r in view.recompute().select(*cols).collect())
+    key = lambda t: tuple((x is None, str(x)) for x in t)  # noqa: E731
+    got = sorted((tuple(r) for r in view.read().select(*cols).collect()), key=key)
+    want = sorted(
+        (tuple(r) for r in view.recompute().select(*cols).collect()), key=key
+    )
     return got, want
 
 
@@ -62,20 +69,20 @@ def test_random_churn_view_matches_recompute(spark, store):
             # retract one value class for one key — min/max may rewind
             k = RNG.choice(KEYS)
             v = RNG.choice([None, 0, 7, 40])
-            cond = (F.col("k") == k) & (
+            cond = _key_eq(F.col("k"), k) & (
                 F.col("v").isNull() if v is None else (F.col("v") == v)
             )
             store.delete_where("rc", cond)
         elif op == "drain_key":
-            store.delete_where("rc", F.col("k") == RNG.choice(KEYS))
+            store.delete_where("rc", _key_eq(F.col("k"), RNG.choice(KEYS)))
         elif op == "update":
             k = RNG.choice(KEYS)
             store.update_where(
-                "rc", F.col("k") == k,
+                "rc", _key_eq(F.col("k"), k),
                 {"m": F.lit(RNG.choice([None, 2, 50])), "v": F.col("v") * 2},
             )
         else:  # mixed: delete + insert in separate commits, one refresh
-            store.delete_where("rc", F.col("m").isNull() & (F.col("k") == RNG.choice(KEYS)))
+            store.delete_where("rc", F.col("m").isNull() & _key_eq(F.col("k"), RNG.choice(KEYS)))
             store.append("rc", spark.createDataFrame(_rand_rows(RNG, 3), schema))
         s = view.refresh()
         assert s["mode"] in ("incremental", "noop"), s
