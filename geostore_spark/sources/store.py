@@ -330,9 +330,16 @@ class MetadataStore:
         )
 
     def delete_where(self, table: str, condition: Column) -> None:
+        """SQL ``DELETE WHERE``: removes exactly the rows where the
+        predicate is TRUE. A NULL predicate keeps the row — ``~cond``
+        alone would silently delete NULL-valued rows too (NOT NULL is
+        NULL, and filter drops non-TRUE), which is how ``v = 7`` came
+        to delete the ``v IS NULL`` rows before the fuzz caught it."""
         base = self.current_version(table)
         self._write_snapshot(
-            table, self.read(table, base).filter(~condition), base
+            table,
+            self.read(table, base).filter(~F.coalesce(condition, F.lit(False))),
+            base,
         )
 
     def update_where(self, table: str, condition: Column, assignments: dict[str, Column]) -> None:
@@ -422,8 +429,11 @@ class MetadataStore:
                 col, F.when(F.col("__hit").isNotNull(), expr).otherwise(F.col(col))
             )
         if delete_matched_where is not None:
+            # TRUE-only, like delete_where: a NULL predicate must keep
+            # the matched row, not drop it
             updated = updated.filter(
-                F.col("__hit").isNull() | ~delete_matched_where
+                F.col("__hit").isNull()
+                | ~F.coalesce(delete_matched_where, F.lit(False))
             )
         drop = [
             "__hit",
