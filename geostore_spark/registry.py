@@ -43,7 +43,8 @@ def register(key: str, doc: str, oracle: str | None):
 # Driver-coverage rotation: the per-round correctness harness samples a
 # prefix (~50) of the enumerated queries. The keys below enumerate
 # FIRST this round (round 7), in priority order:
-#   1. the round-7 addition (the IVM refresh demonstration query);
+#   1. the round-7 additions (the IVM refresh demonstration query and
+#      the CDC apply demonstration query);
 #   2. every query whose PLAN or code path changed in round 7: the
 #      bloom semi join (state extracted into the named shared scaffold),
 #      the k-means-memo riders, the two durable-layout queries (tables

@@ -158,11 +158,13 @@ class IncrementalAggView:
         )
         return cdf.groupBy(*self.keys).agg(*aggs)
 
-    def _merge_source(self, delta: DataFrame) -> DataFrame:
+    def _merge_source(self, delta: DataFrame, cur: int) -> DataFrame:
         """The frame the key-merge consumes. Without minmax columns (or
         with a delete-free delta) this IS the delta. With retractions
         present, the keys that saw a delete get absolute min/max
-        recomputed from the current source snapshot — a broadcast
+        recomputed from the source snapshot AT ``cur`` — pinned, not the
+        live pointer, so a commit landing mid-refresh cannot leak rows
+        beyond the version the watermark will record — via a broadcast
         semi-join of exactly those keys, so the re-aggregation cost
         tracks rows under CHURNED keys, never the table."""
         if not self.minmax_cols:
@@ -177,19 +179,14 @@ class IncrementalAggView:
         # every key join here must be null-safe — a plain equi-join
         # would silently skip the NULL group's recompute and null out
         # its extremes while rows still exist
-        def _ns_cond(renamed: str):
-            cond = None
-            for k in self.keys:
-                c = F.col(k).eqNullSafe(F.col(f"{renamed}{k}"))
-                cond = c if cond is None else (cond & c)
-            return cond
+        from geostore_spark.sources.store import null_safe_on
 
         del_keys = delta.filter(F.col("__has_del") == 1).select(
             *[F.col(k).alias(f"__dk_{k}") for k in self.keys]
         )
         absolute = (
-            self.store.read(self.source)
-            .join(F.broadcast(del_keys), _ns_cond("__dk_"), "left_semi")
+            self.store.read(self.source, cur)
+            .join(F.broadcast(del_keys), null_safe_on(self.keys, "__dk_"), "left_semi")
             .groupBy(*self.keys)
             .agg(
                 *[F.min(F.col(c)).alias(f"__abs_min_{c}") for c in self.minmax_cols],
@@ -201,7 +198,9 @@ class IncrementalAggView:
             *[F.col(f"__abs_min_{c}") for c in self.minmax_cols],
             *[F.col(f"__abs_max_{c}") for c in self.minmax_cols],
         )
-        patched = delta.join(F.broadcast(absolute), _ns_cond("__ak_"), "left")
+        patched = delta.join(
+            F.broadcast(absolute), null_safe_on(self.keys, "__ak_"), "left"
+        )
         for c in self.minmax_cols:
             patched = patched.withColumn(
                 f"min_{c}",
@@ -262,7 +261,9 @@ class IncrementalAggView:
         applied = self._applied_version()
         meta = {"ivm_applied": cur}
         if applied is None:
-            built = self._build_frame(self.store.read(self.source))
+            # read pinned at cur: a commit landing mid-build must not be
+            # folded into a view whose watermark records only cur
+            built = self._build_frame(self.store.read(self.source, cur))
             if self.store.current_version(self.name) >= 0:
                 self.store.overwrite(self.name, built, meta=meta)
             else:
@@ -277,10 +278,12 @@ class IncrementalAggView:
             # an EAGER probe keeps the failure mode a decision here, not
             # a file-not-found somewhere inside the merge job)
             self.store.overwrite(
-                self.name, self._build_frame(self.store.read(self.source)), meta=meta
+                self.name,
+                self._build_frame(self.store.read(self.source, cur)),
+                meta=meta,
             )
             return {"mode": "rebuild", "from": applied, "to": cur}
-        src = self._merge_source(self._delta_frame(applied, cur))
+        src = self._merge_source(self._delta_frame(applied, cur), cur)
         src_cols = list(self._val_cols)
         if self.minmax_cols:
             src_cols.append("__has_del")

@@ -81,6 +81,19 @@ SCHEMAS: dict[str, str] = {
 }
 
 
+def null_safe_on(keys: list[str], prefix: str) -> Column:
+    """AND-fold of ``key <=> prefix+key`` — the null-safe key-join
+    condition every merge/probe site shares (NULL keys are one group,
+    matching groupBy/CDF semantics). The right side's key columns must
+    have been renamed to ``prefix+key`` first so the condition is
+    unambiguous."""
+    cond = None
+    for k in keys:
+        c = F.col(k).eqNullSafe(F.col(f"{prefix}{k}"))
+        cond = c if cond is None else (cond & c)
+    return cond
+
+
 class MetadataStore:
     def __init__(self, spark: SparkSession, root: str) -> None:
         self.spark = spark
@@ -418,11 +431,7 @@ class MetadataStore:
             marked_src = marked_src.withColumnRenamed(c, f"__src_{c}")
         for k in on:
             marked_src = marked_src.withColumnRenamed(k, f"__mk_{k}")
-        match_cond = None
-        for k in on:
-            c = F.col(k).eqNullSafe(F.col(f"__mk_{k}"))
-            match_cond = c if match_cond is None else (match_cond & c)
-        joined = target.join(marked_src, match_cond, "left")
+        joined = target.join(marked_src, null_safe_on(on, "__mk_"), "left")
         updated = joined
         for col, expr in (when_matched_set or {}).items():
             updated = updated.withColumn(
@@ -445,11 +454,7 @@ class MetadataStore:
             tkeys = target.select(
                 *[F.col(k).alias(f"__tk_{k}") for k in on]
             ).distinct()
-            anti_cond = None
-            for k in on:
-                c = F.col(k).eqNullSafe(F.col(f"__tk_{k}"))
-                anti_cond = c if anti_cond is None else (anti_cond & c)
-            new_rows = source.join(tkeys, anti_cond, "left_anti")
+            new_rows = source.join(tkeys, null_safe_on(on, "__tk_"), "left_anti")
             result = result.unionByName(new_rows.select(result.columns))
         return result
 

@@ -170,11 +170,17 @@ class CdcStreamSink:
             return
         # deletes for absent keys must not reach the merge's insert arm
         # (they would materialize as rows); a broadcast-able semi probe
-        # of the target keys trims them inside the same commit's plan
-        target_keys = self.store.read(self.table).select(*self.pk)
+        # of the target keys trims them inside the same commit's plan.
+        # Null-safe like the merge itself: if an upsert ever created a
+        # NULL-keyed row, its delete must still match it
+        from geostore_spark.sources.store import null_safe_on
+
+        target_keys = self.store.read(self.table).select(
+            *[F.col(k).alias(f"__pk_{k}") for k in self.pk]
+        )
         applicable = events.filter(F.col(self.op_col) != "delete").unionByName(
             events.filter(F.col(self.op_col) == "delete").join(
-                target_keys, self.pk, "left_semi"
+                target_keys, null_safe_on(self.pk, "__pk_"), "left_semi"
             )
         )
         self.store.merge(
@@ -266,23 +272,33 @@ def _register_query() -> None:
         view = IncrementalAggView(
             store, src, ["pr"], ["cents"], minmax_cols=["cents"], name="v_cdc"
         )
-        sink = CdcStreamSink(store, src, pk=["okey"], view=view)
+        # a constant seq: keys are unique per batch by construction, and
+        # the seq path folds the per-key collapse into the merge plan
+        # instead of paying the no-seq duplicate-check its own job
+        sink = CdcStreamSink(store, src, pk=["okey"], view=view, seq_col="seq")
         # deterministic two-batch change script; the sink's batch-id
         # guard makes replays (bench reruns, concurrent FAIR streams)
         # provable no-ops, the shared lock makes the guards race-free
         with _DEMO_LOCK:
-            sink(slice_.withColumn("op", F.lit("upsert")), batch_id=0)
+            sink(
+                slice_.withColumn("op", F.lit("upsert")).withColumn(
+                    "seq", F.lit(0).cast("bigint")
+                ),
+                batch_id=0,
+            )
             updates = slice_.filter(F.col("pr") == "1-URGENT").select(
                 "okey",
                 "pr",
                 (F.col("cents") + F.lit(7)).alias("cents"),
                 F.lit("upsert").alias("op"),
+                F.lit(0).cast("bigint").alias("seq"),
             )
             deletes = slice_.filter(F.col("pr") == "5-LOW").select(
                 "okey",
                 F.lit(None).cast("string").alias("pr"),
                 F.lit(None).cast("bigint").alias("cents"),
                 F.lit("delete").alias("op"),
+                F.lit(0).cast("bigint").alias("seq"),
             )
             sink(updates.unionByName(deletes), batch_id=1)
         return view.read().orderBy("pr")

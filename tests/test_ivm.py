@@ -279,6 +279,51 @@ def test_ivm_rebuilds_when_vacuum_outran_the_applied_version(spark, store):
     assert _rows(view.read()) == _rows(view.recompute())
 
 
+def test_ivm_source_reads_are_version_pinned(spark, store):
+    """A commit landing mid-refresh must not leak into the fold: every
+    source read in the full build, the retraction recompute, and the
+    vacuum-forced rebuild carries the explicitly captured version —
+    never the live pointer, which a concurrent writer can advance
+    between capture and plan construction."""
+    store.create(
+        "facts_pin",
+        spark.createDataFrame([("a", 5), ("b", 6)], "k string, cents long"),
+    )
+    view = IncrementalAggView(
+        store, "facts_pin", ["k"], ["cents"], minmax_cols=["cents"], name="vpin"
+    )
+    reads: list[tuple] = []
+    orig = store.read
+
+    def spy(table, version=None):
+        reads.append((table, version))
+        return orig(table, version)
+
+    store.read = spy
+
+    def src_reads_pinned():
+        unpinned = [r for r in reads if r[0] == "facts_pin" and r[1] is None]
+        return not unpinned
+
+    view.refresh()  # full build
+    assert src_reads_pinned(), reads
+
+    reads.clear()  # retraction recompute (delete forces the abs re-agg)
+    store.append("facts_pin", spark.createDataFrame([("a", 1)], "k string, cents long"))
+    store.delete_where("facts_pin", F.col("cents") == 5)
+    assert view.refresh()["mode"] == "incremental"
+    assert src_reads_pinned(), reads
+
+    reads.clear()  # vacuum-forced rebuild
+    store.append("facts_pin", spark.createDataFrame([("c", 9)], "k string, cents long"))
+    store.vacuum("facts_pin", keep_last=1)
+    assert view.refresh()["mode"] == "rebuild"
+    assert src_reads_pinned(), reads
+    assert sorted(tuple(r) for r in view.read().collect()) == sorted(
+        tuple(r) for r in view.recompute().collect()
+    )
+
+
 def test_ivm_unbothered_by_compaction_and_retained_vacuum(spark, store):
     """The real-world maintenance trio: OPTIMIZE (compact) rewrites the
     same rows as a new snapshot, VACUUM trims history behind the view's

@@ -28,9 +28,9 @@ def _write_batch(d: str, name: str, rows: list[dict]) -> None:
             f.write(json.dumps(r) + "\n")
 
 
-def _drain(spark, src_dir: str, ckpt: str, sink) -> None:
+def _drain(spark, src_dir: str, ckpt: str, sink, schema: str = "k string, cents long") -> None:
     q = (
-        spark.readStream.schema("k string, cents long")
+        spark.readStream.schema(schema)
         .json(src_dir)
         .writeStream.foreachBatch(sink)
         .option("checkpointLocation", ckpt)
@@ -305,15 +305,7 @@ def test_cdc_sink_through_real_stream_drain(spark, store, tmp_path):
     sink = CdcStreamSink(store, "cdc_rt", pk=["id"], seq_col="seq")
 
     def drain():
-        q = (
-            spark.readStream.schema(CDC_SCHEMA + ", seq long")
-            .json(src_dir)
-            .writeStream.foreachBatch(sink)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        _drain(spark, src_dir, ckpt, sink, schema=CDC_SCHEMA + ", seq long")
 
     _write_batch(src_dir, "e0.json", [
         {"id": 1, "grp": "a", "cents": 10, "op": "upsert", "seq": 1},
@@ -330,6 +322,26 @@ def test_cdc_sink_through_real_stream_drain(spark, store, tmp_path):
     v = store.current_version("cdc_rt")
     drain()  # nothing new: no batch delivered, no commit
     assert store.current_version("cdc_rt") == v
+
+
+def test_cdc_delete_matches_null_key(spark, store):
+    """If an upsert created a NULL-keyed row (the merge matches keys
+    null-safely), a later delete for that key must find it — the
+    absent-key trim probe has to be null-safe like the merge itself."""
+    sink = CdcStreamSink(store, "cdc_nk", pk=["id"])
+    sink(
+        spark.createDataFrame(
+            [(None, "a", 5, "upsert"), (1, "a", 7, "upsert")], CDC_SCHEMA
+        ),
+        batch_id=0,
+    )
+    assert store.read("cdc_nk").count() == 2
+    sink(
+        spark.createDataFrame([(None, None, None, "delete")], CDC_SCHEMA),
+        batch_id=1,
+    )
+    rows = {r["id"]: r["cents"] for r in store.read("cdc_nk").collect()}
+    assert rows == {1: 7}
 
 
 def test_cdc_sink_rejects_unordered_duplicate_keys(spark, store):
