@@ -100,7 +100,10 @@ class CdcStreamSink:
     At 100 TB: the merge probes the target by key join (broadcast-sized
     batch -> no target shuffle), the within-batch dedup shuffles only
     the batch, and the IVM refresh shuffles only the CDF delta — per
-    microbatch, cost tracks the CHANGES, never the table.
+    microbatch, SHUFFLE/COMPUTE cost tracks the CHANGES, never the
+    table. The snapshot commit itself rewrites the table's files (this
+    store's documented trade — its tables are metadata-scale; a Delta
+    target would rewrite only touched files, same merge plan).
     """
 
     def __init__(
