@@ -11,9 +11,13 @@ Spark has no recursive CTE, so the driver runs a bounded BFS loop where each
 iteration is a DataFrame job: read the frontier documents (distributed
 wholetext read), parse + explode links JVM-side, resolve hrefs, drop
 already-visited URLs, recurse. The reference's DFS *pre-order* is
-reconstructed exactly by carrying the link-index path (array<int>) and
-sorting lexicographically at the end — order falls out of a sort, not a
-sequential walk, so the traversal itself stays parallel.
+reconstructed exactly by carrying the link-index path (array<int>),
+relaxing paths to the lexicographic min-path fixpoint over the followed
+edges (``_exact_dfs_paths`` — BFS first-discovery alone diverges from
+the sequential walk on non-tree link graphs), and sorting at the end —
+order falls out of joins and a sort, not a sequential walk, so the
+traversal stays parallel (fuzz-pinned against a literal model of the
+reference's recursion on random cyclic graphs).
 
 Two frontier representations, auto-dispatched by round link volume:
 driver-list mode (URL list on the driver feeding ``spark.read.text`` —
@@ -21,9 +25,8 @@ cheapest at the catalog sizes the reference traverses) and DataFrame
 mode, where the frontier, visited set, AND the document read are all
 distributed: each executor task opens its slice of URLs directly
 (``mapInPandas``), so driver state per round is O(1) — a row count —
-never a URL list. The reference's DFS *pre-order* is reconstructed
-exactly in both modes by carrying the link-index path (array<int>)
-and sorting lexicographically at the end.
+never a URL list. Both modes share the min-path relaxation and final
+sort, so their discovery order is identical by construction.
 """
 
 from __future__ import annotations
@@ -143,10 +146,12 @@ def traverse(
     to dataframe mode the first time a round's link volume crosses
     DF_FRONTIER_THRESHOLD.
     Both modes produce IDENTICAL discovery_ord (pytest-pinned on the
-    golden STAC tree): DFS pre-order is exactly the lexicographic path
-    sort, and the final global rank runs through the two-phase
-    distributed ROW_NUMBER (range partition + broadcast offsets), never
-    a single-partition window — discovery order falls out of a
+    golden STAC tree AND on randomized cyclic graphs vs a sequential
+    model of the reference's recursion): DFS pre-order is the
+    lexicographic sort of the min-path fixpoint (``_exact_dfs_paths``),
+    and the final global rank runs through the two-phase distributed
+    ROW_NUMBER (range partition + broadcast offsets), never a
+    single-partition window — discovery order falls out of joins and a
     distributed sort in every mode.
     """
     if frontier_mode not in ("auto", "driver", "dataframe"):
@@ -240,9 +245,79 @@ def traverse(
     out = collected[0]
     for df in collected[1:]:
         out = out.unionByName(df)
+    out = _exact_dfs_paths(spark, out.localCheckpoint(eager=True))
     from geostore_spark.operators.util import distributed_row_number
 
     ranked, _ = distributed_row_number(
         out, [], ["path"], rn_name="discovery_ord"
     )
     return ranked.withColumn("discovery_ord", F.col("discovery_ord") - 1)
+
+
+def _exact_dfs_paths(spark: SparkSession, out: DataFrame) -> DataFrame:
+    """Replace each document's round-of-first-discovery path with its
+    DFS-tree path, by lexicographic min-path relaxation to fixpoint.
+
+    The BFS loop keeps the least path seen PER ROUND, but a URL reached
+    by a shallow, lexicographically-later path in round r is never
+    revisited when round r+1 finds a deeper, lexicographically-earlier
+    one — on non-tree link graphs (cross-links, cycles) that diverges
+    from the reference's sequential DFS (utils.py:256-258 recurses at
+    first arrival in link order). The DFS pre-order equals the sort of
+    the unique fixpoint of p(root) = [] and p(v) = min over followed
+    edges (u, i, v) of p(u) + [i] (shorter-prefix-first array order, so
+    appending always grows a path and the relaxation is grounded); this
+    computes that fixpoint with distributed joins over the visited
+    edge set — no driver-side edge list, one count per round — and is
+    pinned against a literal sequential-DFS model on randomized cyclic
+    graphs in tests/test_traversal_random.py. Trees converge
+    immediately (0 improving rounds: one count each), so the catalog
+    fast path pays a single extra job.
+    """
+    p = out.select("url", "path").localCheckpoint(eager=True)
+    edges = (
+        out.select(
+            "url", F.posexplode_outer(F.col("doc.links")).alias("i", "l")
+        )
+        .filter(F.col("l.rel").isin(*FOLLOW_RELS))
+        .select(
+            F.col("url").alias("src"),
+            _resolve_href(F.col("url"), F.col("l.href")).alias("dst"),
+            "i",
+        )
+        .join(
+            p.select(F.col("url").alias("dst")), "dst", "left_semi"
+        )  # only edges into visited docs can relax anything
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(MAX_ITERATIONS):
+        cand = (
+            p.join(edges, p["url"] == edges["src"])
+            .select(
+                F.col("dst").alias("url"),
+                F.concat("path", F.array("i")).alias("cpath"),
+            )
+            .groupBy("url")
+            .agg(F.min("cpath").alias("cpath"))
+            .localCheckpoint(eager=True)
+        )
+        improved = (
+            p.join(cand, "url").filter(F.col("cpath") < F.col("path")).count()
+        )
+        if improved == 0:
+            break
+        p = (
+            p.join(cand, "url", "left")
+            .select(
+                "url",
+                F.when(
+                    F.col("cpath").isNotNull()
+                    & (F.col("cpath") < F.col("path")),
+                    F.col("cpath"),
+                )
+                .otherwise(F.col("path"))
+                .alias("path"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return out.drop("path").join(p, "url")
