@@ -245,7 +245,7 @@ def traverse(
     out = collected[0]
     for df in collected[1:]:
         out = out.unionByName(df)
-    out = _exact_dfs_paths(spark, out.localCheckpoint(eager=True))
+    out = _exact_dfs_paths(out.localCheckpoint(eager=True), n_urls)
     from geostore_spark.operators.util import distributed_row_number
 
     ranked, _ = distributed_row_number(
@@ -254,7 +254,7 @@ def traverse(
     return ranked.withColumn("discovery_ord", F.col("discovery_ord") - 1)
 
 
-def _exact_dfs_paths(spark: SparkSession, out: DataFrame) -> DataFrame:
+def _exact_dfs_paths(out: DataFrame, n_urls: int) -> DataFrame:
     """Replace each document's round-of-first-discovery path with its
     DFS-tree path, by lexicographic min-path relaxation to fixpoint.
 
@@ -268,11 +268,15 @@ def _exact_dfs_paths(spark: SparkSession, out: DataFrame) -> DataFrame:
     edges (u, i, v) of p(u) + [i] (shorter-prefix-first array order, so
     appending always grows a path and the relaxation is grounded); this
     computes that fixpoint with distributed joins over the visited
-    edge set — no driver-side edge list, one count per round — and is
-    pinned against a literal sequential-DFS model on randomized cyclic
-    graphs in tests/test_traversal_random.py. Trees converge
-    immediately (0 improving rounds: one count each), so the catalog
-    fast path pays a single extra job.
+    edge set — no driver-side edge list, one join + one count on the
+    checkpointed result per round — and is pinned against a literal
+    sequential-DFS model on randomized cyclic graphs in
+    tests/test_traversal_random.py. Trees converge immediately (0
+    improving rounds), so the catalog fast path pays one relaxation
+    round of fixed jobs. Final DFS-tree paths have length < n_urls, so
+    n_urls + 1 rounds always suffice (each round propagates
+    improvements one edge deeper); exhausting the bound is impossible
+    rather than a silent wrong order, and raises if it ever happens.
     """
     p = out.select("url", "path").localCheckpoint(eager=True)
     edges = (
@@ -290,7 +294,7 @@ def _exact_dfs_paths(spark: SparkSession, out: DataFrame) -> DataFrame:
         )  # only edges into visited docs can relax anything
         .localCheckpoint(eager=True)
     )
-    for _ in range(MAX_ITERATIONS):
+    for _ in range(n_urls + 1):
         cand = (
             p.join(edges, p["url"] == edges["src"])
             .select(
@@ -299,25 +303,27 @@ def _exact_dfs_paths(spark: SparkSession, out: DataFrame) -> DataFrame:
             )
             .groupBy("url")
             .agg(F.min("cpath").alias("cpath"))
-            .localCheckpoint(eager=True)
         )
-        improved = (
-            p.join(cand, "url").filter(F.col("cpath") < F.col("path")).count()
-        )
-        if improved == 0:
-            break
-        p = (
+        improves = F.col("cpath").isNotNull() & (F.col("cpath") < F.col("path"))
+        p2 = (
             p.join(cand, "url", "left")
             .select(
                 "url",
-                F.when(
-                    F.col("cpath").isNotNull()
-                    & (F.col("cpath") < F.col("path")),
-                    F.col("cpath"),
-                )
-                .otherwise(F.col("path"))
-                .alias("path"),
+                F.when(improves, F.col("cpath")).otherwise(F.col("path")).alias(
+                    "path"
+                ),
+                improves.alias("__improved"),
             )
             .localCheckpoint(eager=True)
+        )
+        improved = p2.filter(F.col("__improved")).count()  # reads the checkpoint
+        p = p2.drop("__improved")
+        if improved == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"DFS path relaxation did not converge in {n_urls + 1} rounds "
+            f"over {n_urls} documents — impossible for a grounded min-path "
+            "fixpoint; traversal state is corrupt"
         )
     return out.drop("path").join(p, "url")

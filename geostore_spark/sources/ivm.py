@@ -53,7 +53,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from geostore_spark.sources.store import MetadataStore
+from geostore_spark.sources.store import MetadataStore, null_safe_on
 
 
 class IncrementalAggView:
@@ -179,8 +179,6 @@ class IncrementalAggView:
         # every key join here must be null-safe — a plain equi-join
         # would silently skip the NULL group's recompute and null out
         # its extremes while rows still exist
-        from geostore_spark.sources.store import null_safe_on
-
         del_keys = delta.filter(F.col("__has_del") == 1).select(
             *[F.col(k).alias(f"__dk_{k}") for k in self.keys]
         )

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from geostore_spark.sources.ivm import IncrementalAggView
-from geostore_spark.sources.store import MetadataStore
+from geostore_spark.sources.store import MetadataStore, null_safe_on
 
 _BATCH_KEY = "stream_batch_id"
 
@@ -176,8 +176,6 @@ class CdcStreamSink:
         # of the target keys trims them inside the same commit's plan.
         # Null-safe like the merge itself: if an upsert ever created a
         # NULL-keyed row, its delete must still match it
-        from geostore_spark.sources.store import null_safe_on
-
         target_keys = self.store.read(self.table).select(
             *[F.col(k).alias(f"__pk_{k}") for k in self.pk]
         )

@@ -3,8 +3,9 @@ literal port of the reference's sequential DFS (visit at first arrival,
 recurse links in order — utils.py:192,256-258) on seeded random LINK
 GRAPHS, not just trees: cross-links, duplicate links, self-links, and
 cycles, in both frontier modes. This is the pin on the min-path
-relaxation (_exact_dfs_paths): the round-of-first-discovery path alone
-diverges on 6 of the 31 graphs this seed generates."""
+relaxation (_exact_dfs_paths): round-of-first-discovery paths alone
+diverge on 3 of these 9 graphs (the handcrafted shape plus 2 seeded;
+the wider 31-graph exploratory fuzz that found the bug diverged on 6)."""
 
 from __future__ import annotations
 
