@@ -91,3 +91,60 @@ def test_random_cdc_script_matches_hand_replay(spark, store):
             (tuple(r) for r in view.recompute().select(*cols).collect()), key=key
         )
         assert v == w, f"view diverged after batch {batch_id}: {v} != {w}"
+
+
+def test_random_cdc_script_survives_interleaved_maintenance(spark, store):
+    """The whole storage stack under ONE random script: CDC batches
+    interleaved with compaction (same rows, new snapshot — must be an
+    empty change feed to the view) and vacuum (sometimes aggressive
+    enough to remove the view's applied anchor, forcing the rebuild
+    path at a random point). Table must track the hand-applied model
+    and the view its recompute after every step, whatever interleaving
+    the seed produces."""
+    rng = random.Random(31_337)
+    view = IncrementalAggView(
+        store, "cdc_m", ["grp"], ["cents"], minmax_cols=["cents"], name="vcm"
+    )
+    sink = CdcStreamSink(store, "cdc_m", pk=["id"], view=view, seq_col="seq")
+    model: dict[int, tuple] = {}
+    seq = 0
+    modes_seen = set()
+
+    for batch_id in range(7):
+        events = _gen_batch(rng, seq, rng.randint(3, 8))
+        seq += len(events)
+        sink(spark.createDataFrame(events, SCHEMA), batch_id=batch_id)
+        _model_apply(model, events)
+
+        op = rng.choice(["none", "compact", "vacuum_keep", "vacuum_aggressive"])
+        if op == "compact" and store.current_version("cdc_m") >= 0:
+            store.compact("cdc_m", target_files=1)
+        elif op == "vacuum_keep" and store.current_version("cdc_m") >= 0:
+            store.vacuum("cdc_m", keep_last=3)
+        elif op == "vacuum_aggressive" and store.current_version("cdc_m") >= 0:
+            # compact first so the head advances past the view's applied
+            # anchor, then vacuum it away — the retention race that must
+            # force the rebuild path (the sink refreshes every batch, so
+            # without the compact the anchor IS the head and survives)
+            store.compact("cdc_m", target_files=1)
+            store.vacuum("cdc_m", keep_last=1)
+        modes_seen.add(view.refresh()["mode"])
+
+        got = {
+            r["id"]: (r["grp"], r["cents"])
+            for r in store.read("cdc_m").collect()
+        }
+        assert got == model, f"table diverged after step {batch_id} ({op})"
+        cols = ["grp", "n_rows", "sum_cents", "min_cents", "max_cents"]
+        key = lambda t: tuple((x is None, str(x)) for x in t)  # noqa: E731
+        v = sorted(
+            (tuple(r) for r in view.read().select(*cols).collect()), key=key
+        )
+        w = sorted(
+            (tuple(r) for r in view.recompute().select(*cols).collect()), key=key
+        )
+        assert v == w, f"view diverged after step {batch_id} ({op})"
+
+    # the seed must actually exercise the interesting refresh modes
+    assert "incremental" in modes_seen or "noop" in modes_seen
+    assert "rebuild" in modes_seen, modes_seen
