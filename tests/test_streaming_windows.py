@@ -772,3 +772,53 @@ def test_streaming_kendall_matches_pair_rule(spark, tmp_path):
     second = drain_collect(streaming_kendall(event_stream(spark, events)), ckpt)
     assert second[-1]["n_days"] == len(vals) + 1
     assert second[-1]["nc"] == nc + len(vals)
+
+
+def test_running_totals_invariant_under_random_batch_splits(spark, tmp_path):
+    """Split-invariance fuzz for the custom stateful operator: the SAME
+    seeded event set, delivered as randomly-sized microbatches in
+    random within-batch order across separate drains (checkpoint
+    restarts between them), must end at exactly the per-user totals a
+    plain batch aggregation computes — state folding cannot depend on
+    how the stream happened to be chopped."""
+    import random
+
+    rng = random.Random(4242)
+    all_events = [
+        _event(i, rng.choice([7, 8, 9]), _ts(1 + i // 12, i % 12), float(rng.randint(1, 9)))
+        for i in range(36)
+    ]
+
+    events_dir = str(tmp_path / "events")
+    ckpt = str(tmp_path / "ckpt")
+    final: dict[int, tuple] = {}
+    i = 0
+    b = 0
+    while i < len(all_events):
+        size = rng.randint(1, 7)
+        batch = list(all_events[i : i + size])
+        rng.shuffle(batch)
+        i += size
+        _write_events(events_dir, f"rb{b}.json", batch)
+        b += 1
+        # drain after every 1-2 files: separate drains = checkpoint
+        # restarts, multiple files per drain = multi-batch folding
+        if rng.random() < 0.6 or i >= len(all_events):
+            for r in drain_collect(
+                running_user_totals(event_stream(spark, events_dir)),
+                ckpt,
+                "update",
+            ):
+                final[r["user_id"]] = (
+                    r["n_events"], r["sum_value"], r["last_ts"],
+                )
+
+    from collections import defaultdict
+    want: dict[int, list] = defaultdict(list)
+    for e in all_events:
+        want[e["user_id"]].append(e)
+    for uid, evs in want.items():
+        n, s, last = final[uid]
+        assert n == len(evs)
+        assert s == round(sum(e["value"] for e in evs), 4)
+        assert last.isoformat() + "+00:00" == max(e["ts"] for e in evs)
