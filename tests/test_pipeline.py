@@ -444,3 +444,51 @@ def test_exhausted_timeouts_surface_as_temporary_failure(tmp_path, monkeypatch):
     assert code == I.RESULT_CODE_TEMPORARY_FAILURE
     assert attempts == I.MAX_IMPORT_ATTEMPTS == calls["n"]
     assert I.RETRY_RESULT_STRING.split(" due")[0] in message
+
+
+def test_random_reingest_rounds_sweep_storage_to_latest_file_set(spark, store, tmp_path):
+    """Randomized V8 GC: four re-imports with seeded random asset
+    subsets of one filename pool — files dropped, kept, and REVIVED
+    after a sweep. After every round the storage directory's data files
+    must be exactly the current version's set: the mark pass keeps
+    survivors, the sweep removes everything else, and a revived
+    filename is re-copied by the new import (reference
+    step_function.py:197-232 semantics under arbitrary churn, not just
+    the one golden scenario)."""
+    rng = random.Random(1234)
+    pool = [f"f{i}.bin" for i in range(8)]
+    storage = str(tmp_path / "storage")
+    ds_id = _setup_dataset(store)
+
+    seen_sets = []
+    for rnd in range(4):
+        files = sorted(rng.sample(pool, rng.randint(2, 6)))
+        seen_sets.append(set(files))
+        tree = build_golden_tree(
+            str(tmp_path / f"v{rnd}"),
+            {f: f"payload-{f}-round{rnd}".encode() for f in files},
+        )
+        r = create_dataset_version(
+            spark, store, ds_id, tree["root_url"], storage,
+            now=NOW.replace(minute=10 + rnd * 10), rng=_rng(),
+        )
+        assert r["status_code"] == 201, f"round {rnd}: {r}"
+        on_disk = {
+            f
+            for f in os.listdir(os.path.join(storage, "Test_Dataset"))
+            if f.endswith(".bin")
+        }
+        assert on_disk == set(files), f"round {rnd}: {on_disk} != {set(files)}"
+        # content is the new round's payload even for revived filenames
+        for f in files:
+            with open(os.path.join(storage, "Test_Dataset", f), "rb") as fh:
+                assert fh.read() == f"payload-{f}-round{rnd}".encode()
+
+    # the seed must actually exercise drop + revive across rounds
+    dropped_then_revived = any(
+        f in seen_sets[i] and f not in seen_sets[i + 1] and f in later
+        for i in range(len(seen_sets) - 1)
+        for later in seen_sets[i + 2 :]
+        for f in pool
+    )
+    assert dropped_then_revived
