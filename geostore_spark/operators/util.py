@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import threading
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -14,8 +15,28 @@ from pyspark.sql import DataFrame, SparkSession
 # each shared scan/shuffle once instead of once per consumer. Keyed on
 # applicationId so a restarted context never sees a stale checkpoint;
 # entries must be aggregate-/rollup-sized (they pin executor block
-# storage for the session's lifetime).
-_SESSION_CKPT: dict[tuple, DataFrame] = {}
+# storage for the session's lifetime). Values are
+# (DataFrame, frozenset of the persisted RDD ids backing the
+# checkpoint) — the ids are the liveness probe for rebuild-on-loss.
+_SESSION_CKPT: dict[tuple, tuple[DataFrame, frozenset[int]]] = {}
+# One lock for purge + get/build/set: concurrent bench FAIR streams
+# must not double-build the same scaffold, and two callers racing the
+# dead-session purge must not both delete the same key (r7 advisor:
+# the second `del` raised KeyError inside an unrelated query).
+_SESSION_CKPT_LOCK = threading.Lock()
+
+
+def _persisted_rdd_ids(spark: SparkSession) -> frozenset[int]:
+    """Ids of the RDDs currently holding persisted blocks in this
+    context — the cheap (driver-map lookup, no job) liveness probe for
+    a localCheckpoint. An id that has left this set was unpersisted or
+    its blocks were dropped; recomputing through it raises
+    "Checkpoint block not found"."""
+    try:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        return frozenset(int(k) for k in jmap.keySet().toArray())
+    except Exception:
+        return frozenset()
 
 
 def session_checkpoint(
@@ -30,20 +51,37 @@ def session_checkpoint(
     applicationId no longer matching the caller's means its context is
     gone and the DataFrame plan is unusable — r6 advisor finding: the
     memo would otherwise grow for the process lifetime across session
-    restarts). Exposure note: localCheckpoint blocks are NOT
-    recomputable on executor loss — on a real cluster a lost executor
-    fails the shared scaffold's consumers until rebuilt; callers that
-    need executor-loss resilience should prefer reliable
-    ``checkpoint()`` to a checkpoint dir, at the cost of an HDFS write.
-    In local mode (one executor = the JVM) the distinction is moot."""
+    restarts). Purge, lookup, and build-and-insert run under one lock:
+    concurrent FAIR-scheduler streams neither double-build a scaffold
+    nor race the purge (r7 advisor: unsynchronized ``del`` raised
+    KeyError in a bystander query).
+
+    localCheckpoint blocks are NOT recomputable on loss — a lost
+    executor (or an explicit unpersist) would otherwise fail every
+    consumer of the shared scaffold for the rest of the session. Each
+    entry therefore records the persisted-RDD ids its checkpoint
+    created (diff of the context's persistent-RDD map around the
+    build); a lookup whose recorded ids are no longer all present
+    treats the entry as lost and REBUILDS instead of handing out a
+    poisoned plan — pinned by tests/test_operators_util.py."""
     app = spark.sparkContext.applicationId
-    for stale in [k for k in _SESSION_CKPT if k[0] != app]:
-        del _SESSION_CKPT[stale]
-    k = (app, *key)
-    df = _SESSION_CKPT.get(k)
-    if df is None:
+    with _SESSION_CKPT_LOCK:
+        for stale in [k for k in _SESSION_CKPT if k[0] != app]:
+            _SESSION_CKPT.pop(stale, None)
+        k = (app, *key)
+        hit = _SESSION_CKPT.get(k)
+        if hit is not None:
+            df, ids = hit
+            if ids <= _persisted_rdd_ids(spark):
+                return df
+            _SESSION_CKPT.pop(k, None)  # blocks gone: rebuild below
+        before = _persisted_rdd_ids(spark)
+        # eager=True materializes inside the lock — acceptable because
+        # scaffolds are aggregate-sized and double-building them
+        # concurrently would cost more than the brief serialization
         df = build().localCheckpoint(eager=eager)
-        _SESSION_CKPT[k] = df
+        ids = _persisted_rdd_ids(spark) - before if eager else frozenset()
+        _SESSION_CKPT[k] = (df, frozenset(ids))
     return df
 
 

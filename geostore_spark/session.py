@@ -102,6 +102,26 @@ def build_session(
         .config("spark.ui.enabled", "false")
     )
     if persistent_catalog_dir is not None:
+        # catalogImplementation / warehouse dir / Derby URL are STATIC
+        # confs: getOrCreate() silently ignores them when a live session
+        # already exists, handing the caller an in-memory catalog it
+        # explicitly asked not to have (r7 advisor). Fail loudly instead.
+        active = SparkSession.getActiveSession()
+        if active is not None:
+            wanted = persistent_catalog_conf(persistent_catalog_dir)
+            got_impl = active.conf.get("spark.sql.catalogImplementation", "in-memory")
+            got_wh = active.conf.get("spark.sql.warehouse.dir", "")
+            if got_impl != wanted["spark.sql.catalogImplementation"] or wanted[
+                "spark.sql.warehouse.dir"
+            ] not in got_wh:
+                raise RuntimeError(
+                    "build_session(persistent_catalog_dir=...) cannot take "
+                    "effect: an active SparkSession already exists with "
+                    f"catalogImplementation={got_impl!r}, warehouse={got_wh!r} "
+                    "(static confs are fixed at JVM startup). Stop the "
+                    "active session first (spark.stop()) or reuse it "
+                    "knowingly via SparkSession.getActiveSession()."
+                )
         for k, v in persistent_catalog_conf(persistent_catalog_dir).items():
             builder = builder.config(k, v)
     for k, v in (extra_conf or {}).items():

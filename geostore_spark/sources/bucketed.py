@@ -27,6 +27,14 @@ from pyspark.sql import functions as F
 
 from geostore_spark.sources.tables import fixture_tag, load_table
 
+# Serializes the write-if-absent probe + layout write: registered
+# queries run under bench's concurrent FAIR streams, and two streams
+# racing ensure() for the same table must not interleave probe /
+# adopt / overwrite (same reason the IVM demo takes _DEMO_LOCK).
+import threading
+
+_ENSURE_LOCK = threading.Lock()
+
 
 def _default_table_path(spark: SparkSession, table: str) -> str | None:
     """The filesystem path ``saveAsTable`` will actually use for an
@@ -53,12 +61,17 @@ def save_table_clearing_stale_dir(writer, spark: SparkSession, table: str) -> No
     stale warehouse directory (left by a crashed writer or an earlier
     session's catalog — DROP TABLE does not know about it). The
     cleanup runs only when the failure actually IS the stale-location
-    conflict — the directory pre-existed the write AND the error is the
-    location-already-exists class — and at the catalog-resolved
-    location, never a path string-built from the warehouse URI. Any
-    other failure (executor OOM, analysis error) re-raises untouched:
-    a transient error from a caller that did not pre-drop the table
-    must never delete live table data (r6 advisor finding)."""
+    conflict — the directory pre-existed the write, the table is still
+    absent from the catalog, AND the error is the location-conflict
+    class — and at the catalog-resolved location, never a path
+    string-built from the warehouse URI. Two non-negotiables (r6 + r7
+    advisor findings): (a) any other failure (executor OOM, analysis
+    error) re-raises untouched; (b) if the table EXISTS in the catalog
+    at failure time, a concurrent writer won the race — its data is
+    live, so return without touching the directory. The catalog
+    re-probe runs FIRST because Spark's TABLE_OR_VIEW_ALREADY_EXISTS
+    message also contains the substring "already exists" — matching on
+    message text alone would rmtree a live table's files."""
     import os
     import shutil
 
@@ -67,14 +80,25 @@ def save_table_clearing_stale_dir(writer, spark: SparkSession, table: str) -> No
     try:
         writer.saveAsTable(table)
     except Exception as e:
+        if spark.catalog.tableExists(table):
+            return  # concurrent creation completed: the table is live
         msg = str(e).lower()
+        # only the location-conflict class (Spark 4's
+        # LOCATION_ALREADY_EXISTS; older releases phrase it as
+        # "path ... already exists") — never the catalog-entry class
         stale_location = pre_existing and (
-            "location_already_exists" in msg or "already exists" in msg
+            "location_already_exists" in msg
+            or ("path" in msg and "already exists" in msg)
         )
         if not stale_location:
             raise
         shutil.rmtree(path, ignore_errors=True)
-        writer.saveAsTable(table)
+        try:
+            writer.saveAsTable(table)
+        except Exception:
+            if spark.catalog.tableExists(table):
+                return
+            raise
 
 
 def write_bucketed(
@@ -173,6 +197,10 @@ def cobucketed_revenue_join(
     lt = f"lineitem_b_{suffix}_{tag}"
 
     def ensure(table: str, key: str, cols_ddl: str, builder) -> None:
+        with _ENSURE_LOCK:
+            _ensure_locked(table, key, cols_ddl, builder)
+
+    def _ensure_locked(table: str, key: str, cols_ddl: str, builder) -> None:
         if bucket_spec(spark, table) == (buckets, key):
             return
         layout = (

@@ -285,7 +285,11 @@ class MetadataStore:
             )
         else:
             df = df.coalesce(target_files)
-        self._write_snapshot(table, df, base)
+        # carry the prior commit's transaction metadata forward: compaction
+        # is a data no-op, and dropping the meta would reset a streaming
+        # sink's batch-id watermark to -1 on the next crash replay (r7
+        # advisor) — worse once vacuum removes the original commit
+        self._write_snapshot(table, df, base, meta=self.commit_meta(table, base) or None)
         # measure what was actually written: repartitionByRange with fewer
         # distinct keys than target_files (or coalesce over fewer input
         # partitions) legitimately writes fewer files — echoing

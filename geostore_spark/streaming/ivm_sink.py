@@ -34,6 +34,26 @@ from geostore_spark.sources.store import MetadataStore, null_safe_on
 _BATCH_KEY = "stream_batch_id"
 
 
+def _last_applied_batch(store: MetadataStore, table: str) -> int:
+    """Highest ``stream_batch_id`` committed on any RETAINED snapshot.
+
+    The latest commit alone is not enough: a metadata-less maintenance
+    commit (an out-of-band ``compact()`` from code predating the
+    carry-forward, a manual append) between a batch and a crash replay
+    would reset the watermark to -1 and re-apply the replayed batch —
+    value-idempotent for CdcStreamSink's merge but a DOUBLE APPEND for
+    IvmStreamSink (r7 advisor). Scanning retained history is
+    driver-side file metadata, O(retained versions), and compact() now
+    also carries the meta forward so the watermark survives vacuum."""
+    latest = int(store.commit_meta(table).get(_BATCH_KEY, -1))
+    for h in store.history(table):
+        latest = max(
+            latest,
+            int(store.commit_meta(table, h["version"]).get(_BATCH_KEY, -1)),
+        )
+    return latest
+
+
 class IvmStreamSink:
     """``writeStream.foreachBatch(sink)`` target that maintains a store
     table plus an :class:`IncrementalAggView` over it."""
@@ -46,7 +66,7 @@ class IvmStreamSink:
         self.view = view
 
     def _last_applied(self) -> int:
-        return int(self.store.commit_meta(self.source).get(_BATCH_KEY, -1))
+        return _last_applied_batch(self.store, self.source)
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         meta = {_BATCH_KEY: batch_id}
@@ -123,7 +143,7 @@ class CdcStreamSink:
         self.seq_col = seq_col
 
     def _last_applied(self) -> int:
-        return int(self.store.commit_meta(self.table).get(_BATCH_KEY, -1))
+        return _last_applied_batch(self.store, self.table)
 
     def _latest_per_key(self, batch_df: DataFrame) -> DataFrame:
         """Collapse the batch to the last event per key. With a seq_col,

@@ -353,3 +353,46 @@ def test_cdc_sink_rejects_unordered_duplicate_keys(spark, store):
     )
     with pytest.raises(ValueError, match="multiple events"):
         sink(bad, batch_id=0)
+
+
+def test_maintenance_commit_does_not_reset_batch_watermark(spark, store):
+    """r7 advisor: a metadata-less commit (compact) between a batch and
+    a crash replay reset the batch-id watermark to -1, double-appending
+    the replayed batch in IvmStreamSink. Two defenses are pinned here:
+    compact() carries the prior commit's txn meta forward, and the sink
+    scans retained history rather than only the latest commit."""
+    view = IncrementalAggView(store, "facts_m", ["k"], ["cents"], name="v_m")
+    sink = IvmStreamSink(store, "facts_m", view)
+
+    b0 = spark.createDataFrame([("a", 100), ("b", 40)], "k string, cents long")
+    sink(b0, batch_id=0)
+    assert sink._last_applied() == 0
+
+    # maintenance between the batch and its replay
+    store.compact("facts_m", target_files=1)
+    assert sink._last_applied() == 0, "compact must not reset the watermark"
+
+    # crash replay of batch 0 must be a no-op
+    rows_before = store.read("facts_m").count()
+    sink(b0, batch_id=0)
+    assert store.read("facts_m").count() == rows_before
+    got = {r["k"]: r["sum_cents"] for r in view.read().collect()}
+    assert got == {"a": 100, "b": 40}
+
+    # even with the carried meta vacuumed away alongside older commits,
+    # the history scan still finds the max batch id on retained commits
+    sink(spark.createDataFrame([("c", 7)], "k string, cents long"), batch_id=1)
+    store.compact("facts_m", target_files=1)
+    store.vacuum("facts_m", keep_last=1)  # only the compact commit survives
+    assert sink._last_applied() == 1, "carried-forward meta survives vacuum"
+
+
+def test_build_session_persistent_catalog_conflict_raises(spark):
+    """r7 advisor: static confs (catalogImplementation, warehouse dir,
+    Derby URL) are silently ignored by getOrCreate() when a session is
+    already live — asking for a durable catalog must fail loudly then,
+    not hand back an in-memory one."""
+    from geostore_spark.session import build_session
+
+    with pytest.raises(RuntimeError, match="persistent_catalog_dir"):
+        build_session(persistent_catalog_dir="/tmp/nonexistent_cat_dir")
