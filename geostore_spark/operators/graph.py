@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from geostore_spark.logging_keys import LOG_MESSAGE_STRATEGY_DISPATCH, log_event
-from geostore_spark.operators.dedup import simhash, simhash_pairs, simhash_pairs_ctes
+from geostore_spark.operators.dedup import simhash_pairs, simhash_pairs_ctes
 from geostore_spark.registry import register
 from geostore_spark.sources.tables import load_table
 
@@ -222,6 +222,7 @@ def pagerank(
     local_threshold: int = 2_000_000,
     broadcast_max_nodes: int = 8_000_000,
     pre_deduped: bool = False,
+    input_pinned: bool = False,
 ) -> DataFrame:
     """Damped PageRank (d=0.85) over a directed edge list, integer-exact.
 
@@ -268,10 +269,15 @@ def pagerank(
     # (possibly expensive) edge-mining plan once, and the local path then
     # coalesces checkpointed blocks into one task without any shuffle —
     # the src repartition is paid only on the distributed path that
-    # actually reuses it every round
-    ed0 = edges.select(
-        F.col(src).alias("src"), F.col(dst).alias("dst")
-    ).localCheckpoint(eager=False)
+    # actually reuses it every round. ``input_pinned`` callers (edges
+    # derived from an already-checkpointed session scaffold by a
+    # shuffle-free select) skip the pin: re-reading the scaffold twice
+    # (count + kernel) is cheaper than writing a second copy of the
+    # edge list per invocation (measured at sf0.1: the per-invocation
+    # checkpoint write was ~half the query's warm wall).
+    ed0 = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if not input_pinned:
+        ed0 = ed0.localCheckpoint(eager=False)
     if ed0.count() <= local_threshold:
         # kernel dedups in-task, so raw (possibly duplicated) pairs are fine
         return _local_pagerank(ed0, iters)
@@ -452,6 +458,7 @@ def q_pagerank(spark: SparkSession, sf: str) -> DataFrame:
         "src",
         "dst",
         pre_deduped=True,
+        input_pinned=True,
     )
     return (
         ranks.select(
@@ -503,9 +510,12 @@ def _clusters_oracle() -> str:
     _clusters_oracle(),
 )
 def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf)
-    fps = simhash(docs, "doc_id", "text").localCheckpoint(eager=False)
-    edges = simhash_pairs(fps, "doc_id").select("doc_a", "doc_b")
+    from geostore_spark.operators.dedup import shared_simhash_fps
+
+    fps = shared_simhash_fps(spark, sf)
+    edges = simhash_pairs(fps, "doc_id", input_pinned=True).select(
+        "doc_a", "doc_b"
+    )
     cc = connected_components(edges, "doc_a", "doc_b")
     sizes = cc.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (

@@ -268,6 +268,10 @@ def shared_scaffold_builders() -> dict[str, Callable[[SparkSession, str], DataFr
     rows measure the steady-state plan the amortization argument is
     about, not first-consumer cost (r6 judge: pagerank's row carried
     the whole graph family's shared supply-pair build)."""
+    from geostore_spark.operators.dedup import (
+        shared_minhash_sig,
+        shared_simhash_fps,
+    )
     from geostore_spark.operators.graph import shared_supply_pairs, symmetrize
     from geostore_spark.operators.ml import shared_kmeans_assignment
     from geostore_spark.operators.runtime_filters import shared_bloom_state
@@ -278,4 +282,6 @@ def shared_scaffold_builders() -> dict[str, Callable[[SparkSession, str], DataFr
         "daily_orders": lambda spark, sf: shared_daily_orders(spark, sf),
         "kmeans_assignment": lambda spark, sf: shared_kmeans_assignment(spark, sf),
         "bloom_state": lambda spark, sf: shared_bloom_state(spark, sf)[1],
+        "simhash_fps": lambda spark, sf: shared_simhash_fps(spark, sf),
+        "minhash_sig": lambda spark, sf: shared_minhash_sig(spark, sf),
     }

@@ -132,7 +132,8 @@ def test_shared_scaffold_builders_cover_the_session_scaffolds(spark):
     sf = "/root/testdata/sf0.001"
     builders = shared_scaffold_builders()
     assert set(builders) == {
-        "supply_pairs", "daily_orders", "kmeans_assignment", "bloom_state"
+        "supply_pairs", "daily_orders", "kmeans_assignment", "bloom_state",
+        "simhash_fps", "minhash_sig",
     }
     built = {name: fn(spark, sf) for name, fn in builders.items()}
     for name, df in built.items():
