@@ -32,7 +32,8 @@ CHUNK_SIZE = 8 * 1024 * 1024  # constant-memory streaming; reference used 1 KiB
 SHA2_256_PREFIX = "1220"
 
 RESULT_SCHEMA = (
-    "url string, multihash string, actual_digest string, result string, message string"
+    "url string, multihash string, actual_digest string, "
+    "check string, result string, message string"
 )
 
 # Fixed fn-code → hashlib constructor table (multiformats registry names).
@@ -100,37 +101,82 @@ def decode_multihash(hex_multihash: str):
     return code, digest.hex(), hasher
 
 
-def _verify_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    for pdf in batches:
-        out = []
-        for url, multihash in zip(pdf["url"], pdf["multihash"]):
-            if multihash is None:
-                out.append((url, None, None, "Failed", "missing multihash"))
-                continue
-            try:
-                _, expected, digest = decode_multihash(multihash)
-            except ValueError as err:
-                out.append((url, multihash, None, "Failed", str(err)))
-                continue
-            try:
-                with open(url, "rb") as f:  # local-path stand-in for object storage
-                    while True:
-                        chunk = f.read(CHUNK_SIZE)
-                        if not chunk:
-                            break
-                        digest.update(chunk)
-                actual = digest.hexdigest()
-            except OSError as err:
-                out.append((url, multihash, None, "Failed", f"unreadable: {err}"))
-                continue
-            if expected == actual:
-                out.append((url, multihash, actual, "Passed", None))
-            else:
-                out.append(
-                    (url, multihash, actual, "Failed",
-                     f"expected {expected}, got {actual}")
-                )
-        yield pd.DataFrame(out, columns=["url", "multihash", "actual_digest", "result", "message"])
+def _make_verify_batch(openers: dict):
+    """Closure factory: reads go through the shipped opener snapshot
+    (pipeline/io.py), and every failure files under the reference's
+    check kind with its message shape (check_files_checksums/
+    utils.py:88-155): multihash decode error → UNKNOWN_MULTIHASH_ERROR,
+    missing file → FILE_NOT_FOUND, any other IO error →
+    UNKNOWN_CLIENT_ERROR, hash compare → CHECKSUM Passed/Failed."""
+    from geostore_spark.pipeline.io import open_url
+    from geostore_spark.pipeline.validation import (
+        CHECK_CHECKSUM,
+        CHECK_FILE_NOT_FOUND,
+        CHECK_UNKNOWN_CLIENT_ERROR,
+        CHECK_UNKNOWN_MULTIHASH_ERROR,
+    )
+
+    def _verify_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for url, multihash in zip(pdf["url"], pdf["multihash"]):
+                if multihash is None:
+                    out.append(
+                        (url, None, None, CHECK_CHECKSUM, "Failed",
+                         "missing multihash")
+                    )
+                    continue
+                try:
+                    _, expected, digest = decode_multihash(multihash)
+                except ValueError as err:
+                    out.append(
+                        (url, multihash, None, CHECK_UNKNOWN_MULTIHASH_ERROR,
+                         "Failed",
+                         f"Multihash library '{err.__class__.__name__}' "
+                         f"error validating '{url}': '{err}'. See "
+                         "<https://github.com/multiformats/multihash> "
+                         "for details.")
+                    )
+                    continue
+                try:
+                    with open_url(url, "rb", openers) as f:
+                        while True:
+                            chunk = f.read(CHUNK_SIZE)
+                            if not chunk:
+                                break
+                            digest.update(chunk)
+                    actual = digest.hexdigest()
+                except FileNotFoundError:
+                    out.append(
+                        (url, multihash, None, CHECK_FILE_NOT_FOUND, "Failed",
+                         f"Could not find asset file '{url}' "
+                         "in staging bucket or in the Geostore.")
+                    )
+                    continue
+                except OSError as err:
+                    out.append(
+                        (url, multihash, None, CHECK_UNKNOWN_CLIENT_ERROR,
+                         "Failed",
+                         f"Unknown client error fetching '{url}': '{err}'")
+                    )
+                    continue
+                if expected == actual:
+                    out.append(
+                        (url, multihash, actual, CHECK_CHECKSUM, "Passed", None)
+                    )
+                else:
+                    out.append(
+                        (url, multihash, actual, CHECK_CHECKSUM, "Failed",
+                         f"Checksum mismatch: expected {expected}, "
+                         f"got {actual}")
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=["url", "multihash", "actual_digest", "check",
+                         "result", "message"],
+            )
+
+    return _verify_batch
 
 
 def verify_checksums(asset_rows: DataFrame, parallelism: int | None = None) -> DataFrame:
@@ -139,10 +185,12 @@ def verify_checksums(asset_rows: DataFrame, parallelism: int | None = None) -> D
     Repartitioning spreads assets across executors — each file is hashed
     exactly once, in chunks, wherever its task lands.
     """
+    from geostore_spark.pipeline.io import opener_snapshot
+
     df = asset_rows.select("url", "multihash")
     if parallelism:
         df = df.repartition(parallelism)
-    return df.mapInPandas(_verify_batch, RESULT_SCHEMA)
+    return df.mapInPandas(_make_verify_batch(opener_snapshot()), RESULT_SCHEMA)
 
 
 def sha256_multihash(payload: bytes) -> str:

@@ -47,6 +47,7 @@ from geostore_spark.logging_keys import (
 )
 from geostore_spark.pipeline import validation as V
 from geostore_spark.pipeline.checksums import verify_checksums
+from geostore_spark.pipeline.io import opener_snapshot as _opener_snapshot
 from geostore_spark.pipeline.traversal import traverse
 from geostore_spark.pipeline.ulid import human_readable_ulid, ulid
 from geostore_spark.sources.store import MetadataStore
@@ -117,10 +118,18 @@ def _maybe_inject_fault(src: str, fault_dir: str | None) -> None:
     raise TimeoutError(f"injected transient failure for {src}")
 
 
-def _copy_once(src: str, dst: str, fault_dir: str | None = None) -> None:
+def _copy_once(
+    src: str, dst: str, fault_dir: str | None = None, openers: dict | None = None
+) -> None:
+    """Source bytes stream through the pluggable opener seam
+    (pipeline/io.py) — the reference's import task reads via its
+    injected S3 client (import_asset_file/task.py:23-32); the
+    destination is the engine's own storage root (local by design)."""
+    from geostore_spark.pipeline.io import open_url
+
     _maybe_inject_fault(src, fault_dir)
     os.makedirs(os.path.dirname(dst), exist_ok=True)
-    with open(src, "rb") as fi, open(dst, "wb") as fo:
+    with open_url(src, "rb", openers) as fi, open(dst, "wb") as fo:
         while True:
             chunk = fi.read(ETAG_CHUNK)
             if not chunk:
@@ -129,7 +138,7 @@ def _copy_once(src: str, dst: str, fault_dir: str | None = None) -> None:
 
 
 def _copy_with_retry(
-    src: str, dst: str, fault_dir: str | None = None
+    src: str, dst: str, fault_dir: str | None = None, openers: dict | None = None
 ) -> tuple[str, int, str | None]:
     """One asset copy under the retry protocol. Returns
     (result_code, attempts, message): timeouts retry up to
@@ -140,7 +149,7 @@ def _copy_with_retry(
     message: str | None = None
     for attempt in range(1, MAX_IMPORT_ATTEMPTS + 1):
         try:
-            _copy_once(src, dst, fault_dir)
+            _copy_once(src, dst, fault_dir, openers)
             return RESULT_CODE_SUCCEEDED, attempt, message
         except TimeoutError as err:
             message = f"{RETRY_RESULT_STRING} ({err})"
@@ -150,7 +159,7 @@ def _copy_with_retry(
     return RESULT_CODE_TEMPORARY_FAILURE, MAX_IMPORT_ATTEMPTS, message
 
 
-def _make_copy_batches(fault_dir: str | None):
+def _make_copy_batches(fault_dir: str | None, openers: dict | None = None):
     """Distributed asset byte-copy (import_asset_file/task.py:23-32) with
     the shared-result retry protocol per row. Closure factory so the
     driver-resolved fault hook ships to executors with the task."""
@@ -159,7 +168,7 @@ def _make_copy_batches(fault_dir: str | None):
         for pdf in batches:
             results = []
             for src, dst in zip(pdf["src"], pdf["dst"]):
-                code, attempts, message = _copy_with_retry(src, dst, fault_dir)
+                code, attempts, message = _copy_with_retry(src, dst, fault_dir, openers)
                 results.append((src, dst, code, attempts, message))
             yield pd.DataFrame(
                 results,
@@ -256,13 +265,44 @@ def _run_pipeline(
 ) -> None:
     key = (F.lit(dataset_id).alias("dataset_id"), F.lit(version_id).alias("version_id"))
 
-    # V1 traversal + V10/V2-V5/V9 validation
-    docs = traverse(spark, metadata_url).cache()
-    checks = (
-        V.root_type_gate(docs, metadata_url)
-        .unionByName(V.validate_documents(docs))
-        .unionByName(V.no_assets_gate(V.collect_assets(docs), metadata_url))
-    )
+    # NON_S3_URL gate (reference check_stac_metadata/utils.py:99-113):
+    # a root URL on an unregistered storage scheme records its one
+    # Failed row and short-circuits the walk — the validation run still
+    # completes (T4) with validation_success=false
+    from geostore_spark.pipeline.io import opener_snapshot, url_scheme
+
+    if url_scheme(metadata_url) not in opener_snapshot():
+        from geostore_spark.pipeline.traversal import read_documents
+
+        docs = (
+            read_documents(spark, [])  # traverse-shaped, zero documents
+            .withColumn("path", F.lit(None).cast("array<int>"))
+            .withColumn("discovery_ord", F.lit(None).cast("long"))
+            .cache()
+        )
+        checks = spark.createDataFrame(
+            [
+                (
+                    metadata_url,
+                    V.CHECK_NON_S3_URL,
+                    V.RESULT_FAILED,
+                    {
+                        "message": "URL doesn't start with a registered "
+                        f"storage scheme: “{metadata_url}”"
+                    },
+                )
+            ],
+            "url string, check string, result string, details map<string,string>",
+        )
+    else:
+        # V1 traversal + V10/V2-V5/V9 validation (+ per-URL fetch rows)
+        docs = traverse(spark, metadata_url).cache()
+        checks = (
+            V.root_type_gate(docs, metadata_url)
+            .unionByName(V.validate_documents(docs))
+            .unionByName(V.fetch_failure_rows(docs))
+            .unionByName(V.no_assets_gate(V.collect_assets(docs), metadata_url))
+        )
 
     assets = V.collect_assets(docs)
     asset_rows = assets.select(
@@ -285,11 +325,14 @@ def _run_pipeline(
         & (F.col("version_id") == version_id)
         & (F.col("asset_type") == "DATA_ITEM_INDEX")
     )
+    # per-row check kind from the verifier itself: CHECKSUM pass/fail,
+    # UNKNOWN_MULTIHASH_ERROR, FILE_NOT_FOUND, UNKNOWN_CLIENT_ERROR —
+    # the reference's taxonomy (check_files_checksums/utils.py:88-155)
     checksum_checks = verify_checksums(
         data_assets.filter(F.col("exists_in_staging"))
     ).select(
         "url",
-        F.lit(V.CHECK_CHECKSUM).alias("check"),
+        "check",
         "result",
         F.when(
             F.col("message").isNotNull(), F.create_map(F.lit("message"), "message")
@@ -297,9 +340,16 @@ def _run_pipeline(
     )
     missing_checks = data_assets.filter(~F.coalesce("exists_in_staging", F.lit(False))).select(
         "url",
-        F.lit(V.CHECK_STAGING_ACCESS).alias("check"),
+        F.lit(V.CHECK_FILE_NOT_FOUND).alias("check"),
         F.lit(V.RESULT_FAILED).alias("result"),
-        F.create_map(F.lit("message"), F.lit("asset not found in staging")).alias("details"),
+        F.create_map(
+            F.lit("message"),
+            F.concat(
+                F.lit("Could not find asset file '"),
+                F.col("url"),
+                F.lit("' in staging bucket or in the Geostore."),
+            ),
+        ).alias("details"),
     )
 
     all_checks = checks.unionByName(checksum_checks).unionByName(missing_checks)
@@ -447,7 +497,8 @@ def _import_assets(
         )
     )
     results = manifest.mapInPandas(
-        _make_copy_batches(os.environ.get(FAULT_DIR_ENV)), COPY_RESULT_SCHEMA
+        _make_copy_batches(os.environ.get(FAULT_DIR_ENV), _opener_snapshot()),
+        COPY_RESULT_SCHEMA
     )
     n_failed = (
         results.filter(F.col("result_code") != RESULT_CODE_SUCCEEDED)

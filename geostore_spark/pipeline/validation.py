@@ -34,14 +34,23 @@ from pyspark.sql.window import Window
 RESULT_PASSED = "Passed"
 RESULT_FAILED = "Failed"
 
-# check names follow the reference's Check enum (geostore/check.py:4-17)
-CHECK_JSON_SCHEMA = "JSON schema"
-CHECK_DUPLICATE_KEYS = "duplicate object names"
-CHECK_SECURITY = "security classification"
-CHECK_ROOT_TYPE = "root STAC type"
-CHECK_NO_ASSETS = "assets in dataset"
+# The reference's 13 check kinds, STRING-FOR-STRING (geostore/check.py:4-17)
+CHECK_ASSETS_IN_DATASET = "assets in dataset"
 CHECK_CHECKSUM = "checksum"
-CHECK_STAGING_ACCESS = "staging access"
+CHECK_DUPLICATE_KEYS = "duplicate asset name"
+CHECK_FILE_NOT_FOUND = "file not found in staging or storage"
+CHECK_ROOT_TYPE = "root type must be catalog or collection"
+CHECK_JSON_PARSE = "JSON parse"
+CHECK_JSON_SCHEMA = "JSON schema"
+CHECK_NON_S3_URL = "not an s3 url"
+NO_ASSETS_MESSAGE = "no assets in the dataset"  # NO_ASSETS_IN_DATASET.value
+CHECK_SECURITY = "security classification"
+CHECK_STAGING_ACCESS = "staging bucket access"
+CHECK_UNKNOWN_CLIENT_ERROR = "unknown client error"
+CHECK_UNKNOWN_MULTIHASH_ERROR = "unknown multihash error"
+# back-compat alias (the no-assets gate files its row under this kind,
+# reference check_stac_metadata/utils.py:316-324)
+CHECK_NO_ASSETS = CHECK_ASSETS_IN_DATASET
 
 UNCLASSIFIED = "unclassified"
 ROOT_TYPES = ("Catalog", "Collection")
@@ -59,12 +68,28 @@ def json_schema_errors(raw: str) -> list[str]:
     (check_stac_metadata/stac_validators.py:90-103)."""
     try:
         doc = json.loads(raw)
-    except (json.JSONDecodeError, TypeError) as err:
-        return [f"Invalid JSON: {err}"]
+    except (json.JSONDecodeError, TypeError):
+        return []  # malformed JSON is JSON_PARSE's finding, not V2's
     # executor-side import: the store + validators build once per worker
     from geostore_spark.pipeline.stac_schemas import validation_errors
 
     return validation_errors(doc)
+
+
+@F.udf(returnType=StringType())
+def json_parse_error(raw: str) -> str | None:
+    """JSON_PARSE: the parse failure message, or NULL for valid JSON —
+    its own first-class check kind, exactly as the reference records
+    JSONDecodeError under Check.JSON_PARSE with details={message:
+    str(error)} and never runs the schema check on that document
+    (check_stac_metadata/utils.py:260-270)."""
+    try:
+        json.loads(raw)
+        return None
+    except TypeError:
+        return None  # unfetched document: the fetch check owns it
+    except json.JSONDecodeError as err:
+        return str(err)
 
 
 @F.udf(returnType=ArrayType(StringType()))
@@ -83,7 +108,7 @@ def duplicate_json_keys(raw: str) -> list[str]:
     try:
         json.loads(raw, object_pairs_hook=hook)
     except (json.JSONDecodeError, TypeError):
-        return []  # malformed JSON is V2's finding, not V4's
+        return []  # malformed JSON is JSON_PARSE's finding, not V4's
     return sorted(set(dupes))
 
 
@@ -95,15 +120,45 @@ def _result_row(check: str, result_col, details_col):
     )
 
 
+def fetch_failure_rows(docs: DataFrame) -> DataFrame:
+    """FILE_NOT_FOUND / STAGING_ACCESS rows for documents whose fetch
+    failed (traversal captures the exception per URL — the reference
+    files the same rows from its url_reader exceptions,
+    check_stac_metadata/utils.py:273-295). No rows for clean fetches:
+    the reference records these kinds on failure only."""
+    return docs.filter(F.col("fetch_kind").isNotNull()).select(
+        "url",
+        F.col("fetch_kind").alias("check"),
+        F.lit(RESULT_FAILED).alias("result"),
+        F.create_map(F.lit("message"), F.col("fetch_error")).alias("details"),
+    )
+
+
 def validate_documents(docs: DataFrame) -> DataFrame:
-    """Run V2 + V3 + V4 over traversed documents → one validation row per
-    (check, url). Input needs columns (url, raw, doc)."""
+    """Run JSON_PARSE + V2 + V3 + V4 over traversed documents → one
+    validation row per (check, url). Input needs columns (url, raw,
+    doc); rows whose fetch failed (``fetch_kind`` set, when present)
+    are excluded here — ``fetch_failure_rows`` owns them, and the
+    reference never reaches parse/schema checks for an unfetchable
+    document. A document that fails JSON_PARSE gets that one row and
+    no schema/duplicate/security rows, mirroring the reference's
+    raise-after-record (utils.py:260-270)."""
+    if "fetch_kind" in docs.columns:
+        docs = docs.filter(F.col("fetch_kind").isNull())
     checked = docs.select(
         "url",
+        json_parse_error("raw").alias("parse_error"),
         json_schema_errors("raw").alias("schema_errors"),
         duplicate_json_keys("raw").alias("dupe_keys"),
         F.col("doc.`linz:security_classification`").alias("classification"),
+    ).localCheckpoint(eager=False)
+    parse_res = checked.filter(F.col("parse_error").isNotNull()).select(
+        "url",
+        F.lit(CHECK_JSON_PARSE).alias("check"),
+        F.lit(RESULT_FAILED).alias("result"),
+        F.create_map(F.lit("message"), F.col("parse_error")).alias("details"),
     )
+    checked = checked.filter(F.col("parse_error").isNull())
     schema_res = checked.select(
         "url",
         F.lit(CHECK_JSON_SCHEMA).alias("check"),
@@ -143,7 +198,11 @@ def validate_documents(docs: DataFrame) -> DataFrame:
             ),
         ).alias("details"),
     )
-    return schema_res.unionByName(dupe_res).unionByName(sec_res)
+    return (
+        parse_res.unionByName(schema_res)
+        .unionByName(dupe_res)
+        .unionByName(sec_res)
+    )
 
 
 def root_type_gate(docs: DataFrame, root_url: str) -> DataFrame:
@@ -211,7 +270,7 @@ def no_assets_gate(asset_rows: DataFrame, root_url: str) -> DataFrame:
     n = asset_rows.filter(F.col("asset_type") == "DATA_ITEM_INDEX").limit(1).count()
     spark = asset_rows.sparkSession
     result = RESULT_PASSED if n > 0 else RESULT_FAILED
-    details = None if n > 0 else {"message": "No asset in the dataset"}
+    details = None if n > 0 else {"message": NO_ASSETS_MESSAGE}
     return spark.createDataFrame(
         [(root_url, CHECK_NO_ASSETS, result, details)],
         "url string, check string, result string, details map<string,string>",

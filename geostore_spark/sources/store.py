@@ -109,11 +109,30 @@ class MetadataStore:
         return os.path.join(self._table_dir(table), "_LATEST")
 
     def current_version(self, table: str) -> int:
+        """Latest committed version: the max ``v{n}`` directory, because
+        the atomic ``os.rename`` of the staged directory IS the commit
+        (see ``_write_snapshot``). The ``_LATEST`` pointer is kept as a
+        fast-path cache and crash witness — a crash between rename and
+        pointer swap leaves the pointer lagging one behind, and taking
+        the max of both heals that torn state on the next read instead
+        of silently losing the committed snapshot (round-8 crash-point
+        fuzz, tests/test_cdc_random_script.py)."""
+        best = -1
         try:
             with open(self._pointer(table)) as f:
-                return int(f.read().strip())
+                best = int(f.read().strip())
         except FileNotFoundError:
-            return -1
+            pass
+        try:
+            for name in os.listdir(self._table_dir(table)):
+                if name.startswith("v"):
+                    try:
+                        best = max(best, int(name[1:]))
+                    except ValueError:
+                        continue
+        except FileNotFoundError:
+            pass
+        return best
 
     def has_version(self, table: str, version: int) -> bool:
         """Whether the snapshot directory for ``version`` still exists —
@@ -126,12 +145,21 @@ class MetadataStore:
             os.path.join(self._table_dir(table), f"v{version}")
         )
 
+    @staticmethod
+    def _crash_hook(label: str) -> None:
+        """Fault-injection seam: a no-op the crash-point fuzz
+        monkeypatches to simulate a process kill at every commit
+        boundary (after the staged parquet write, after the commit-meta
+        write, after the atomic rename, around the pointer swap). The
+        production code path pays one function call per boundary."""
+
     def _swap_pointer(self, table: str, version: int) -> None:
         d = self._table_dir(table)
         fd, tmp = tempfile.mkstemp(dir=d, prefix="_LATEST.")
         with os.fdopen(fd, "w") as f:
             f.write(str(version))
-        os.replace(tmp, self._pointer(table))  # atomic commit
+        self._crash_hook("pointer_staged")
+        os.replace(tmp, self._pointer(table))  # atomic cache refresh
 
     def _write_snapshot(
         self, table: str, df: DataFrame, base: int, meta: dict | None = None
@@ -145,12 +173,26 @@ class MetadataStore:
         validation Delta's optimistic concurrency does at commit.
 
         ``meta`` is committed ATOMICALLY with the snapshot (Delta's
-        ``txn``/commitInfo shape): it lands inside the snapshot directory
-        BEFORE the pointer swap, so a reader either sees snapshot+meta or
+        ``txn``/commitInfo shape): it lands inside the STAGED directory
+        before the rename, so a reader either sees snapshot+meta or
         neither — the primitive idempotent writers (streaming sinks, IVM
-        refresh) need to make "was this already applied?" crash-safe."""
+        refresh) need to make "was this already applied?" crash-safe.
+
+        Commit protocol (round 8, crash-point fuzz): the snapshot is
+        written to a ``_staged.*`` scratch directory and COMMITTED by one
+        atomic ``os.rename`` onto ``v{n+1}`` — Delta's
+        put-if-absent log-entry write. A kill anywhere before the rename
+        leaves only scratch (cleaned by ``vacuum``), never a torn
+        version directory: the previous write-in-place protocol wedged
+        the table permanently after a mid-write crash, because the
+        half-written ``v{n+1}`` made every retry raise
+        ConcurrentWriteError. Racing writers both stage; the loser's
+        rename fails on the existing target (ENOTEMPTY) → true conflict.
+        A kill between rename and pointer swap is healed by
+        ``current_version`` taking the max of pointer and dirs."""
         version = base + 1
-        path = os.path.join(self._table_dir(table), f"v{version}")
+        d = self._table_dir(table)
+        path = os.path.join(d, f"v{version}")
 
         def conflict(cause: Exception | None) -> ConcurrentWriteError:
             return ConcurrentWriteError(
@@ -160,21 +202,30 @@ class MetadataStore:
 
         if os.path.exists(path):
             raise conflict(None)
-        try:
-            df.write.mode("errorifexists").parquet(path)
-        except Exception as ex:
-            # conflict detection by the snapshot path, not by matching
-            # the exception message: if the directory now exists, a
-            # concurrent writer committed the same next version
-            if os.path.exists(path):
-                raise conflict(ex) from ex
-            raise
+        os.makedirs(d, exist_ok=True)  # first write creates the table dir
+        staged = tempfile.mkdtemp(dir=d, prefix="_staged.")
+        # Spark owns the leaf dir: give it a fresh path inside scratch
+        staged_snap = os.path.join(staged, "snap")
+        df.write.mode("errorifexists").parquet(staged_snap)
+        self._crash_hook("staged_written")
         if meta:
             import json
 
-            with open(os.path.join(path, "_COMMIT.json"), "w") as f:
+            with open(os.path.join(staged_snap, "_COMMIT.json"), "w") as f:
                 json.dump(meta, f)
+        self._crash_hook("meta_written")
+        try:
+            os.rename(staged_snap, path)  # THE commit: atomic claim
+        except OSError as ex:
+            shutil.rmtree(staged, ignore_errors=True)
+            raise conflict(ex) from ex
+        # a kill before this point leaves only inert ``_staged.*``
+        # scratch — vacuum() janitors it; a kill after the rename left
+        # a fully committed snapshot
+        shutil.rmtree(staged, ignore_errors=True)
+        self._crash_hook("renamed")
         self._swap_pointer(table, version)
+        self._crash_hook("pointer_swapped")
 
     def commit_meta(self, table: str, version: int | None = None) -> dict:
         """Transaction metadata committed with a snapshot (empty dict if
@@ -301,13 +352,21 @@ class MetadataStore:
     def vacuum(self, table: str, keep_last: int = 1) -> list[int]:
         """Delete all but the most recent ``keep_last`` snapshots (never
         the current one). Returns the removed version numbers — the Delta
-        VACUUM retention shape; time travel works only within retention."""
+        VACUUM retention shape; time travel works only within retention.
+        Also janitors ``_staged.*`` scratch left by crashed writers (a
+        kill before the commit rename — inert, but worth reclaiming),
+        exactly what Delta VACUUM does with uncommitted data files."""
         keep_last = max(1, keep_last)
+        d = self._table_dir(table)
         versions = [h["version"] for h in self.history(table)]
         removed = []
         for v in versions[:-keep_last]:
-            shutil.rmtree(os.path.join(self._table_dir(table), f"v{v}"))
+            shutil.rmtree(os.path.join(d, f"v{v}"))
             removed.append(v)
+        if os.path.isdir(d):
+            for name in os.listdir(d):
+                if name.startswith("_staged."):
+                    shutil.rmtree(os.path.join(d, name), ignore_errors=True)
         return removed
 
     def add_column(
@@ -376,6 +435,7 @@ class MetadataStore:
         insert_not_matched: bool = False,
         source_cols: list[str] | None = None,
         delete_matched_where: Column | None = None,
+        insert_not_matched_where: Column | None = None,
         meta: dict | None = None,
     ) -> None:
         """Delta ``MERGE INTO`` shape: join target with source on keys;
@@ -388,6 +448,12 @@ class MetadataStore:
         ``n = n + __src_n``); ``source`` must then be key-unique.
         ``delete_matched_where`` drops matched rows satisfying the
         predicate AFTER assignments (``WHEN MATCHED ... THEN DELETE``).
+        ``insert_not_matched_where`` gates the insert arm on a source
+        predicate (``WHEN NOT MATCHED AND <cond> THEN INSERT`` — fires
+        only when the predicate is TRUE, per SQL MERGE): the shape a
+        CDC apply needs so a delete event for an absent key is a no-op
+        inside the merge plan itself, with no separate target-key
+        pre-probe scan.
         """
         base = self.current_version(table)
         df = self._merge_frame(
@@ -398,6 +464,7 @@ class MetadataStore:
             insert_not_matched,
             source_cols,
             delete_matched_where,
+            insert_not_matched_where,
         )
         self._write_snapshot(table, df, base, meta=meta)
 
@@ -410,6 +477,7 @@ class MetadataStore:
         insert_not_matched: bool = False,
         source_cols: list[str] | None = None,
         delete_matched_where: Column | None = None,
+        insert_not_matched_where: Column | None = None,
     ) -> DataFrame:
         """The merged frame ``merge`` commits — exposed for plan
         assertions: the target side is probed by key join only (never
@@ -455,10 +523,15 @@ class MetadataStore:
         ]
         result = updated.drop(*drop)
         if insert_not_matched:
+            insertable = source
+            if insert_not_matched_where is not None:
+                # TRUE-only, per SQL MERGE's WHEN NOT MATCHED AND cond:
+                # .filter keeps only rows where the predicate is TRUE
+                insertable = insertable.filter(insert_not_matched_where)
             tkeys = target.select(
                 *[F.col(k).alias(f"__tk_{k}") for k in on]
             ).distinct()
-            new_rows = source.join(tkeys, null_safe_on(on, "__tk_"), "left_anti")
+            new_rows = insertable.join(tkeys, null_safe_on(on, "__tk_"), "left_anti")
             result = result.unionByName(new_rows.select(result.columns))
         return result
 

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from geostore_spark.sources.ivm import IncrementalAggView
-from geostore_spark.sources.store import MetadataStore, null_safe_on
+from geostore_spark.sources.store import MetadataStore
 
 _BATCH_KEY = "stream_batch_id"
 
@@ -191,27 +191,23 @@ class CdcStreamSink:
                 meta=meta,
             )
             return
-        # deletes for absent keys must not reach the merge's insert arm
-        # (they would materialize as rows); a broadcast-able semi probe
-        # of the target keys trims them inside the same commit's plan.
-        # Null-safe like the merge itself: if an upsert ever created a
-        # NULL-keyed row, its delete must still match it
-        target_keys = self.store.read(self.table).select(
-            *[F.col(k).alias(f"__pk_{k}") for k in self.pk]
-        )
-        applicable = events.filter(F.col(self.op_col) != "delete").unionByName(
-            events.filter(F.col(self.op_col) == "delete").join(
-                target_keys, null_safe_on(self.pk, "__pk_"), "left_semi"
-            )
-        )
+        # deletes for absent keys must not materialize as rows: the
+        # insert arm is gated on the op tag inside the merge plan itself
+        # (WHEN NOT MATCHED AND op <> 'delete' THEN INSERT), so the
+        # apply needs NO target scan beyond the merge's own key probe —
+        # r7's separate target-key semi trim cost a third scan of the
+        # target on EVERY batch, delete-free or not (reference parity:
+        # the mutating endpoints stay O(touched keys),
+        # /root/reference/geostore/datasets/delete.py:53-63)
         self.store.merge(
             self.table,
-            applicable,
+            events,
             on=self.pk,
             source_cols=[*data_cols, self.op_col],
             when_matched_set={c: F.col(f"__src_{c}") for c in data_cols},
             delete_matched_where=F.col(f"__src_{self.op_col}") == "delete",
             insert_not_matched=True,
+            insert_not_matched_where=F.col(self.op_col) != "delete",
             meta=meta,
         )
 

@@ -148,3 +148,136 @@ def test_random_cdc_script_survives_interleaved_maintenance(spark, store):
     # the seed must actually exercise the interesting refresh modes
     assert "incremental" in modes_seen or "noop" in modes_seen
     assert "rebuild" in modes_seen, modes_seen
+
+
+class SimulatedKill(Exception):
+    """Stands in for a process kill at a commit boundary."""
+
+
+def test_crash_point_fuzz_heals_on_replay(spark, tmp_path):
+    """r7 verdict item 3: inject a kill at EVERY commit boundary of the
+    merge/append -> rename -> pointer-swap -> view-refresh chain (the
+    _crash_hook seam fires after the staged parquet write, after the
+    commit-meta write, after the atomic rename, around the pointer
+    swap — across BOTH the source commit and the view's own commits),
+    then replay the batch exactly as foreachBatch does after a failure.
+    The table must equal the hand-applied model (no lost batch, no
+    double apply — the IvmStreamSink scripts would double-APPEND), the
+    view must equal its recompute, and leftover ``_staged.*`` scratch
+    must never wedge a later commit. Mirrors the reference's
+    retry-on-timeout protocol
+    (/root/reference/geostore/import_dataset_file.py:46-99).
+
+    Seeds/boundaries covered scale with CDC_CRASH_FUZZ_SCRIPTS (the
+    50-script sign-off pass runs out-of-suite; default sized for CI)."""
+    import os as _os
+
+    from geostore_spark.streaming.ivm_sink import IvmStreamSink
+
+    n_scripts = int(_os.environ.get("CDC_CRASH_FUZZ_SCRIPTS", "10"))
+    # keep the descriptor itself: re-assigning the bare function would
+    # turn the no-op hook into a bound method taking (self, label)
+    orig_hook = MetadataStore.__dict__["_crash_hook"]
+    kill_labels = set()
+
+    for script in range(n_scripts):
+        rng = random.Random(880_000 + script)
+        root = str(tmp_path / f"s{script}")
+        use_cdc = script % 2 == 0
+
+        def mk():
+            store = MetadataStore(spark, root)
+            view = IncrementalAggView(
+                store, "t", ["grp"], ["cents"], minmax_cols=["cents"], name="v"
+            )
+            if use_cdc:
+                sink = CdcStreamSink(store, "t", pk=["id"], view=view, seq_col="seq")
+            else:
+                sink = IvmStreamSink(store, "t", view)
+            return store, view, sink
+
+        store, view, sink = mk()
+        cdc_model: dict[int, tuple] = {}
+        append_model: list[tuple] = []
+        seq = 0
+
+        for batch_id in range(3):
+            if use_cdc:
+                events = _gen_batch(rng, seq, rng.randint(3, 6))
+                seq += len(events)
+                bdf = spark.createDataFrame(events, SCHEMA)
+            else:
+                rows = [
+                    (rng.choice(GRPS), rng.choice(CENTS))
+                    for _ in range(rng.randint(2, 5))
+                ]
+                bdf = spark.createDataFrame(rows, "grp string, cents long")
+
+            # arm: kill at the crash_at-th boundary crossing of this batch
+            crash_at = rng.randint(1, 10)
+            state = {"n": 0}
+
+            def hook(label, _state=state, _at=crash_at):
+                _state["n"] += 1
+                if _state["n"] == _at:
+                    raise SimulatedKill(label)
+
+            MetadataStore._crash_hook = staticmethod(hook)
+            try:
+                sink(bdf, batch_id=batch_id)
+            except SimulatedKill as kill:
+                kill_labels.add(str(kill))
+                MetadataStore._crash_hook = orig_hook
+                # process restart: fresh objects over the same dirs,
+                # then foreachBatch redelivers the failed batch id
+                store, view, sink = mk()
+                sink(bdf, batch_id=batch_id)
+            finally:
+                MetadataStore._crash_hook = orig_hook
+
+            if use_cdc:
+                _model_apply(cdc_model, events)
+                got = {
+                    r["id"]: (r["grp"], r["cents"])
+                    for r in store.read("t").collect()
+                }
+                assert got == cdc_model, (
+                    f"script {script} batch {batch_id}: table diverged"
+                )
+            else:
+                append_model.extend(rows)
+                got_rows = sorted(
+                    ((r["grp"], r["cents"]) for r in store.read("t").collect()),
+                    key=lambda t: (str(t[0]), str(t[1])),
+                )
+                want = sorted(
+                    append_model, key=lambda t: (str(t[0]), str(t[1]))
+                )
+                assert got_rows == want, (
+                    f"script {script} batch {batch_id}: lost or double-"
+                    f"applied append — {got_rows} != {want}"
+                )
+            cols = ["grp", "n_rows", "sum_cents", "min_cents", "max_cents"]
+            key = lambda t: tuple((x is None, str(x)) for x in t)  # noqa: E731
+            v = sorted(
+                (tuple(r) for r in view.read().select(*cols).collect()), key=key
+            )
+            w = sorted(
+                (tuple(r) for r in view.recompute().select(*cols).collect()),
+                key=key,
+            )
+            assert v == w, f"script {script} batch {batch_id}: view diverged"
+
+        # crashed stagings are inert and vacuum reclaims them
+        store.vacuum("t", keep_last=1)
+        store.vacuum("v", keep_last=1)
+        for table in ("t", "v"):
+            leftovers = [
+                n
+                for n in _os.listdir(_os.path.join(root, table))
+                if n.startswith("_staged.")
+            ]
+            assert not leftovers, f"script {script}: scratch survived vacuum"
+
+    # the fuzz must actually strike commit boundaries, not just run clean
+    assert len(kill_labels) >= 3, kill_labels

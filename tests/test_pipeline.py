@@ -320,10 +320,13 @@ def test_multihash_fn_code_breadth(spark, tmp_path):
         decode_multihash("1221" + "0" * 64)  # says 33 bytes, carries 32
 
 
-def test_missing_asset_file_fails_staging_access(spark, store, tmp_path):
+def test_missing_asset_file_fails_file_not_found(spark, store, tmp_path):
     tree = build_golden_tree(str(tmp_path))
     os.remove(tree["assets"]["data1.bin"])
-    _ingest_expect_failure(spark, store, tmp_path, tree["root_url"], "staging access")
+    _ingest_expect_failure(
+        spark, store, tmp_path, tree["root_url"],
+        "file not found in staging or storage",
+    )
 
 
 def test_root_type_gate(spark, store, tmp_path):
@@ -332,7 +335,10 @@ def test_root_type_gate(spark, store, tmp_path):
         {"type": "Feature", "stac_version": "1.0.0", "id": "x",
          "properties": {"datetime": "2021-01-01T00:00:00Z"}, "assets": {}, "links": []},
     )
-    _ingest_expect_failure(spark, store, tmp_path, bad_root, "root STAC type")
+    _ingest_expect_failure(
+        spark, store, tmp_path, bad_root,
+        "root type must be catalog or collection",
+    )
 
 
 def test_classified_document_fails(spark, store, tmp_path):
@@ -351,7 +357,7 @@ def test_duplicate_json_key_detected(spark, store, tmp_path):
     raw = raw.replace('"id": "test-catalog"', '"id": "test-catalog", "id": "dupe"', 1)
     with open(path, "w") as f:
         f.write(raw)
-    _ingest_expect_failure(spark, store, tmp_path, path, "duplicate object names")
+    _ingest_expect_failure(spark, store, tmp_path, path, "duplicate asset name")
 
 
 def test_zero_assets_fails(spark, store, tmp_path):
@@ -492,3 +498,166 @@ def test_random_reingest_rounds_sweep_storage_to_latest_file_set(spark, store, t
         for f in pool
     )
     assert dropped_then_revived
+
+
+# -- check-kind taxonomy parity (reference geostore/check.py:4-17) -----------
+
+
+def test_check_kind_strings_match_reference_enum():
+    """All 13 reference Check kinds exist string-for-string."""
+    from geostore_spark.pipeline import validation as V
+
+    assert {
+        V.CHECK_ASSETS_IN_DATASET,
+        V.CHECK_CHECKSUM,
+        V.CHECK_DUPLICATE_KEYS,
+        V.CHECK_FILE_NOT_FOUND,
+        V.CHECK_ROOT_TYPE,
+        V.CHECK_JSON_PARSE,
+        V.CHECK_JSON_SCHEMA,
+        V.CHECK_NON_S3_URL,
+        V.CHECK_SECURITY,
+        V.CHECK_STAGING_ACCESS,
+        V.CHECK_UNKNOWN_CLIENT_ERROR,
+        V.CHECK_UNKNOWN_MULTIHASH_ERROR,
+    } == {
+        "assets in dataset",
+        "checksum",
+        "duplicate asset name",
+        "file not found in staging or storage",
+        "root type must be catalog or collection",
+        "JSON parse",
+        "JSON schema",
+        "not an s3 url",
+        "security classification",
+        "staging bucket access",
+        "unknown client error",
+        "unknown multihash error",
+    }
+    assert V.NO_ASSETS_MESSAGE == "no assets in the dataset"
+
+
+def test_json_parse_failure_is_its_own_check_kind(spark, store, tmp_path):
+    """A malformed metadata document fails JSON_PARSE (with the parser's
+    message) and gets NO JSON-schema row — the reference records
+    JSONDecodeError under Check.JSON_PARSE and never reaches the schema
+    check for that document (check_stac_metadata/utils.py:260-270;
+    mirrors tests/test_check_stac_metadata.py's parse cases)."""
+    tree = build_golden_tree(str(tmp_path))
+    with open(tree["item"], "w") as f:
+        f.write('{"type": "Feature", not json at all')
+    body = _ingest_expect_failure(spark, store, tmp_path, tree["root_url"], "JSON parse")
+    parse = [e for e in body["validation"]["errors"] if e["check"] == "JSON parse"]
+    assert len(parse) == 1 and parse[0]["url"] == tree["item"]
+    assert "message" in parse[0]["details"]
+    schema_urls = {
+        e["url"] for e in body["validation"]["errors"] if e["check"] == "JSON schema"
+    }
+    assert tree["item"] not in schema_urls
+
+
+def test_missing_metadata_file_fails_file_not_found(spark, store, tmp_path):
+    """A link to a nonexistent metadata document records FILE_NOT_FOUND
+    with the reference's message shape instead of crashing the walk."""
+    tree = build_golden_tree(str(tmp_path))
+    os.remove(tree["item"])
+    body = _ingest_expect_failure(
+        spark, store, tmp_path, tree["root_url"],
+        "file not found in staging or storage",
+    )
+    [err] = [
+        e for e in body["validation"]["errors"]
+        if e["check"] == "file not found in staging or storage"
+    ]
+    assert err["url"] == tree["item"]
+    assert "Could not find metadata file" in err["details"]["message"]
+
+
+def test_unregistered_scheme_fails_non_s3_url(spark, store, tmp_path):
+    """A root URL on an unregistered storage scheme records the
+    NON_S3_URL kind and short-circuits validation (reference
+    check_stac_metadata/utils.py:99-113)."""
+    body = _ingest_expect_failure(
+        spark, store, tmp_path, "s3://no-such-opener/catalog.json", "not an s3 url"
+    )
+    [err] = [e for e in body["validation"]["errors"] if e["check"] == "not an s3 url"]
+    assert "s3://no-such-opener/catalog.json" in err["details"]["message"]
+
+
+def test_malformed_multihash_fails_unknown_multihash_error(spark, store, tmp_path):
+    """A syntactically-broken multihash files under
+    UNKNOWN_MULTIHASH_ERROR (check_files_checksums/utils.py:92-106),
+    not under checksum — mirrors test_check_files_checksums'
+    nonexistent-hash-algorithm case."""
+    tree = build_golden_tree(str(tmp_path))
+    item = json.load(open(tree["item"]))
+    item["assets"]["asset0"]["file:checksum"] = "ff2200"  # unregistered fn
+    _write_json(tree["item"], item)
+    body = _ingest_expect_failure(
+        spark, store, tmp_path, tree["root_url"], "unknown multihash error"
+    )
+    [err] = [
+        e for e in body["validation"]["errors"]
+        if e["check"] == "unknown multihash error"
+    ]
+    assert "multihash" in err["details"]["message"].lower()
+
+
+def test_unreadable_asset_fails_unknown_client_error(spark, store, tmp_path):
+    """A non-ENOENT IO error on the asset read (here: the path is a
+    directory) files under UNKNOWN_CLIENT_ERROR, the reference's
+    catch-all client-error kind (check_files_checksums/utils.py:144-155)."""
+    tree = build_golden_tree(str(tmp_path))
+    path = tree["assets"]["data1.bin"]
+    os.remove(path)
+    os.makedirs(path)  # exists (passes staging probe) but unreadable
+    body = _ingest_expect_failure(
+        spark, store, tmp_path, tree["root_url"], "unknown client error"
+    )
+    [err] = [
+        e for e in body["validation"]["errors"]
+        if e["check"] == "unknown client error"
+    ]
+    assert path in err["url"]
+
+
+def test_fake_scheme_through_opener_seam(spark, tmp_path):
+    """The cloud-IO seam end-to-end: register an in-memory ``mem://``
+    opener and traverse a two-document catalog that exists nowhere on
+    disk — document reads resolve through the registry snapshot shipped
+    to executors (r7 verdict item 7)."""
+    import io as _io
+
+    from geostore_spark.pipeline import io as gio
+    from geostore_spark.pipeline.traversal import traverse
+
+    docs = {
+        "mem://cat/catalog.json": json.dumps(
+            {
+                "type": "Catalog", "id": "c", "stac_version": "1.0.0",
+                "description": "d",
+                "links": [{"rel": "child", "href": "mem://cat/item.json"}],
+            }
+        ),
+        "mem://cat/item.json": json.dumps(
+            {
+                "type": "Feature", "id": "i", "stac_version": "1.0.0",
+                "assets": {"a": {"href": "mem://cat/a.bin"}}, "links": [],
+            }
+        ),
+    }
+
+    def mem_opener(url, mode="r"):
+        if url not in docs:
+            raise FileNotFoundError(url)
+        return _io.StringIO(docs[url])
+
+    gio.register_scheme("mem", mem_opener)
+    try:
+        out = traverse(spark, "mem://cat/catalog.json")
+        rows = {r["url"]: r for r in out.collect()}
+        assert set(rows) == set(docs)
+        assert rows["mem://cat/catalog.json"]["discovery_ord"] == 0
+        assert rows["mem://cat/item.json"]["fetch_kind"] is None
+    finally:
+        gio._OPENERS.pop("mem", None)
