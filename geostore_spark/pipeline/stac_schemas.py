@@ -492,6 +492,142 @@ VERSION_V1_SCHEMA = {
 
 # Every vendored schema, keyed by its ``$id`` — the analog of the
 # reference's ``schema_store`` loop (stac_validators.py:69-88).
+# --- LINZ profile (https://stac.linz.govt.nz, linz/stac extension) ----------
+#
+# The reference validates Collections AND Items against the LINZ
+# extension schema — not the bare core spec — via
+# STAC_TYPE_VALIDATION_MAP (check_stac_metadata/utils.py:45-49;
+# stac_validators.py:95-103 builds both validators over LINZ_SCHEMA,
+# which allOf-refs the core type schema plus the LINZ required
+# properties). The upstream file lives in the public linz/stac repo
+# (vendored there as a git submodule, absent from this offline
+# checkout); this restatement carries the documented requirements the
+# reference's own minimal-valid fixtures witness
+# (tests/stac_objects.py:76-132): every key whose removal makes the
+# reference's validator fail is required here, with the enum domains
+# from tests/stac_generators.py:85-121.
+
+_LINZ_BASE = "https://stac.linz.govt.nz/v0.0.15"
+
+_LINZ_PROVIDER = {
+    "type": "object",
+    "required": ["name", "roles"],
+    "properties": {
+        "name": {"type": "string", "minLength": 1},
+        "description": {"type": "string"},
+        "roles": {"type": "array", "items": {"type": "string"}},
+        "url": {"type": "string"},
+    },
+}
+
+def _provider_role_required(role: str) -> dict:
+    return {
+        "contains": {
+            "type": "object",
+            "properties": {"roles": {"contains": {"const": role}}},
+            "required": ["roles"],
+        }
+    }
+
+_LINZ_SUMMARY_RANGE = {
+    "type": "object",
+    "required": ["minimum", "maximum"],
+    "properties": {"minimum": _DATETIME, "maximum": _DATETIME},
+}
+
+_LINZ_GEOSPATIAL_TYPES = [
+    "black and white image", "circular string", "color image",
+    "compound curve", "curve polygon", "geometry", "geometry collection",
+    "grayscale", "grid", "hyperspectral", "multicurve", "multilinestring",
+    "multipoint", "multipolygon", "multispectral", "multisurface",
+    "linestring", "point", "point cloud", "polygon", "polyhedral surface",
+    "rgb", "tin", "triangle",
+]
+
+_LINZ_ASSET = {
+    "type": "object",
+    "required": ["created", "updated"],
+    "properties": {"created": _DATETIME, "updated": _DATETIME},
+}
+
+LINZ_COLLECTION_SCHEMA = {
+    "$id": f"{_LINZ_BASE}/linz/collection.json",
+    "$schema": "http://json-schema.org/draft-07/schema#",
+    "allOf": [
+        {"$ref": f"{_CORE}/collection-spec/json-schema/collection.json"},
+        {
+            "type": "object",
+            "required": [
+                "title",
+                "providers",
+                "version",
+                "linz:asset_summaries",
+                "linz:geospatial_type",
+                "linz:history",
+                "linz:lifecycle",
+                "linz:providers",
+                "linz:security_classification",
+            ],
+            "properties": {
+                "providers": {
+                    "type": "array",
+                    "items": _LINZ_PROVIDER,
+                    "allOf": [
+                        _provider_role_required("licensor"),
+                        _provider_role_required("producer"),
+                    ],
+                },
+                "version": {"type": "string", "minLength": 1},
+                "linz:asset_summaries": {
+                    "type": "object",
+                    "required": ["created", "updated"],
+                    "properties": {
+                        "created": _LINZ_SUMMARY_RANGE,
+                        "updated": _LINZ_SUMMARY_RANGE,
+                    },
+                },
+                "linz:geospatial_type": {"enum": _LINZ_GEOSPATIAL_TYPES},
+                "linz:history": {"type": "string", "minLength": 1},
+                "linz:lifecycle": {
+                    "enum": [
+                        "under development", "preview", "ongoing",
+                        "completed", "deprecated",
+                    ]
+                },
+                "linz:providers": {
+                    "type": "array",
+                    "items": _LINZ_PROVIDER,
+                    "allOf": [
+                        _provider_role_required("custodian"),
+                        _provider_role_required("manager"),
+                    ],
+                },
+                "linz:security_classification": {"type": "string", "minLength": 1},
+                "assets": {"type": "object", "additionalProperties": _LINZ_ASSET},
+            },
+        },
+    ],
+}
+
+LINZ_ITEM_SCHEMA = {
+    "$id": f"{_LINZ_BASE}/linz/item.json",
+    "$schema": "http://json-schema.org/draft-07/schema#",
+    "allOf": [
+        {"$ref": f"{_CORE}/item-spec/json-schema/item.json"},
+        {
+            "type": "object",
+            "properties": {
+                "properties": {
+                    "type": "object",
+                    "required": ["version"],
+                    "properties": {"version": {"type": "string", "minLength": 1}},
+                },
+                "assets": {"type": "object", "additionalProperties": _LINZ_ASSET},
+            },
+        },
+    ],
+}
+
 SCHEMA_STORE: dict[str, dict] = {
     s["$id"]: s
     for s in [
@@ -508,6 +644,8 @@ SCHEMA_STORE: dict[str, dict] = {
         FILE_V2_SCHEMA,
         PROJECTION_V1_SCHEMA,
         VERSION_V1_SCHEMA,
+        LINZ_COLLECTION_SCHEMA,
+        LINZ_ITEM_SCHEMA,
     ]
 }
 
@@ -517,6 +655,7 @@ EXTENSION_VERSIONS: dict[str, dict[str, str]] = {
     "file": {"2.0.0": FILE_V2_SCHEMA["$id"]},
     "projection": {"1.0.0": PROJECTION_V1_SCHEMA["$id"]},
     "version": {"1.0.0": VERSION_V1_SCHEMA["$id"]},
+    "linz": {"0.0.15": LINZ_COLLECTION_SCHEMA["$id"]},
 }
 
 
@@ -544,6 +683,11 @@ _TYPE_TO_CORE_URI = {
     "Feature": ITEM_SCHEMA["$id"],
 }
 
+_TYPE_TO_LINZ_URI = {
+    "Collection": LINZ_COLLECTION_SCHEMA["$id"],
+    "Feature": LINZ_ITEM_SCHEMA["$id"],
+}
+
 
 @lru_cache(maxsize=32)
 def _validator_for(uri: str) -> Draft7Validator:
@@ -567,6 +711,17 @@ def validation_errors(doc: dict) -> list[str]:
         f"{'/'.join(str(p) for p in e.absolute_path) or '$'}: {e.message}"
         for e in _validator_for(core_uri).iter_errors(doc)
     ]
+    # LINZ profile, UNCONDITIONALLY for Collections and Items — the
+    # reference's STAC_TYPE_VALIDATION_MAP points those two types at the
+    # LINZ schema, not the bare core spec (check_stac_metadata/
+    # utils.py:45-49); catalogs stay core-only
+    linz_uri = _TYPE_TO_LINZ_URI.get(doc_type)
+    if linz_uri is not None:
+        errors.extend(
+            f"linz: {'/'.join(str(p) for p in e.absolute_path) or '$'}: "
+            f"{e.message}"
+            for e in _validator_for(linz_uri).iter_errors(doc)
+        )
     for ext_uri in doc.get("stac_extensions") or []:
         if isinstance(ext_uri, str) and ext_uri in SCHEMA_STORE:
             errors.extend(

@@ -32,7 +32,14 @@ def minimal_catalog(links: list[dict]) -> dict:
     }
 
 
+def _provider(role: str) -> dict:
+    return {"name": f"Test {role}", "roles": [role]}
+
+
 def minimal_collection(links: list[dict], **overrides) -> dict:
+    """LINZ-profile-valid minimal collection, mirroring the reference's
+    MINIMAL_VALID_STAC_COLLECTION_OBJECT (tests/stac_objects.py:76-106):
+    core keys plus every LINZ-required property."""
     doc = {
         "type": "Collection",
         "stac_version": STAC_VERSION,
@@ -44,6 +51,22 @@ def minimal_collection(links: list[dict], **overrides) -> dict:
             "spatial": {"bbox": [[-180, -90, 180, 90]]},
             "temporal": {"interval": [["2021-01-01T00:00:00Z", None]]},
         },
+        "providers": [_provider("licensor"), _provider("producer")],
+        "version": "1.0.0",
+        "linz:asset_summaries": {
+            "created": {
+                "minimum": "2021-01-01T00:00:00Z",
+                "maximum": "2021-01-02T00:00:00Z",
+            },
+            "updated": {
+                "minimum": "2021-01-01T00:00:00Z",
+                "maximum": "2021-01-02T00:00:00Z",
+            },
+        },
+        "linz:geospatial_type": "grid",
+        "linz:history": "Created for engine tests",
+        "linz:lifecycle": "completed",
+        "linz:providers": [_provider("custodian"), _provider("manager")],
         "linz:security_classification": "unclassified",
         "links": links,
     }
@@ -57,7 +80,7 @@ def minimal_item(assets: dict, links: list[dict], **overrides) -> dict:
         "stac_version": STAC_VERSION,
         "id": "test-item",
         "geometry": None,
-        "properties": {"datetime": "2021-01-01T00:00:00Z"},
+        "properties": {"datetime": "2021-01-01T00:00:00Z", "version": "1.0.0"},
         "assets": assets,
         "links": links,
     }
@@ -85,7 +108,13 @@ def build_golden_tree(root: str, asset_payloads: dict[str, bytes] | None = None)
         # first asset linked ./-relative, others absolute — exercises the
         # href resolution of check_stac_metadata/utils.py:59-67
         href = f"./{name}" if i == 0 else path
-        assets_block[f"asset{i}"] = {"href": href, "file:checksum": sha256_multihash(payload)}
+        assets_block[f"asset{i}"] = {
+            "href": href,
+            "file:checksum": sha256_multihash(payload),
+            # LINZ profile: every asset carries created/updated
+            "created": "2021-01-01T00:00:00Z",
+            "updated": "2021-01-02T00:00:00Z",
+        }
 
     item_path = os.path.join(staging, "item.json")
     collection_path = os.path.join(staging, "collection.json")

@@ -661,3 +661,40 @@ def test_fake_scheme_through_opener_seam(spark, tmp_path):
         assert rows["mem://cat/item.json"]["fetch_kind"] is None
     finally:
         gio._OPENERS.pop("mem", None)
+
+
+def test_core_valid_linz_invalid_item_fails_json_schema(spark, store, tmp_path):
+    """LINZ-profile fidelity (r7 verdict item 5): an Item that satisfies
+    the bare STAC 1.0.0 core spec but violates the LINZ profile (assets
+    without created/updated, properties without version) must fail the
+    JSON-schema check — the reference validates Items against the LINZ
+    schema, never plain core (check_stac_metadata/utils.py:45-49;
+    mirrors tests/test_check_stac_metadata.py's LINZ-schema failures)."""
+    tree = build_golden_tree(str(tmp_path))
+    item = json.load(open(tree["item"]))
+    del item["properties"]["version"]
+    for a in item["assets"].values():
+        a.pop("created", None)
+        a.pop("updated", None)
+    _write_json(tree["item"], item)
+    body = _ingest_expect_failure(spark, store, tmp_path, tree["root_url"], "JSON schema")
+    [err] = [
+        e for e in body["validation"]["errors"]
+        if e["check"] == "JSON schema" and e["url"] == tree["item"]
+    ]
+    assert "linz" in err["details"]["message"]
+
+
+def test_core_valid_linz_invalid_collection_fails_json_schema(spark, store, tmp_path):
+    """Collection variant: dropping a LINZ-required property (lifecycle)
+    from an otherwise core-valid Collection fails the schema check."""
+    tree = build_golden_tree(str(tmp_path))
+    coll = json.load(open(tree["collection"]))
+    del coll["linz:lifecycle"]
+    _write_json(tree["collection"], coll)
+    body = _ingest_expect_failure(spark, store, tmp_path, tree["root_url"], "JSON schema")
+    [err] = [
+        e for e in body["validation"]["errors"]
+        if e["check"] == "JSON schema" and e["url"] == tree["collection"]
+    ]
+    assert "linz:lifecycle" in err["details"]["message"]

@@ -32,7 +32,15 @@ VERSION_EXT = "https://stac-extensions.github.io/version/v1.0.0/schema.json"
 
 def _item(**overrides):
     return minimal_item(
-        assets={"a": {"href": "/data/a.bin", "file:checksum": "deadbeef00"}},
+        assets={
+            "a": {
+                "href": "/data/a.bin",
+                "file:checksum": "deadbeef00",
+                # LINZ profile: assets carry created/updated
+                "created": "2021-01-01T00:00:00Z",
+                "updated": "2021-01-02T00:00:00Z",
+            }
+        },
         links=[{"rel": "self", "href": "/item.json"}],
         **overrides,
     )
@@ -184,6 +192,7 @@ def test_projection_extension_requires_epsg():
 
 def test_version_extension_requires_version():
     doc = _item(stac_extensions=[VERSION_EXT])
+    del doc["properties"]["version"]  # LINZ-minimal items carry it
     assert any("version" in e for e in validation_errors(doc))
     doc["properties"]["version"] = "1"
     assert validation_errors(doc) == []
