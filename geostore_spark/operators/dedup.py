@@ -450,6 +450,7 @@ def simhash_pairs(
     id_col: str,
     max_hamming: int = HAMMING_MAX,
     input_pinned: bool = False,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs whose 32-bit simhash fingerprints differ in at most
     ``max_hamming`` bits, found without an O(N²) comparison.
@@ -471,6 +472,19 @@ def simhash_pairs(
     distinct + canonical sort + driver materialization dominate, and the
     single-node oracle pays the same). At 100 TB the pairs feed a sink
     or a downstream join, never a driver collect.
+
+    ``bucket_cap`` is the production candidate-density guard (default
+    None = exact, the registered-oracle semantics): (band, bval)
+    buckets holding more than ``bucket_cap`` docs are EXCLUDED from the
+    candidate join. A pair is lost only if every band it agrees on is
+    a hub bucket — on a dispersed corpus that is the near-dup-cluster
+    core the cap is there to bound (dedup pipelines handle those via
+    the exact-digest pass first). The bucket census is at most
+    ``bands × 2^band_bits`` rows (1024 here), so the guard costs one
+    tiny aggregate + broadcast semi join. The companion scale lever is
+    fingerprint width: 32-bit/4-band keeps the oracle dialect-exact,
+    but a 100 TB corpus needs 64-bit fingerprints with ≥12-bit bands
+    so E|bucket| = N/2^bits stays bounded (same plan, wider keys).
     """
     width = 32 // SIMHASH_BANDS  # 8 bits per band
     bands = fingerprints.select(
@@ -500,6 +514,14 @@ def simhash_pairs(
     # materializing + re-reading a second checkpoint (r7 verdict lever).
     if not input_pinned:
         bands = bands.localCheckpoint(eager=False)
+    if bucket_cap is not None:
+        ok = (
+            bands.groupBy("band", "bval")
+            .agg(F.count(F.lit(1)).alias("bn"))
+            .filter(F.col("bn") <= bucket_cap)
+            .select("band", "bval")
+        )
+        bands = bands.join(F.broadcast(ok), ["band", "bval"], "left_semi")
     a, b = bands.alias("a"), bands.alias("b")
     hamming = F.expr("bit_count(fp_a ^ fp_b)")
     return (
@@ -686,6 +708,9 @@ def _df_ordered_docs_arr(
         .select(
             F.col(id_col),
             F.expr("transform(toks, x -> x.sh)").alias("hs"),
+            # df per token, aligned with hs — lets the candidate index
+            # apply a hub-token cap without re-joining the df table
+            F.expr("transform(toks, x -> x.tdf)").alias("dfs"),
             F.size("toks").alias("n"),
         )
         # consumed by the prefix index AND the verify join — materialize once
@@ -720,7 +745,11 @@ def _verify_join(
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, threshold: float = JACCARD_THRESHOLD
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = JACCARD_THRESHOLD,
+    df_cap: int | None = None,
 ) -> DataFrame:
     """Exact word-trigram Jaccard ≥ threshold via a PPJoin-style
     prefix-filtered inverted index (Xiao et al., WWW'08 lineage).
@@ -748,17 +777,32 @@ def ngram_jaccard_pairs(
     same ``docs_arr`` frame — broadcast when the corpus table is small,
     two id-keyed shuffle joins past the broadcast budget
     (``_verify_join`` dispatches at runtime). No corpus state ever
-    touches the driver."""
+    touches the driver.
+
+    ``df_cap`` is the production candidate-density guard (default None
+    = exact, the registered-oracle semantics): prefix tokens whose
+    document frequency exceeds the cap are never INDEXED — candidate
+    generation per token is then bounded by C(df_cap, 2) while the
+    exact verify still sees every token (the arrays are untouched). A
+    pair is lost only when every prefix token it shares is a hub; on a
+    Zipfian vocabulary that means boilerplate-only overlap, which is
+    what the cap is there to bound."""
     t = threshold
     n_docs = _count_rows_cheap(df)
     docs_arr = _df_ordered_docs_arr(df, id_col, text_col, n_docs)
     prefix = docs_arr.select(
         F.col(id_col),
         F.col("n"),
+        F.col("dfs"),
         F.posexplode(
             F.slice(F.col("hs"), 1, (F.col("n") - F.ceil(t * F.col("n")) + 1).cast("int"))
         ).alias("p", "sh"),
     )
+    if df_cap is not None:
+        # dfs is aligned with hs and the slice starts at element 1, so
+        # the sliced position p (0-based) indexes dfs at p + 1
+        prefix = prefix.filter(F.element_at("dfs", F.col("p") + 1) <= df_cap)
+    prefix = prefix.drop("dfs")
     a, b = prefix.alias("a"), prefix.alias("b")
     # PPJoin POSITION filter: tokens share one global order, so a match at
     # 0-based positions (pa, pb) caps the reachable overlap at
@@ -802,6 +846,7 @@ def ngram_containment_pairs(
     id_col: str,
     text_col: str,
     threshold: float = CONTAINMENT_THRESHOLD,
+    df_cap: int | None = None,
 ) -> DataFrame:
     """Asymmetric trigram containment |A∩B| / |A| ≥ threshold: detects
     doc-in-doc duplication (quotes, boilerplate wrappers, page-in-crawl
@@ -823,6 +868,12 @@ def ngram_containment_pairs(
     the doc→hash-array table (``_verify_join``: broadcast under the
     budget, two id-keyed shuffle joins past it) — no Python in either
     path.
+
+    ``df_cap``: same production hub-token guard as
+    ``ngram_jaccard_pairs`` — tokens with document frequency over the
+    cap are dropped from BOTH index sides (the contained side's prefix
+    and the container side's full posting list) while the exact verify
+    still intersects complete arrays. Default None = exact.
     """
     t = threshold
     n_docs = _count_rows_cheap(df)
@@ -830,15 +881,22 @@ def ngram_containment_pairs(
     pa = docs_arr.select(
         F.col(id_col).alias("doc_a"),
         F.col("n").alias("n_a"),
-        F.explode(
+        F.col("dfs"),
+        F.posexplode(
             F.slice(F.col("hs"), 1, (F.col("n") - F.ceil(t * F.col("n")) + 1).cast("int"))
-        ).alias("sh"),
+        ).alias("p_a", "sh"),
     )
     pb = docs_arr.select(
         F.col(id_col).alias("doc_b"),
         F.col("n").alias("n_b"),
+        F.col("dfs"),
         F.posexplode("hs").alias("pos_b", "sh"),
     )
+    if df_cap is not None:
+        pa = pa.filter(F.element_at("dfs", F.col("p_a") + 1) <= df_cap)
+        pb = pb.filter(F.element_at("dfs", F.col("pos_b") + 1) <= df_cap)
+    pa = pa.drop("dfs", "p_a")
+    pb = pb.drop("dfs")
     # no mid-pipeline distinct: stream candidates straight through the
     # broadcast verify in one codegen stage (same rationale as
     # ngram_jaccard_pairs — the shuffle barrier costs more than repeated

@@ -42,58 +42,57 @@ def register(key: str, doc: str, oracle: str | None):
 
 # Driver-coverage rotation: the per-round correctness harness samples a
 # prefix (~50) of the enumerated queries. The keys below enumerate
-# FIRST this round (round 7), in priority order:
-#   1. the round-7 additions (the IVM refresh demonstration query and
-#      the CDC apply demonstration query);
-#   2. every query whose PLAN or code path changed in round 7: the
-#      bloom semi join (state extracted into the named shared scaffold),
-#      the k-means-memo riders, the two durable-layout queries (tables
-#      now keyed on the fixture stat fingerprint), and every
-#      session_checkpoint consumer (the memo gained dead-session
-#      eviction) — supply-graph five + daily-rollup four;
-#   3. the stalest driver rows (latest green in round 1, then round 2)
+# FIRST this round (round 8), in priority order:
+#   1. every query whose PLAN changed in round 8: the sketch-scaffold
+#      consumers (simhash fingerprints / minhash signatures now build
+#      once per session x SF and feed seven queries; incremental dedup
+#      collapsed to one plan), pagerank (input_pinned edge feed), the
+#      two storage demos (stage-then-rename commit protocol, CDC
+#      delete-trim folded into the merge), and the bucketed join
+#      (catalog re-probe before stale-dir cleanup);
+#   2. every other session_checkpoint consumer (the memo gained a lock
+#      + rebuild-on-loss): supply-graph riders, daily-rollup stats
+#      four, k-means riders, bloom scaffold;
+#   3. the stalest driver rows (latest green in round 2, then round 3)
 #      with the remaining budget.
-# Everything else (driver-green r1 ∪ ... ∪ r6 — 218 keys) enumerates
+# Everything else (driver-green r1 ∪ ... ∪ r7 — all 220 keys) enumerates
 # last. Purely an enumeration-order hint — every query stays registered
 # and locally oracle-tested either way.
 _NEVER_DRIVER_SAMPLED = (
-    # -- 1: round-7 additions (no driver row yet)
-    "x_storage_ivm_refresh", "x_storage_cdc_apply",
-    # -- 2: plans changed in round 7
-    # bloom state extracted into the named shared scaffold bench pre-builds
-    "x_join_bloom_semi",
-    # k-means assignment migrated into the common session-checkpoint memo
-    "x_ml_kmeans", "x_ml_silhouette", "x_dedup_semantic",
-    # durable layouts now keyed on the fixture stat fingerprint
-    "x_storage_bucketed_join", "x_storage_partition_prune",
-    # session_checkpoint gained dead-session eviction: its consumers
-    "x_graph_pagerank", "x_graph_degree_stats", "x_graph_kcore",
-    "x_graph_bfs_layers", "x_graph_assortativity",
+    # -- 1: plans changed in round 8
+    "x_dedup_simhash", "x_dedup_simhash_pairs", "x_dedup_simhash_eval",
+    "x_dedup_minhash_lsh", "x_dedup_minhash_eval", "x_dedup_incremental",
+    "x_dedup_clusters", "x_graph_pagerank",
+    "x_storage_cdc_apply", "x_storage_ivm_refresh",
+    "x_storage_bucketed_join",
+    # -- 2: session_checkpoint consumers (locked memo, rebuild-on-loss)
+    "x_graph_degree_stats", "x_graph_kcore", "x_graph_bfs_layers",
+    "x_graph_assortativity", "x_graph_triangles",
     "x_stats_kendall_tau", "x_stats_spearman", "x_stats_theil_sen",
     "x_stats_mann_kendall",
-    # -- 3: stalest driver rows (latest green in round 1)
-    "x_emb_quantize", "x_geo_extent_rollup", "x_geo_grid_join",
-    "x_geo_knn", "x_geo_zorder", "x_range_join", "x_sample_stratified",
-    "x_sample_token_budget", "x_sample_topk_hash", "x_sim_ann_lsh",
-    "x_sim_ivf", "x_sim_ivfpq", "x_sim_pq_adc", "x_sim_topk_bruteforce",
-    "x_stats_histogram", "x_stats_profile", "x_text_bigram_lm",
-    "x_text_decontaminate", "x_text_entropy", "x_text_fingerprint",
-    "x_text_lang_id", "x_text_pii_redact", "x_text_quality",
-    "x_text_repetition", "x_text_tfidf", "x_text_tokens", "x_text_winnow",
-    "x_win_moving_avg",
-    # -- 4: next-stalest (round 2), filling to 50
-    "f1_key_decompose", "f2_basename", "f3_url_parse", "f4_key_format",
-    "j7_topk_revenue",
+    "x_ml_kmeans", "x_ml_silhouette", "x_dedup_semantic",
+    "x_join_bloom_semi",
+    # -- 3: stalest driver rows (latest green in round 2)
+    "f5_timestamp_parts", "j8_large_orders", "j9_above_avg_anti",
+    "o3_set_difference", "o4_union_discriminator", "o5_intersect",
+    "p3_boolean_filter", "p4_compound_filter", "p5_isin_guard",
+    "p6_regex_validation", "s3_index_equality", "s4_range_prefix",
+    "s5_json_source", "s7_csv_manifest", "s8_dual_location_fallback",
+    "w3_batch_windows", "x_asof_join", "x_events_funnel",
+    "x_events_retention", "x_skew_distinct", "x_skew_salted_agg",
+    "x_stats_corr", "x_stats_zscore",
+    # -- 4: next-stalest (round 3), filling to 50
+    "a10_pivot_crosstab", "a7_grouping_sets", "f10_truncate",
 )
 
 
 def all_queries() -> dict[str, RegisteredQuery]:
     """Import every contributing module, then return the registry.
 
-    Enumeration order: the round-7 priority prefix first (see
+    Enumeration order: the round-8 priority prefix first (see
     _NEVER_DRIVER_SAMPLED — changed plans, then stale-row refresh), then
-    any new queries added this round, then the 218 keys the driver
-    already verified green in rounds 1-6.
+    any new queries added this round, then the 220 keys the driver
+    already verified green in rounds 1-7.
     """
     # Imports are effectful: each module registers its queries on import.
     from geostore_spark.operators import (  # noqa: F401
@@ -126,8 +125,8 @@ def all_queries() -> dict[str, RegisteredQuery]:
     return {k: REGISTRY[k] for k in (*never, *fresh, *tail)}
 
 
-# 218 keys with a green hash row in CORRECTNESS_r01 ∪ ... ∪ r06
-# (every registered key as of round 6 — 100% ever-driver-verified).
+# 220 keys with a green hash row in CORRECTNESS_r01 ∪ ... ∪ r07
+# (every registered key as of round 7 — 100% ever-driver-verified).
 _DRIVER_VERIFIED = frozenset((
     "a10_pivot_crosstab", "a1_filtered_count", "a2_existence_aggregate",
     "a3_group_collect_extrema", "a4_minmax_summary", "a5_status_rollup",
@@ -186,8 +185,9 @@ _DRIVER_VERIFIED = frozenset((
     "x_stats_qq_deciles", "x_stats_runs_test", "x_stats_skew_kurtosis",
     "x_stats_spearman", "x_stats_theil_sen", "x_stats_ttest",
     "x_stats_wilson_rank", "x_stats_winsorize", "x_stats_zscore",
-    "x_storage_bucketed_join", "x_storage_partition_prune",
-    "x_text_bigram_lm", "x_text_bm25", "x_text_bpe_pairs", "x_text_c4_lines",
+    "x_storage_bucketed_join", "x_storage_cdc_apply",
+    "x_storage_ivm_refresh", "x_storage_partition_prune", "x_text_bigram_lm",
+    "x_text_bm25", "x_text_bpe_pairs", "x_text_c4_lines",
     "x_text_chunk_windows", "x_text_decontaminate", "x_text_entropy",
     "x_text_fingerprint", "x_text_fuzzy_join", "x_text_gopher_rules",
     "x_text_heaps", "x_text_heavy_hitters", "x_text_js_divergence",
