@@ -172,12 +172,24 @@ PR_ITERS = 3
 PR_TOP = 100
 
 
-def _local_pagerank(ed: DataFrame, iters: int) -> DataFrame:
+def _local_pagerank(
+    ed: DataFrame, iters: int, pre_deduped: bool = False
+) -> DataFrame:
     """Single-task numpy PageRank for edge lists under the local
     threshold: all iterations run in one vectorized kernel, zero shuffle
     rounds. Identical arithmetic to the distributed loop — int64 sums
     plus the same two IEEE-double floor-divisions (all magnitudes
-    ≤ 8.5e13 < 2^53, so every float op is exact and order-free)."""
+    ≤ 8.5e13 < 2^53, so every float op is exact and order-free; the
+    bincount weight sums total ≤ PR_SCALE = 1e13 < 2^53, so the float64
+    accumulation is exact and order-free too, same argument the
+    inv-index path always relied on).
+
+    ``pre_deduped`` skips the in-kernel dedup sort. Dense-id inputs
+    (max id within 8× the edge count) additionally skip the
+    ``np.unique`` vertex factorization: degree and contribution sums
+    index raw-id-sized arrays via ``np.bincount`` directly — O(|E|)
+    gathers, no O(|E| log |E|) sort. Both cut the same measured cost
+    (the kernel's sorts were ~half its wall at sf0.1)."""
     import math
 
     import numpy as np
@@ -190,26 +202,85 @@ def _local_pagerank(ed: DataFrame, iters: int) -> DataFrame:
             dsts.append(pdf["dst"].to_numpy(dtype=np.int64))
         src = np.concatenate(srcs) if srcs else np.array([], dtype=np.int64)
         dst = np.concatenate(dsts) if dsts else np.array([], dtype=np.int64)
-        # dedup in-kernel (ids < 2^31, so (src<<32)|dst packs losslessly):
-        # callers may hand raw possibly-duplicated pairs, saving the
-        # distinct shuffle the single-task path doesn't need
-        packed = np.unique((src << np.int64(32)) | dst)
-        src = packed >> np.int64(32)
-        dst = packed & np.int64(0xFFFFFFFF)
-        ids, inv_src = np.unique(src, return_inverse=True)
+        if not pre_deduped:
+            # dedup in-kernel (ids < 2^31, so (src<<32)|dst packs
+            # losslessly): callers may hand raw possibly-duplicated
+            # pairs, saving the distinct shuffle the single-task path
+            # doesn't need
+            packed = np.unique((src << np.int64(32)) | dst)
+            src = packed >> np.int64(32)
+            dst = packed & np.int64(0xFFFFFFFF)
+        yield _pr_iterations(src, dst, iters)
+
+    return ed.coalesce(1).mapInPandas(run, "id long, r long")
+
+
+def _pr_iterations(src, dst, iters: int):
+    """The shared numpy iteration core: (src, dst) int64 edge arrays in,
+    (id, r) DataFrame out. Dense-id inputs (non-negative, max id within
+    8× the edge count) use raw-id-indexed ``np.bincount`` arrays — O(|E|)
+    gathers, no sort; sparse ids fall back to the ``np.unique``
+    factorization. Both produce identical integer-exact ranks."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    if not len(src):
+        return pd.DataFrame({"id": src, "r": src})
+    max_id = int(max(src.max(), dst.max()))
+    min_id = int(min(src.min(), dst.min()))
+    if min_id >= 0 and max_id < 8 * len(src):
+        deg_full = np.bincount(src, minlength=max_id + 1)
+        active = deg_full > 0
+        ids = np.flatnonzero(active)
         n = len(ids)
-        if not n:
-            yield pd.DataFrame({"id": ids, "r": ids})
-            return
-        inv_dst = np.searchsorted(ids, dst)
-        deg = np.bincount(inv_src, minlength=n)
-        r = np.full(n, int(math.floor(PR_SCALE / n)), dtype=np.int64)
+        r_full = np.zeros(max_id + 1, dtype=np.int64)
+        r_full[active] = int(math.floor(PR_SCALE / n))
         base = int(math.floor((15.0 * PR_SCALE) / (100.0 * n)))
+        safe_deg = np.maximum(deg_full, 1)  # inactive ids: r=0 anyway
         for _ in range(iters):
-            c = np.floor(r / deg).astype(np.int64)
-            s = np.bincount(inv_dst, weights=c[inv_src], minlength=n)
-            r = base + np.floor(s * 85 / 100.0).astype(np.int64)
-        yield pd.DataFrame({"id": ids, "r": r})
+            c = np.floor(r_full / safe_deg).astype(np.int64)
+            s = np.bincount(dst, weights=c[src], minlength=max_id + 1)
+            r_full = np.where(
+                active,
+                base + np.floor(s * 85 / 100.0).astype(np.int64),
+                0,
+            )
+        return pd.DataFrame({"id": ids, "r": r_full[ids]})
+    ids, inv_src = np.unique(src, return_inverse=True)
+    n = len(ids)
+    inv_dst = np.searchsorted(ids, dst)
+    deg = np.bincount(inv_src, minlength=n)
+    r = np.full(n, int(math.floor(PR_SCALE / n)), dtype=np.int64)
+    base = int(math.floor((15.0 * PR_SCALE) / (100.0 * n)))
+    for _ in range(iters):
+        c = np.floor(r / deg).astype(np.int64)
+        s = np.bincount(inv_dst, weights=c[inv_src], minlength=n)
+        r = base + np.floor(s * 85 / 100.0).astype(np.int64)
+    return pd.DataFrame({"id": ids, "r": r})
+
+
+def _local_pagerank_sym_packed(ed: DataFrame, iters: int) -> DataFrame:
+    """Single-task kernel over PACKED directed pairs, symmetrized
+    in-kernel: input is one ``pk = (src << 32) | dst`` long per deduped
+    directed edge (ids in [0, 2^31)), and the kernel ranks the
+    UNDIRECTED graph by appending the reversed direction in numpy.
+    Exists purely to shrink the Arrow hop into the one Python worker —
+    the kernel's measured cost is data movement, not compute (21 ms of
+    bincounts vs ~1 s of transfer at sf0.1) — by shipping one long per
+    edge instead of four (2 cols × both directions): same ranks,
+    quarter the bytes."""
+    import numpy as np
+
+    def run(batches):
+        pks = [pdf["pk"].to_numpy(dtype=np.int64) for pdf in batches]
+        pk = np.concatenate(pks) if pks else np.array([], dtype=np.int64)
+        s = pk >> np.int64(32)
+        d = pk & np.int64(0xFFFFFFFF)
+        yield _pr_iterations(
+            np.concatenate([s, d]), np.concatenate([d, s]), iters
+        )
 
     return ed.coalesce(1).mapInPandas(run, "id long, r long")
 
@@ -223,8 +294,23 @@ def pagerank(
     broadcast_max_nodes: int = 8_000_000,
     pre_deduped: bool = False,
     input_pinned: bool = False,
+    edge_count: int | None = None,
+    kernel_symmetrize: bool = False,
 ) -> DataFrame:
     """Damped PageRank (d=0.85) over a directed edge list, integer-exact.
+
+    ``edge_count``, when the caller already knows it (session scaffolds
+    memo their count via ``session_scalar``), skips the strategy
+    dispatch's ``count()`` — a scheduled job of pure floor on every
+    invocation otherwise.
+
+    ``kernel_symmetrize``: the input is DEDUPED DIRECTED pairs with ids
+    in [0, 2^31) and the caller wants ranks over the UNDIRECTED graph.
+    The local kernel then ships one packed long per directed edge and
+    mirrors it in numpy (quarter the Arrow bytes of a pre-symmetrized
+    2-column feed — the kernel is transfer-bound, see
+    ``_local_pagerank_sym_packed``); the distributed path symmetrizes
+    with the ordinary union. Implies ``pre_deduped``.
 
     The web-graph centrality signal corpus-curation pipelines use for
     document quality weighting (the reference has no graph surface; its
@@ -278,9 +364,23 @@ def pagerank(
     ed0 = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     if not input_pinned:
         ed0 = ed0.localCheckpoint(eager=False)
-    if ed0.count() <= local_threshold:
-        # kernel dedups in-task, so raw (possibly duplicated) pairs are fine
-        return _local_pagerank(ed0, iters)
+    n_edges = edge_count if edge_count is not None else ed0.count()
+    if kernel_symmetrize:
+        # directed input; the undirected graph the strategies see is 2×
+        if 2 * n_edges <= local_threshold:
+            packed = ed0.select(
+                (
+                    F.shiftleft(F.col("src"), 32).bitwiseOR(F.col("dst"))
+                ).alias("pk")
+            )
+            return _local_pagerank_sym_packed(packed, iters)
+        ed0 = symmetrize(ed0).localCheckpoint(eager=False)
+        n_edges *= 2
+        pre_deduped = True
+    if n_edges <= local_threshold:
+        # kernel dedups in-task unless told not to, so raw (possibly
+        # duplicated) pairs are fine
+        return _local_pagerank(ed0, iters, pre_deduped=pre_deduped)
     # distributed rounds double-count degree on duplicate edges — dedup
     # here unless the caller already guarantees uniqueness (the shared
     # supply-pair checkpoint), which saves the |E| dedup shuffle
@@ -379,6 +479,20 @@ def shared_supply_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return session_checkpoint(spark, ("supply_pairs", sf), build)
 
 
+def shared_supply_pairs_count(spark: SparkSession, sf: str) -> int:
+    """Row count of the supply-pair scaffold, memoized per session × SF
+    (the scaffold is immutable for the session, so its count is too).
+    Feeds strategy dispatches (e.g. pagerank's local-vs-distributed
+    split) without paying a count() job per query invocation."""
+    from geostore_spark.operators.util import session_scalar
+
+    return session_scalar(
+        spark,
+        ("supply_pairs_count", sf),
+        lambda: shared_supply_pairs(spark, sf).count(),
+    )
+
+
 def supply_edges(lineitem: DataFrame, pre_distinct: bool = True) -> DataFrame:
     """Symmetric part↔supplier supply graph from lineitem.
 
@@ -454,11 +568,15 @@ def _pagerank_oracle(iters: int = PR_ITERS) -> str:
 )
 def q_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     ranks = pagerank(
-        symmetrize(shared_supply_pairs(spark, sf)),
+        shared_supply_pairs(spark, sf),
         "src",
         "dst",
         pre_deduped=True,
         input_pinned=True,
+        edge_count=shared_supply_pairs_count(spark, sf),
+        # ship the directed pairs and mirror them in-kernel: the local
+        # kernel is Arrow-transfer-bound, this quarters its bytes
+        kernel_symmetrize=True,
     )
     return (
         ranks.select(

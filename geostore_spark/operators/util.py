@@ -23,7 +23,10 @@ _SESSION_CKPT: dict[tuple, tuple[DataFrame, frozenset[int]]] = {}
 # must not double-build the same scaffold, and two callers racing the
 # dead-session purge must not both delete the same key (r7 advisor:
 # the second `del` raised KeyError inside an unrelated query).
-_SESSION_CKPT_LOCK = threading.Lock()
+# REENTRANT because builds compose: session_scalar's build may call
+# session_checkpoint on the same thread (supply_pairs_count builds the
+# supply_pairs scaffold it counts) — a plain Lock self-deadlocks there.
+_SESSION_CKPT_LOCK = threading.RLock()
 
 
 def _persisted_rdd_ids(spark: SparkSession) -> frozenset[int]:
@@ -83,6 +86,29 @@ def session_checkpoint(
         ids = _persisted_rdd_ids(spark) - before if eager else frozenset()
         _SESSION_CKPT[k] = (df, frozenset(ids))
     return df
+
+
+_SESSION_SCALAR: dict[tuple, object] = {}
+
+
+def session_scalar(spark: SparkSession, key: tuple, build: Callable[[], object]):
+    """Build-once-per-session memo for a SCALAR derived from a session
+    scaffold (a row count, a dimension bound). Same applicationId-keyed
+    lifecycle and lock as ``session_checkpoint`` — a restarted context
+    never sees a stale value — but no liveness probe: plain Python
+    values cannot be evicted by the block manager. Exists because a
+    strategy-dispatch ``count()`` on an already-checkpointed scaffold
+    still costs a scheduled job per query invocation (~0.1-0.2 s at
+    local sf0.1), which is pure floor for every consumer that needs the
+    same number."""
+    app = spark.sparkContext.applicationId
+    with _SESSION_CKPT_LOCK:
+        for stale in [k for k in _SESSION_SCALAR if k[0] != app]:
+            _SESSION_SCALAR.pop(stale, None)
+        k = (app, *key)
+        if k not in _SESSION_SCALAR:
+            _SESSION_SCALAR[k] = build()
+        return _SESSION_SCALAR[k]
 
 
 def rebalance_for_python(df: DataFrame) -> DataFrame:

@@ -139,3 +139,27 @@ def test_shared_scaffold_builders_cover_the_session_scaffolds(spark):
     for name, df in built.items():
         assert df.count() >= 0
     assert built["supply_pairs"] is shared_supply_pairs(spark, sf)
+
+
+def test_session_scalar_builds_through_session_checkpoint(spark):
+    """session_scalar's build may itself take the scaffold lock (the
+    supply-pairs count builds the scaffold it counts) — the shared lock
+    must be reentrant or this self-deadlocks on one thread."""
+    from geostore_spark.operators.graph import (
+        shared_supply_pairs,
+        shared_supply_pairs_count,
+    )
+    from geostore_spark.operators.util import session_scalar
+
+    sf = "/root/testdata/sf0.001"
+    n = shared_supply_pairs_count(spark, sf)
+    assert n == shared_supply_pairs(spark, sf).count()
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return shared_supply_pairs_count(spark, sf)
+
+    for _ in range(3):
+        assert session_scalar(spark, ("t_scalar", sf), build) == n
+    assert calls["n"] == 1  # memoized after the first build
