@@ -203,13 +203,23 @@ def _local_pagerank(
         src = np.concatenate(srcs) if srcs else np.array([], dtype=np.int64)
         dst = np.concatenate(dsts) if dsts else np.array([], dtype=np.int64)
         if not pre_deduped:
-            # dedup in-kernel (ids < 2^31, so (src<<32)|dst packs
-            # losslessly): callers may hand raw possibly-duplicated
+            # dedup in-kernel: callers may hand raw possibly-duplicated
             # pairs, saving the distinct shuffle the single-task path
-            # doesn't need
-            packed = np.unique((src << np.int64(32)) | dst)
-            src = packed >> np.int64(32)
-            dst = packed & np.int64(0xFFFFFFFF)
+            # doesn't need. Ids in [0, 2^31) pack into one long (fast
+            # path); anything wider dedups via a structured view (same
+            # sort, two columns at once — packing would corrupt).
+            if len(src) and (
+                int(max(src.max(), dst.max())) < (1 << 31)
+                and int(min(src.min(), dst.min())) >= 0
+            ):
+                packed = np.unique((src << np.int64(32)) | dst)
+                src = packed >> np.int64(32)
+                dst = packed & np.int64(0xFFFFFFFF)
+            else:
+                pairs = np.ascontiguousarray(np.stack([src, dst], axis=1))
+                uniq = np.unique(pairs.view("i8,i8"))
+                src = uniq["f0"]
+                dst = uniq["f1"]
         yield _pr_iterations(src, dst, iters)
 
     return ed.coalesce(1).mapInPandas(run, "id long, r long")

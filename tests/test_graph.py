@@ -161,3 +161,64 @@ def test_triangle_strategies_agree_at_volume(spark):
     assert fused == middle == spilled
     assert fused["n_edges"] > 1_000_000  # really the at-volume graph
     assert fused["n_triangles"] > 0
+
+
+@pytest.mark.parametrize(
+    "threshold", [10_000_000, 0], ids=["packed-kernel", "distributed"]
+)
+def test_pagerank_kernel_symmetrize_matches_presymmetrized(spark, threshold):
+    """kernel_symmetrize feeds DIRECTED deduped pairs and must produce
+    exactly the ranks of the explicitly symmetrized graph, on both the
+    packed single-task kernel and the distributed loop."""
+    from geostore_spark.operators.graph import pagerank
+
+    raw = [(1, 2), (1, 3), (1, 4), (4, 5), (2, 3)]
+    directed = spark.createDataFrame(raw, "src long, dst long")
+    sym = spark.createDataFrame(
+        raw + [(b, a) for a, b in raw], "src long, dst long"
+    )
+    want = {
+        r["id"]: r["r"]
+        for r in pagerank(sym, "src", "dst", iters=3).collect()
+    }
+    got = {
+        r["id"]: r["r"]
+        for r in pagerank(
+            directed,
+            "src",
+            "dst",
+            iters=3,
+            pre_deduped=True,
+            local_threshold=threshold,
+            kernel_symmetrize=True,
+        ).collect()
+    }
+    assert got == want
+
+
+def test_pagerank_sparse_ids_match_dense(spark):
+    """The kernel's dense raw-id bincount path and the np.unique
+    factorization fallback must agree: the same graph shape under a
+    huge-id relabeling (forcing the sparse path) must produce the same
+    ranks per relabeled vertex."""
+    from geostore_spark.operators.graph import pagerank
+
+    raw = [(1, 2), (1, 3), (1, 4), (4, 5)]
+    edges = raw + [(b, a) for a, b in raw]
+    BIG = 10_000_000_000  # max_id >> 8x|E| → sparse fallback
+    relabeled = [(a * BIG, b * BIG) for a, b in edges]
+    dense = {
+        r["id"]: r["r"]
+        for r in pagerank(
+            spark.createDataFrame(edges, "src long, dst long"),
+            "src", "dst", iters=3,
+        ).collect()
+    }
+    sparse = {
+        r["id"]: r["r"]
+        for r in pagerank(
+            spark.createDataFrame(relabeled, "src long, dst long"),
+            "src", "dst", iters=3,
+        ).collect()
+    }
+    assert sparse == {k * BIG: v for k, v in dense.items()}
