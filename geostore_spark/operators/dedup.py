@@ -669,7 +669,11 @@ def _count_rows_cheap(df: DataFrame) -> int:
 
 
 def _df_ordered_docs_arr(
-    df: DataFrame, id_col: str, text_col: str, n_docs: int | None = None
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_docs: int | None = None,
+    with_dfs: bool = False,
 ) -> DataFrame:
     """Per-doc shingle-hash arrays in GLOBAL document-frequency-ascending
     order (ties by hash) — the PPJoin prefix order. Rarest-first prefixes
@@ -687,7 +691,12 @@ def _df_ordered_docs_arr(
     shuffle join above it (at true corpus scale an approximate-df sketch
     pass is the standard swap-in).
 
-    Returns (id_col, hs array<bigint> in (df, hash) order, n)."""
+    Returns (id_col, hs array<bigint> in (df, hash) order, n), plus an
+    aligned per-token ``dfs`` array when ``with_dfs`` — built ONLY on
+    request (it lets the candidate index apply a hub-token cap without
+    re-joining the df table, but roughly doubles the per-token payload
+    of a checkpoint the verify joins never read, so the default capless
+    path skips it)."""
     if n_docs is None:
         n_docs = _count_rows_cheap(df)
     # checkpoint the Arrow shingle pass: it feeds BOTH the df table and
@@ -701,18 +710,18 @@ def _df_ordered_docs_arr(
     df_tab = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("tdf"))
     if n_docs <= VERIFY_BROADCAST_MAX_DOCS:
         df_tab = F.broadcast(df_tab)
+    cols = [
+        F.col(id_col),
+        F.expr("transform(toks, x -> x.sh)").alias("hs"),
+        F.size("toks").alias("n"),
+    ]
+    if with_dfs:
+        cols.insert(2, F.expr("transform(toks, x -> x.tdf)").alias("dfs"))
     return (
         sh.join(df_tab, "sh")
         .groupBy(id_col)
         .agg(F.sort_array(F.collect_set(F.struct("tdf", "sh"))).alias("toks"))
-        .select(
-            F.col(id_col),
-            F.expr("transform(toks, x -> x.sh)").alias("hs"),
-            # df per token, aligned with hs — lets the candidate index
-            # apply a hub-token cap without re-joining the df table
-            F.expr("transform(toks, x -> x.tdf)").alias("dfs"),
-            F.size("toks").alias("n"),
-        )
+        .select(*cols)
         # consumed by the prefix index AND the verify join — materialize once
         .localCheckpoint(eager=False)
     )
@@ -789,20 +798,25 @@ def ngram_jaccard_pairs(
     what the cap is there to bound."""
     t = threshold
     n_docs = _count_rows_cheap(df)
-    docs_arr = _df_ordered_docs_arr(df, id_col, text_col, n_docs)
-    prefix = docs_arr.select(
+    docs_arr = _df_ordered_docs_arr(
+        df, id_col, text_col, n_docs, with_dfs=df_cap is not None
+    )
+    prefix_cols = [
         F.col(id_col),
         F.col("n"),
-        F.col("dfs"),
         F.posexplode(
             F.slice(F.col("hs"), 1, (F.col("n") - F.ceil(t * F.col("n")) + 1).cast("int"))
         ).alias("p", "sh"),
-    )
+    ]
+    if df_cap is not None:
+        prefix_cols.insert(2, F.col("dfs"))
+    prefix = docs_arr.select(*prefix_cols)
     if df_cap is not None:
         # dfs is aligned with hs and the slice starts at element 1, so
         # the sliced position p (0-based) indexes dfs at p + 1
-        prefix = prefix.filter(F.element_at("dfs", F.col("p") + 1) <= df_cap)
-    prefix = prefix.drop("dfs")
+        prefix = prefix.filter(
+            F.element_at("dfs", F.col("p") + 1) <= df_cap
+        ).drop("dfs")
     a, b = prefix.alias("a"), prefix.alias("b")
     # PPJoin POSITION filter: tokens share one global order, so a match at
     # 0-based positions (pa, pb) caps the reachable overlap at
@@ -877,26 +891,32 @@ def ngram_containment_pairs(
     """
     t = threshold
     n_docs = _count_rows_cheap(df)
-    docs_arr = _df_ordered_docs_arr(df, id_col, text_col, n_docs)
-    pa = docs_arr.select(
+    capped = df_cap is not None
+    docs_arr = _df_ordered_docs_arr(
+        df, id_col, text_col, n_docs, with_dfs=capped
+    )
+    pa_cols = [
         F.col(id_col).alias("doc_a"),
         F.col("n").alias("n_a"),
-        F.col("dfs"),
         F.posexplode(
             F.slice(F.col("hs"), 1, (F.col("n") - F.ceil(t * F.col("n")) + 1).cast("int"))
         ).alias("p_a", "sh"),
-    )
-    pb = docs_arr.select(
+    ]
+    pb_cols = [
         F.col(id_col).alias("doc_b"),
         F.col("n").alias("n_b"),
-        F.col("dfs"),
         F.posexplode("hs").alias("pos_b", "sh"),
-    )
-    if df_cap is not None:
+    ]
+    if capped:
+        pa_cols.insert(2, F.col("dfs"))
+        pb_cols.insert(2, F.col("dfs"))
+    pa = docs_arr.select(*pa_cols)
+    pb = docs_arr.select(*pb_cols)
+    if capped:
         pa = pa.filter(F.element_at("dfs", F.col("p_a") + 1) <= df_cap)
         pb = pb.filter(F.element_at("dfs", F.col("pos_b") + 1) <= df_cap)
-    pa = pa.drop("dfs", "p_a")
-    pb = pb.drop("dfs")
+        pa, pb = pa.drop("dfs"), pb.drop("dfs")
+    pa = pa.drop("p_a")
     # no mid-pipeline distinct: stream candidates straight through the
     # broadcast verify in one codegen stage (same rationale as
     # ngram_jaccard_pairs — the shuffle barrier costs more than repeated

@@ -261,12 +261,21 @@ def _pr_iterations(src, dst, iters: int):
     ids, inv_src = np.unique(src, return_inverse=True)
     n = len(ids)
     inv_dst = np.searchsorted(ids, dst)
+    # dst-only (sink) nodes are NOT in ids (which factorizes src only):
+    # searchsorted maps them to an insertion index — without this mask
+    # their contributions would silently credit a neighboring vertex (or
+    # index past n). The distributed loop drops sink contributions via
+    # its left join onto the src-derived node set, and the dense path
+    # drops them via the ``active`` mask; match both exactly.
+    valid = (inv_dst < n) & (ids[np.minimum(inv_dst, n - 1)] == dst)
+    inv_dst = inv_dst[valid]
+    inv_src_v = inv_src[valid]
     deg = np.bincount(inv_src, minlength=n)
     r = np.full(n, int(math.floor(PR_SCALE / n)), dtype=np.int64)
     base = int(math.floor((15.0 * PR_SCALE) / (100.0 * n)))
     for _ in range(iters):
         c = np.floor(r / deg).astype(np.int64)
-        s = np.bincount(inv_dst, weights=c[inv_src], minlength=n)
+        s = np.bincount(inv_dst, weights=c[inv_src_v], minlength=n)
         r = base + np.floor(s * 85 / 100.0).astype(np.int64)
     return pd.DataFrame({"id": ids, "r": r})
 
@@ -378,9 +387,28 @@ def pagerank(
     if kernel_symmetrize:
         # directed input; the undirected graph the strategies see is 2×
         if 2 * n_edges <= local_threshold:
+            # the pack corrupts silently if ids escape [0, 2^31) — guard
+            # in-plan (no extra job) so out-of-contract callers fail loud
+            # instead of getting wrong ranks; they should pass
+            # kernel_symmetrize=False and pre-symmetrize 2-column pairs.
+            in_bounds = (
+                (F.col("src") >= 0)
+                & (F.col("src") < F.lit(1 << 31))
+                & (F.col("dst") >= 0)
+                & (F.col("dst") < F.lit(1 << 31))
+            )
+            guard = F.assert_true(
+                in_bounds,
+                F.lit(
+                    "pagerank(kernel_symmetrize=True) requires ids in"
+                    " [0, 2^31); pre-symmetrize and call with"
+                    " kernel_symmetrize=False for wider ids"
+                ),
+            )
             packed = ed0.select(
-                (
-                    F.shiftleft(F.col("src"), 32).bitwiseOR(F.col("dst"))
+                F.when(
+                    guard.isNull(),
+                    F.shiftleft(F.col("src"), 32).bitwiseOR(F.col("dst")),
                 ).alias("pk")
             )
             return _local_pagerank_sym_packed(packed, iters)

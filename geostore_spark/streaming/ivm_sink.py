@@ -197,6 +197,14 @@ class CdcStreamSink:
         )
 
     def _apply(self, events: DataFrame, meta: dict) -> None:
+        # COUPLING (advisor note): the no-seq duplicate-key guard above
+        # rides ``op_col`` and only fires if the merge plan actually
+        # evaluates that expression for every row. Both arms below DO
+        # consume op_col for every source row (the create path filters
+        # on it; the merge's delete/insert arms read __src_<op_col>), and
+        # tests/test_ivm_stream.py pins the end-to-end raise — if a
+        # future change makes any branch read only pk columns, move the
+        # guard onto a pk column the plan can never prune.
         data_cols = [
             c
             for c in events.columns

@@ -222,3 +222,48 @@ def test_pagerank_sparse_ids_match_dense(spark):
         ).collect()
     }
     assert sparse == {k * BIG: v for k, v in dense.items()}
+
+
+def test_pagerank_sink_nodes_sparse_vs_dense_vs_distributed(spark):
+    """A dst-only (sink) node must not credit its contribution to any
+    other vertex: the sparse np.unique fallback, the dense bincount
+    path, and the distributed left-join loop must produce identical
+    ranks for the DIRECTED graph 1->2, 1->3, 3->1 (node 2 is a sink),
+    under both id regimes (advisor repro: searchsorted previously
+    mapped the absent dst to an insertion index)."""
+    from geostore_spark.operators.graph import pagerank
+
+    edges = [(1, 2), (1, 3), (3, 1)]
+    BIG = 10_000_000_000  # forces the sparse factorization path
+
+    def ranks(pairs, threshold):
+        return {
+            r["id"]: r["r"]
+            for r in pagerank(
+                spark.createDataFrame(pairs, "src long, dst long"),
+                "src", "dst", iters=3, local_threshold=threshold,
+            ).collect()
+        }
+
+    dense = ranks(edges, 10_000_000)
+    sparse = ranks([(a * BIG, b * BIG) for a, b in edges], 10_000_000)
+    distributed = ranks(edges, 0)
+    assert dense == distributed
+    assert sparse == {k * BIG: v for k, v in dense.items()}
+
+
+def test_pagerank_kernel_symmetrize_guards_wide_ids(spark):
+    """The packed kernel_symmetrize path must fail LOUD (not corrupt)
+    when ids escape [0, 2^31)."""
+    import pytest as _pytest
+
+    from geostore_spark.operators.graph import pagerank
+
+    wide = spark.createDataFrame(
+        [(1 << 32, 2), (2, 3)], "src long, dst long"
+    )
+    with _pytest.raises(Exception, match="2\\^31"):
+        pagerank(
+            wide, "src", "dst", iters=2,
+            pre_deduped=True, kernel_symmetrize=True,
+        ).collect()

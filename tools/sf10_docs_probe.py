@@ -159,9 +159,11 @@ def _variants(docs):
 def _timed(spark, build, budget):
     """Run build().count() under a wall budget; cancel + DNF past it."""
     done = threading.Event()
+    fired = threading.Event()
 
     def watchdog():
         if not done.wait(budget):
+            fired.set()
             spark.sparkContext.cancelJobGroup("probe")
 
     w = threading.Thread(target=watchdog, daemon=True)
@@ -171,8 +173,13 @@ def _timed(spark, build, budget):
     try:
         n = build().count()
         return round(time.time() - t0, 1), int(n)
-    except Exception:
-        return "DNF", None
+    except Exception as e:
+        # only a watchdog cancellation is budget evidence ("DNF"); any
+        # other failure (analysis error, OOM, bad fixture path) must be
+        # recorded as an error, not mistaken for the output-volume wall
+        if fired.is_set() or "cancelled" in repr(e).lower():
+            return "DNF", None
+        return {"error": repr(e)[:500]}, None
     finally:
         done.set()
         spark.sparkContext.setJobGroup("", "")
