@@ -538,12 +538,25 @@ def test_minhash_eval_verify_joins_only_candidates(spark):
     assert "Join" in plan
 
 
-def test_rfm_ranks_are_two_phase(spark):
+def test_rfm_local_tier_is_single_kernel(spark):
+    # below the dispatch threshold the per-customer rollup runs in one
+    # vectorized task: no range exchange, no window at all
     plan = _plan(spark, "x_orders_rfm")
-    # the three global ranks must be two-phase: range partition + a
-    # row_number window LOCAL to (_pid) — never row_number over all rows
-    # (the tiny offsets prefix-sum window over ≤32 per-pid counts is the
-    # helper's intended constant-size global step)
+    assert "rangepartitioning" not in plan.lower()
+    assert "row_number()" not in plan
+    assert "mapInPandas" in plan or "MapInPandas" in plan
+
+
+def test_rfm_distributed_tier_ranks_are_two_phase(spark, monkeypatch):
+    import geostore_spark.operators.analytics as analytics
+
+    # force the distributed tier: the three global ranks must be
+    # two-phase — range partition + a row_number window LOCAL to (_pid),
+    # never row_number over all rows (the tiny offsets prefix-sum window
+    # over ≤32 per-pid counts is the helper's intended constant-size
+    # global step)
+    monkeypatch.setattr(analytics, "RFM_LOCAL_THRESHOLD", -1)
+    plan = _plan(spark, "x_orders_rfm")
     assert "rangepartitioning" in plan.lower()
     for line in plan.splitlines():
         if "row_number()" in line:
@@ -900,3 +913,16 @@ def test_dynamic_partition_pruning_engages_on_partitioned_fact(spark, tmp_path):
         .count()
     )
     assert row["n"] == expect
+
+
+def test_rfm_tiers_agree(spark, monkeypatch):
+    """The local kernel and the distributed three-branch plan are two
+    tiers of ONE operator: identical 64-cell rollups on the same data
+    (int64-exact on both, so equality is bitwise)."""
+    import geostore_spark.operators.analytics as analytics
+
+    fn = entry_mod.queries()["x_orders_rfm"]
+    local = [tuple(r) for r in fn(spark, SF).collect()]
+    monkeypatch.setattr(analytics, "RFM_LOCAL_THRESHOLD", -1)
+    dist = [tuple(r) for r in fn(spark, SF).collect()]
+    assert local == dist and len(local) > 0
