@@ -1,0 +1,101 @@
+"""The reliable-pins opt-in (spark.geostore_spark.reliablePins=true).
+
+Default pins are localCheckpoints: fastest, but blocks are NOT
+recomputable — on a real cluster an executor loss mid-query fails every
+consumer of the pinned plan. Under the opt-in, pins become persist():
+lineage retained, so block loss degrades to recompute. These tests
+simulate the loss by unpersisting EVERY persisted RDD between a first
+materialization and a second action — the strongest local stand-in for
+"all the pinned blocks are gone" — and require the opt-in paths to
+complete with identical results.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from geostore_spark.operators.util import (
+    RELIABLE_PINS_CONF,
+    distributed_prefix_sum,
+    distributed_row_number,
+    session_checkpoint,
+)
+
+
+@pytest.fixture()
+def reliable(spark):
+    spark.conf.set(RELIABLE_PINS_CONF, "true")
+    try:
+        yield spark
+    finally:
+        spark.conf.set(RELIABLE_PINS_CONF, "false")
+
+
+def _drop_all_persisted_blocks(spark):
+    """Kill every persisted RDD's blocks — the local simulation of an
+    executor loss taking the pinned blocks with it."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for jrdd in list(jmap.values()):
+        jrdd.unpersist()
+
+
+def _ranked_rows(spark):
+    df = spark.range(0, 5_000).select(
+        F.col("id").alias("k"), (F.col("id") * 37 % 101).alias("v")
+    )
+    ranked, counts = distributed_row_number(df, [], ["v", "k"], "rn")
+    return ranked, counts
+
+
+def test_rank_helper_survives_block_loss_under_opt_in(reliable):
+    spark = reliable
+    ranked, _ = _ranked_rows(spark)
+    before = sorted(tuple(r) for r in ranked.collect())
+    _drop_all_persisted_blocks(spark)
+    # persist() keeps lineage: the second action recomputes through the
+    # SAME exchange instance (one set of range boundaries) and the total
+    # (v, k) order makes the recomputed ranks identical
+    after = sorted(tuple(r) for r in ranked.collect())
+    assert after == before
+    assert len(after) == 5_000
+
+
+def test_prefix_sum_survives_block_loss_under_opt_in(reliable):
+    spark = reliable
+    df = spark.range(0, 3_000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    out = distributed_prefix_sum(df, [], ["k"], "v", "cum")
+    total_before = out.agg(F.max("cum")).collect()[0][0]
+    _drop_all_persisted_blocks(spark)
+    assert out.agg(F.max("cum")).collect()[0][0] == total_before
+
+
+def test_session_checkpoint_entry_survives_block_loss_under_opt_in(reliable):
+    spark = reliable
+    key = ("reliable-pins-test",)
+    built = []
+
+    def build():
+        built.append(1)
+        return spark.range(0, 100).select((F.col("id") * 2).alias("x"))
+
+    df = session_checkpoint(spark, key, build)
+    assert df.count() == 100
+    _drop_all_persisted_blocks(spark)
+    # the memo hands the SAME entry back (no rebuild needed — persist
+    # recomputes), and consuming it after total block loss succeeds
+    df2 = session_checkpoint(spark, key, build)
+    assert built == [1]
+    assert df2.count() == 100
+
+
+def test_default_behavior_unchanged(spark):
+    # opt-in off: the helpers still produce correct ranks (and the memo
+    # liveness probe still rebuilds on loss — pinned elsewhere)
+    assert spark.conf.get(RELIABLE_PINS_CONF, "false") != "true"
+    ranked, _ = _ranked_rows(spark)
+    rows = {r["k"]: r["rn"] for r in ranked.collect()}
+    ordered = sorted(rows.items(), key=lambda kv: (kv[0] * 37 % 101, kv[0]))
+    assert [rn for _, rn in ordered] == list(range(1, 5_001))
