@@ -550,11 +550,51 @@ _LINZ_ASSET = {
     "properties": {"created": _DATETIME, "updated": _DATETIME},
 }
 
+# Quality sub-schema — the second file the reference's schema store
+# preloads alongside the LINZ profile
+# (/root/reference/geostore/check_stac_metadata/stac_validators.py:64
+# QUALITY_SCHEMA_PATH = "{version}/quality/schema.json", stored at :85).
+# The upstream bytes live in the public linz/stac repo (an EMPTY git
+# submodule in this checkout, like the main profile), so this is a
+# reconstruction from the public linz/stac v0.0.15 spec: the quality
+# extension's `quality:*` fields apply to Collection objects and Item
+# ``properties``; each field is typed and accuracies are non-negative
+# metres. A document carrying a mistyped or negative quality field must
+# fail schema validation exactly as it would against the reference's
+# preloaded store.
+LINZ_QUALITY_SCHEMA = {
+    "$id": f"{_LINZ_BASE}/quality/schema.json",
+    "$schema": "http://json-schema.org/draft-07/schema#",
+    "definitions": {
+        "fields": {
+            "type": "object",
+            "properties": {
+                "quality:description": {"type": "string", "minLength": 1},
+                "quality:lineage": {"type": "string", "minLength": 1},
+                "quality:horizontal_accuracy": {
+                    "type": "number",
+                    "minimum": 0,
+                },
+                "quality:vertical_accuracy": {
+                    "type": "number",
+                    "minimum": 0,
+                },
+            },
+        }
+    },
+}
+
+_QUALITY_FIELDS_REF = {
+    "$ref": f"{_LINZ_BASE}/quality/schema.json#/definitions/fields"
+}
+
 LINZ_COLLECTION_SCHEMA = {
     "$id": f"{_LINZ_BASE}/linz/collection.json",
     "$schema": "http://json-schema.org/draft-07/schema#",
     "allOf": [
         {"$ref": f"{_CORE}/collection-spec/json-schema/collection.json"},
+        # quality fields apply to the Collection object itself
+        _QUALITY_FIELDS_REF,
         {
             "type": "object",
             "required": [
@@ -625,6 +665,11 @@ LINZ_ITEM_SCHEMA = {
                 "assets": {"type": "object", "additionalProperties": _LINZ_ASSET},
             },
         },
+        # quality fields apply to Item properties
+        {
+            "type": "object",
+            "properties": {"properties": _QUALITY_FIELDS_REF},
+        },
     ],
 }
 
@@ -644,6 +689,7 @@ SCHEMA_STORE: dict[str, dict] = {
         FILE_V2_SCHEMA,
         PROJECTION_V1_SCHEMA,
         VERSION_V1_SCHEMA,
+        LINZ_QUALITY_SCHEMA,
         LINZ_COLLECTION_SCHEMA,
         LINZ_ITEM_SCHEMA,
     ]
@@ -656,6 +702,7 @@ EXTENSION_VERSIONS: dict[str, dict[str, str]] = {
     "projection": {"1.0.0": PROJECTION_V1_SCHEMA["$id"]},
     "version": {"1.0.0": VERSION_V1_SCHEMA["$id"]},
     "linz": {"0.0.15": LINZ_COLLECTION_SCHEMA["$id"]},
+    "quality": {"0.0.15": LINZ_QUALITY_SCHEMA["$id"]},
 }
 
 

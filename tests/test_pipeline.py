@@ -698,3 +698,23 @@ def test_core_valid_linz_invalid_collection_fails_json_schema(spark, store, tmp_
         if e["check"] == "JSON schema" and e["url"] == tree["collection"]
     ]
     assert "linz:lifecycle" in err["details"]["message"]
+
+
+def test_quality_violating_item_fails_json_schema(spark, store, tmp_path):
+    """Quality sub-schema fidelity (r8 verdict missing #1): the
+    reference's schema store preloads {LINZ_URL}/quality/schema.json
+    alongside the LINZ profile (check_stac_metadata/stac_validators.py:64),
+    so an Item that is core-valid AND LINZ-valid but carries a mistyped
+    quality:* field must fail with a JSON-schema check row."""
+    tree = build_golden_tree(str(tmp_path))
+    item = json.load(open(tree["item"]))
+    item["properties"]["quality:horizontal_accuracy"] = "very accurate"
+    _write_json(tree["item"], item)
+    body = _ingest_expect_failure(
+        spark, store, tmp_path, tree["root_url"], "JSON schema"
+    )
+    [err] = [
+        e for e in body["validation"]["errors"]
+        if e["check"] == "JSON schema" and e["url"] == tree["item"]
+    ]
+    assert "quality:horizontal_accuracy" in err["details"]["message"]

@@ -235,3 +235,48 @@ def test_udf_path_catches_deep_schema_violation(spark):
     rows = df.select(json_schema_errors("raw").alias("errs")).collect()
     assert rows[0].errs == []
     assert any("bbox" in e for e in rows[1].errs)
+
+
+# -- LINZ quality sub-schema (r8 verdict missing #1) --------------------------
+#
+# The reference's schema store preloads {LINZ_URL}/quality/schema.json
+# alongside the LINZ profile (check_stac_metadata/stac_validators.py:64,
+# :85): a core-valid document carrying a mistyped or out-of-range
+# quality:* field must FAIL validation.
+
+
+def test_quality_valid_fields_pass():
+    item = _item()
+    item["properties"]["quality:horizontal_accuracy"] = 0.2
+    item["properties"]["quality:vertical_accuracy"] = 0.1
+    item["properties"]["quality:description"] = "LiDAR-derived"
+    assert validation_errors(item) == []
+
+
+def test_quality_mistyped_accuracy_fails_item():
+    item = _item()
+    assert validation_errors(item) == []  # core-valid baseline
+    item["properties"]["quality:horizontal_accuracy"] = "very accurate"
+    errs = validation_errors(item)
+    assert errs and any("quality:horizontal_accuracy" in e for e in errs)
+
+
+def test_quality_negative_accuracy_fails_item():
+    item = _item()
+    item["properties"]["quality:vertical_accuracy"] = -1.5
+    errs = validation_errors(item)
+    assert errs and any("quality:vertical_accuracy" in e for e in errs)
+
+
+def test_quality_fields_apply_to_collections():
+    coll = minimal_collection(links=[])
+    assert validation_errors(coll) == []
+    coll["quality:description"] = ""  # minLength 1
+    errs = validation_errors(coll)
+    assert errs and any("quality:description" in e for e in errs)
+
+
+def test_quality_schema_versioned_like_reference():
+    # QUALITY_SCHEMA_PATH rides the same linz/stac version directory
+    assert latest_extension_version("quality") == "0.0.15"
+    assert latest_extension_uri("quality") in SCHEMA_STORE
