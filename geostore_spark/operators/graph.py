@@ -1240,21 +1240,16 @@ def q_assortativity(spark: SparkSession, sf: str) -> DataFrame:
        ORDER BY jaccard DESC, part_a, part_b LIMIT 20""",
 )
 def q_jaccard_parts(spark: SparkSession, sf: str) -> DataFrame:
-    li = load_table(spark, "lineitem", sf)
-    # ONE order-keyed shuffle builds the per-order distinct part set
-    # (collect_set dedups in the aggregate — no separate distinct pass),
-    # sorted so in-row expansion emits each unordered pair exactly once
-    # with pa < pb.
-    sets_ = (
-        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .groupBy("o")
-        .agg(F.sort_array(F.collect_set("p")).alias("ps"))
-    )
-    # pinned: consumed by the degree rollup AND the pair pass (the PAIR
-    # stream itself is never pinned — near-distinct and pair-scale, it
-    # flows through its single consumer chain in one codegen stage
-    # instead of being written to block storage)
-    sets_ = sets_.localCheckpoint(eager=False)
+    from geostore_spark.operators.analytics import shared_order_part_sets
+
+    # the per-order distinct part sets come from the session scaffold
+    # (ONE order-keyed shuffle per session × SF, shared with the
+    # basket-lift miner); sorted sets mean the in-row expansion emits
+    # each unordered pair exactly once with pa < pb. The PAIR stream is
+    # never pinned — near-distinct and pair-scale, it flows through its
+    # single consumer chain in one codegen stage instead of being
+    # written to block storage.
+    sets_ = shared_order_part_sets(spark, sf)
     # degree table from the same per-order sets — a cheap
     # partial-aggregated explode, no separate (o, p) distinct pass
     deg = (

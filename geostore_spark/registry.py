@@ -42,57 +42,56 @@ def register(key: str, doc: str, oracle: str | None):
 
 # Driver-coverage rotation: the per-round correctness harness samples a
 # prefix (~50) of the enumerated queries. The keys below enumerate
-# FIRST this round (round 8), in priority order:
-#   1. every query whose PLAN changed in round 8: the sketch-scaffold
-#      consumers (simhash fingerprints / minhash signatures now build
-#      once per session x SF and feed seven queries; incremental dedup
-#      collapsed to one plan), pagerank (input_pinned edge feed), the
-#      two storage demos (stage-then-rename commit protocol, CDC
-#      delete-trim folded into the merge), and the bucketed join
-#      (catalog re-probe before stale-dir cleanup);
-#   2. every other session_checkpoint consumer (the memo gained a lock
-#      + rebuild-on-loss): supply-graph riders, daily-rollup stats
-#      four, k-means riders, bloom scaffold;
-#   3. the stalest driver rows (latest green in round 2, then round 3)
+# FIRST this round (round 9), in priority order:
+#   1. every query whose PLAN changed in round 9: the four reworked
+#      fixed-cost rows (rfm's local-kernel dispatch + parallel rank
+#      branches, the packed-pair-key miners, the fused brute+IVF recall
+#      audit), pagerank (in-kernel top-k cut + the sparse-id sink-node
+#      fix), and the ngram miners (dfs column now built on demand);
+#   2. every other rank-helper consumer (distributed_row_number /
+#      distributed_prefix_sum pins now route through pin_branch_point);
+#   3. the stalest driver rows (latest green in round 3, then round 4)
 #      with the remaining budget.
-# Everything else (driver-green r1 ∪ ... ∪ r7 — all 220 keys) enumerates
+# Everything else (driver-green r1 ∪ ... ∪ r8 — all 220 keys) enumerates
 # last. Purely an enumeration-order hint — every query stays registered
 # and locally oracle-tested either way.
 _NEVER_DRIVER_SAMPLED = (
-    # -- 1: plans changed in round 8
-    "x_dedup_simhash", "x_dedup_simhash_pairs", "x_dedup_simhash_eval",
-    "x_dedup_minhash_lsh", "x_dedup_minhash_eval", "x_dedup_incremental",
-    "x_dedup_clusters", "x_graph_pagerank",
-    "x_storage_cdc_apply", "x_storage_ivm_refresh",
-    "x_storage_bucketed_join",
-    # -- 2: session_checkpoint consumers (locked memo, rebuild-on-loss)
-    "x_graph_degree_stats", "x_graph_kcore", "x_graph_bfs_layers",
-    "x_graph_assortativity", "x_graph_triangles",
-    "x_stats_kendall_tau", "x_stats_spearman", "x_stats_theil_sen",
-    "x_stats_mann_kendall",
-    "x_ml_kmeans", "x_ml_silhouette", "x_dedup_semantic",
-    "x_join_bloom_semi",
-    # -- 3: stalest driver rows (latest green in round 2)
-    "f5_timestamp_parts", "j8_large_orders", "j9_above_avg_anti",
-    "o3_set_difference", "o4_union_discriminator", "o5_intersect",
-    "p3_boolean_filter", "p4_compound_filter", "p5_isin_guard",
-    "p6_regex_validation", "s3_index_equality", "s4_range_prefix",
-    "s5_json_source", "s7_csv_manifest", "s8_dual_location_fallback",
-    "w3_batch_windows", "x_asof_join", "x_events_funnel",
-    "x_events_retention", "x_skew_distinct", "x_skew_salted_agg",
-    "x_stats_corr", "x_stats_zscore",
-    # -- 4: next-stalest (round 3), filling to 50
-    "a10_pivot_crosstab", "a7_grouping_sets", "f10_truncate",
+    # -- 1: plans changed in round 9 (rfm kernel dispatch, packed pair
+    #       keys, fused recall audit, pagerank top-k fold + sparse-id
+    #       sink fix, _df_ordered_docs_arr dfs-on-demand)
+    "x_orders_rfm", "x_orders_basket_lift", "x_graph_jaccard_parts",
+    "x_sim_recall_eval", "x_graph_pagerank",
+    "x_dedup_ngram_jaccard", "x_dedup_containment",
+    # -- 2: rank-helper consumers (pin_branch_point swap in
+    #       distributed_row_number / distributed_prefix_sum)
+    "a9_quantiles", "x_stats_gini", "x_stats_ks_test",
+    "x_stats_mann_whitney", "x_stats_theil_sen",
+    "x_orders_active_intervals", "x_win_ntile_quartiles",
+    "x_part_abc_pareto",
+    # -- 3: stalest driver rows (latest green in round 3)
+    "f11_title_case", "f6_hex_digest", "f7_hashing", "f8_json_field",
+    "f9_href_rewrite", "o6_except_all", "x_events_dau_mau",
+    "x_geo_density", "x_pipeline_dataset_card", "x_pipeline_mix_rebalance",
+    "x_pipeline_pack_sequences", "x_pipeline_training_set",
+    "x_sim_label_purity", "x_sim_range_search", "x_stats_benford",
+    "x_stats_chi2", "x_stats_mad_outliers", "x_stats_winsorize",
+    "x_text_bm25", "x_text_c4_lines", "x_text_chunk_windows",
+    "x_text_gopher_rules", "x_text_heavy_hitters", "x_text_kneser_ney",
+    "x_text_zipf", "x_win_attribution", "x_win_dense_rank_topn",
+    "x_win_event_gap", "x_win_session", "x_win_sliding", "x_win_tumbling",
+    # -- 4: next-stalest (round 4), filling to 50
+    "x_emb_fisher_ratio", "x_emb_gram", "x_emb_outliers",
+    "x_events_cohort_ltv",
 )
 
 
 def all_queries() -> dict[str, RegisteredQuery]:
     """Import every contributing module, then return the registry.
 
-    Enumeration order: the round-8 priority prefix first (see
+    Enumeration order: the round-9 priority prefix first (see
     _NEVER_DRIVER_SAMPLED — changed plans, then stale-row refresh), then
     any new queries added this round, then the 220 keys the driver
-    already verified green in rounds 1-7.
+    already verified green in rounds 1-8.
     """
     # Imports are effectful: each module registers its queries on import.
     from geostore_spark.operators import (  # noqa: F401
@@ -125,8 +124,9 @@ def all_queries() -> dict[str, RegisteredQuery]:
     return {k: REGISTRY[k] for k in (*never, *fresh, *tail)}
 
 
-# 220 keys with a green hash row in CORRECTNESS_r01 ∪ ... ∪ r07
-# (every registered key as of round 7 — 100% ever-driver-verified).
+# 220 keys with a green hash row in CORRECTNESS_r01 ∪ ... ∪ r08
+# (every registered key as of round 8 — 100% ever-driver-verified;
+# the r8 front list came back 50/50 green, so the union is unchanged).
 _DRIVER_VERIFIED = frozenset((
     "a10_pivot_crosstab", "a1_filtered_count", "a2_existence_aggregate",
     "a3_group_collect_extrema", "a4_minmax_summary", "a5_status_rollup",

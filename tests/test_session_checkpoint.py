@@ -126,19 +126,21 @@ def test_shared_scaffold_builders_cover_the_session_scaffolds(spark):
     shares — each builder returns the SAME checkpointed object its
     consumers get, so pre-building genuinely removes first-consumer
     cost from per-query rows."""
+    from geostore_spark.operators.analytics import shared_order_part_sets
     from geostore_spark.operators.graph import shared_supply_pairs
     from geostore_spark.operators.util import shared_scaffold_builders
 
     sf = "/root/testdata/sf0.001"
     builders = shared_scaffold_builders()
     assert set(builders) == {
-        "supply_pairs", "daily_orders", "kmeans_assignment", "bloom_state",
-        "simhash_fps", "minhash_sig",
+        "supply_pairs", "order_part_sets", "daily_orders",
+        "kmeans_assignment", "bloom_state", "simhash_fps", "minhash_sig",
     }
     built = {name: fn(spark, sf) for name, fn in builders.items()}
     for name, df in built.items():
         assert df.count() >= 0
     assert built["supply_pairs"] is shared_supply_pairs(spark, sf)
+    assert built["order_part_sets"] is shared_order_part_sets(spark, sf)
 
 
 def test_session_scalar_builds_through_session_checkpoint(spark):
