@@ -87,9 +87,21 @@ def main() -> None:
     shared_build_total = round(sum(shared_build.values()), 4)
 
     # Pass 1: sequential latency (per-query numbers).
+    import gc
+
     timings: dict[str, float] = {}
     seq_errors: dict[str, str] = {}
-    for name in sorted(qs):
+    for i, name in enumerate(sorted(qs)):
+        if i % 32 == 0 and i:
+            # reap dead checkpoint blocks/broadcasts from earlier
+            # queries OUTSIDE any timed window: ContextCleaner needs a
+            # JVM GC to process its weak refs, and 200+ back-to-back
+            # plans otherwise pile up enough pinned debris that an
+            # organic full GC stalls some victim query mid-flight
+            # (measured r9: bimodal 4.5 s vs 23-41 s pagerank reps;
+            # ~0.3 s per reap here, billed to no query)
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
         start = time.perf_counter()
         try:
             qs[name](spark, sf_dir).collect()
@@ -125,6 +137,10 @@ def main() -> None:
     passes = []
     errors: dict[str, str] = {}
     for _ in range(2):
+        # reap dead blocks/broadcasts between walls (same rationale as
+        # the sequential pass: bill no query for prior passes' litter)
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
         wall_start = time.perf_counter()
         with ThreadPoolExecutor(max_workers=streams) as pool:
             list(pool.map(run_one, enumerate(order)))

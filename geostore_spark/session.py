@@ -85,6 +85,15 @@ def build_session(
         # real cluster this maps to per-executor memory sized the same
         # way: (concurrent tasks) x (broadcast + spill working set).
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
+        # ContextCleaner reaps out-of-scope localCheckpoint blocks and
+        # broadcasts only after a JVM GC processes their weak refs; the
+        # default periodic GC (30 MINUTES) lets a query-per-second
+        # session pile up gigabytes of dead blocks until an organic
+        # full GC stalls a query mid-flight (measured r9: pagerank@sf1
+        # bimodal 4.5 s vs 23-41 s across reps; stable 4.1-4.8 s with a
+        # forced GC between reps). One background System.gc() a minute
+        # bounds the debris at negligible cost on a 32 GB heap.
+        .config("spark.cleaner.periodicGC.interval", "1min")
         # (a) JVM unified-logging warnings default to STDOUT and can
         # interleave with bench.py's one-JSON-line contract (observed:
         # gc,alloc GCLocker warnings corrupting the output mid-line);

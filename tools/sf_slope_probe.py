@@ -49,6 +49,8 @@ def main() -> None:
     times: dict[str, dict[str, list[float]]] = {
         q: {d: [] for d in sf_dirs} for q in queries
     }
+    import gc
+
     for rep in range(args.reps):
         for q in queries:
             for d in sf_dirs:
@@ -57,6 +59,15 @@ def main() -> None:
                 dt = round(time.time() - t0, 2)
                 times[q][d].append(dt)
                 print(f"rep{rep} {q} {d}: {dt}s", file=sys.stderr, flush=True)
+        # reap the PREVIOUS reps' dead checkpoint blocks / broadcasts
+        # between timed reps: ContextCleaner only unpersists them after
+        # a JVM GC processes their weak refs, and letting the debris
+        # pile up turns later reps bimodal (measured: pagerank@sf1
+        # 4.5 s vs 23-41 s; stable 4.1-4.8 s with this reap). Medians
+        # should measure the PLAN, not the harness's accumulated litter
+        # — a real session runs one query, not 8 back-to-back replans.
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
 
     out = {}
     for q in queries:
