@@ -41,12 +41,15 @@ def _quartile(rn: str, n: str):
 # Local-kernel dispatch threshold on the ORDERS metadata row count
 # (customers are ~10% of orders): below it the per-customer rollup —
 # 3 lexsorts + a 64-cell bincount, all int64-exact — runs in ONE task,
-# trading three distributed-rank fixed floors (~2.4 s at sf0.1) for a
-# sub-second kernel. 20 M orders ≈ 2 M customers ≈ 64 MB of Arrow +
-# ~0.6 s of sorts, well under the distributed path's flat floor; the
-# distributed three-branch plan engages above (the
-# connected_components/pagerank dispatch pattern).
-RFM_LOCAL_THRESHOLD = 20_000_000
+# trading three distributed-rank fixed floors for a kernel whose cost
+# is the Arrow funnel of the customer table. MEASURED break-even
+# (tier-vs-tier interleaved medians, this host): kernel wins 1.75 vs
+# 4.13 s at 1.5 M orders and 4.3 vs 6.4 s at 4.5 M; the distributed
+# three-branch plan wins 9.1 vs 16.2 s at 19.5 M — the crossover sits
+# near 8-10 M orders (~1 M customers), so 8 M is the conservative cut
+# (the connected_components/pagerank dispatch pattern, measured not
+# estimated).
+RFM_LOCAL_THRESHOLD = 8_000_000
 
 
 def _rfm_local(base: DataFrame) -> DataFrame:
