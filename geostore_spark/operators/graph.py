@@ -1268,8 +1268,14 @@ def q_jaccard_parts(spark: SparkSession, sf: str) -> DataFrame:
     # a wider id fail loud instead of corrupting.
     guarded_ps = F.when(
         F.assert_true(
-            (F.element_at("ps", 1) >= 0)
-            & (F.element_at("ps", -1) < F.lit(1 << 31)),
+            # size-0 guard first: element_at on an empty array is NULL,
+            # and assert_true treats NULL as failure — an all-NULL-key
+            # basket must emit zero pairs, not a confusing assert
+            (F.size("ps") == 0)
+            | (
+                (F.element_at("ps", 1) >= 0)
+                & (F.element_at("ps", -1) < F.lit(1 << 31))
+            ),
             F.lit("jaccard_parts packed pair keys require 0 <= partkey < 2^31"),
         ).isNull(),
         F.col("ps"),

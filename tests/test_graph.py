@@ -267,3 +267,31 @@ def test_pagerank_kernel_symmetrize_guards_wide_ids(spark):
             wide, "src", "dst", iters=2,
             pre_deduped=True, kernel_symmetrize=True,
         ).collect()
+
+
+def test_packed_pair_guard_tolerates_empty_sets(spark):
+    """An all-NULL-key basket collapses to an EMPTY collect_set array;
+    the packed-pair bounds assert must let it emit zero pairs rather
+    than raising on element_at's NULL."""
+    from pyspark.sql import functions as F
+
+    sets_ = spark.createDataFrame(
+        [([],), ([1, 2],)], "ps array<bigint>"
+    )
+    guarded = F.when(
+        F.assert_true(
+            (F.size("ps") == 0)
+            | (
+                (F.element_at("ps", 1) >= 0)
+                & (F.element_at("ps", -1) < F.lit(1 << 31))
+            ),
+            F.lit("bounds"),
+        ).isNull(),
+        F.col("ps"),
+    )
+    rows = (
+        sets_.select("ps", F.posexplode(guarded).alias("i", "x"))
+        .select("x", F.explode(F.expr("slice(ps, i + 2, size(ps))")).alias("y"))
+        .collect()
+    )
+    assert [(r["x"], r["y"]) for r in rows] == [(1, 2)]
