@@ -146,12 +146,18 @@ def _copy_with_retry(
     permanent on first sight — the reference's
     TemporaryFailure/PermanentFailure split (import_dataset_file.py:72-83)
     with S3 Batch's re-drive loop collapsed into a bounded local loop."""
+    from geostore_spark.pipeline.object_store import RETRYABLE_ERRORS
+
     message: str | None = None
     for attempt in range(1, MAX_IMPORT_ATTEMPTS + 1):
         try:
             _copy_once(src, dst, fault_dir, openers)
             return RESULT_CODE_SUCCEEDED, attempt, message
-        except TimeoutError as err:
+        except RETRYABLE_ERRORS as err:
+            # one classification for BOTH import paths (object_store's
+            # per-attempt protocol and this one-row-per-object form): a
+            # registered cloud opener signalling TemporaryObjectStoreError
+            # (e.g. S3Opener on RequestTimeout) retries here too
             message = f"{RETRY_RESULT_STRING} ({err})"
             continue
         except OSError as err:

@@ -58,7 +58,9 @@ class TemporaryObjectStoreError(Exception):
     TimeoutError and ConnectionError are treated the same way."""
 
 
-_RETRYABLE = (TemporaryObjectStoreError, TimeoutError, ConnectionError)
+# shared with pipeline.ingest's copy protocol so a registered cloud
+# opener's transient failures retry in BOTH import paths
+RETRYABLE_ERRORS = (TemporaryObjectStoreError, TimeoutError, ConnectionError)
 
 
 class S3Opener:
@@ -181,7 +183,7 @@ def import_files_with_outcomes(
                             (src, dst, attempt, RESULT_SUCCEEDED, "")
                         )
                         break
-                    except _RETRYABLE as e:
+                    except RETRYABLE_ERRORS as e:
                         if attempt < max_attempts:
                             code, msg = RESULT_RETRY, RETRY_RESULT_STRING
                         else:

@@ -259,3 +259,31 @@ def test_s3_opener_returns_readable_body():
     )
     with stub:
         assert op("s3://bucket/a/b.json").read() == b"payload"
+
+
+def test_ingest_copy_protocol_retries_opener_transients(tmp_path):
+    """The ingest pipeline's one-row-per-object copy protocol shares the
+    retryable classification: a registered opener raising
+    TemporaryObjectStoreError (the S3Opener RequestTimeout signal) is
+    retried there exactly like its own injected timeouts."""
+    from geostore_spark.pipeline.ingest import (
+        RESULT_CODE_SUCCEEDED,
+        RESULT_CODE_TEMPORARY_FAILURE,
+        _copy_with_retry,
+    )
+
+    root = str(tmp_path / "src2")
+    os.makedirs(root)
+    for name in ("flaky.bin", "ok.bin"):
+        with open(os.path.join(root, name), "wb") as f:
+            f.write(b"z" * 10)
+    openers = {"": gio.local_open, "file": gio.local_open,
+               "flaky": FlakyReadOpener(root)}
+    code, attempts, _ = _copy_with_retry(
+        "flaky://x/flaky.bin", str(tmp_path / "o1"), None, openers
+    )
+    assert (code, attempts) == (RESULT_CODE_SUCCEEDED, 2)
+    code, attempts, msg = _copy_with_retry(
+        "flaky://x/timeout.bin", str(tmp_path / "o2"), None, openers
+    )
+    assert code == RESULT_CODE_TEMPORARY_FAILURE and attempts == 3
