@@ -117,12 +117,15 @@ def _rfm_local(base: DataFrame) -> DataFrame:
     "x_orders_rfm",
     "RFM (recency / frequency / monetary) customer segmentation — the "
     "classic customer-value rollup. One shuffle to per-customer "
-    "aggregates, then THREE two-phase distributed ranks (recency, "
-    "frequency, monetary — each range-partitioned, locally ranked, "
-    "offset by broadcast prefix sums: parallelism ∝ customers, never "
-    "the 1-partition global-window ceiling), explicit floor-formula "
-    "quartiles (identical tie semantics on both engines), and a "
-    "64-cell segment rollup. Monetary sums are exact cents.",
+    "aggregates, then a two-level dispatch on the measured break-even "
+    "(8M orders, parquet-metadata count): below it ONE vectorized task "
+    "ranks all three dimensions (np.lexsort, int64-exact, 64-cell "
+    "bincount rollup); above it THREE two-phase distributed ranks run "
+    "as parallel branches of one plan (each range-partitioned, locally "
+    "ranked, offset by broadcast prefix sums: parallelism ∝ customers, "
+    "never the 1-partition global-window ceiling). Explicit "
+    "floor-formula quartiles (identical tie semantics on both engines); "
+    "monetary sums are exact cents; tiers pinned bit-identical.",
     f"""WITH base AS (
          SELECT o_custkey AS c,
                 date_diff('day', MAX(o_orderdate), TIMESTAMP '{RFM_ANCHOR}')
