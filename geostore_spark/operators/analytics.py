@@ -167,7 +167,8 @@ def q_rfm(spark: SparkSession, sf: str) -> DataFrame:
     # pattern): the dispatch count is parquet METADATA (no job); below
     # the measured break-even the per-customer rollup runs in one
     # vectorized task, zero further shuffles
-    if _count_rows_cheap(orders) <= RFM_LOCAL_THRESHOLD:
+    n_orders = _count_rows_cheap(orders)
+    if n_orders <= RFM_LOCAL_THRESHOLD:
         return _rfm_local(base)
     # the three rankings are INDEPENDENT — build each from the same
     # pinned per-customer base as parallel branches of ONE plan (three
@@ -182,14 +183,17 @@ def q_rfm(spark: SparkSession, sf: str) -> DataFrame:
         "neg_m", -F.col("cents")
     ).localCheckpoint(eager=False)
     r_rec, counts = distributed_row_number(
-        base.select("c", "rec_days"), [], ["rec_days", "c"], "rn_r"
+        base.select("c", "rec_days"), [], ["rec_days", "c"], "rn_r",
+        row_count=n_orders,  # conservative bound on customers
     )
     total = counts.select(F.sum("_n").cast("bigint").alias("n"))
     r_frq, _ = distributed_row_number(
-        base.select("c", "neg_f"), [], ["neg_f", "c"], "rn_f"
+        base.select("c", "neg_f"), [], ["neg_f", "c"], "rn_f",
+        row_count=n_orders,
     )
     r_mon, _ = distributed_row_number(
-        base.select("c", "cents", "neg_m"), [], ["neg_m", "c"], "rn_m"
+        base.select("c", "cents", "neg_m"), [], ["neg_m", "c"], "rn_m",
+        row_count=n_orders,
     )
     q = (
         r_rec.select("c", "rn_r")
@@ -422,7 +426,11 @@ def q_abc_pareto(spark: SparkSession, sf: str) -> DataFrame:
     )
     r = r.withColumn("neg", -F.col("cents")).localCheckpoint(eager=False)
     total = r.agg(F.sum("cents").cast("bigint").alias("total"))
-    c = distributed_prefix_sum(r, [], ["neg", "p"], "cents", out_name="cum")
+    # per-part rollup rows are bounded by the part table's metadata count
+    c = distributed_prefix_sum(
+        r, [], ["neg", "p"], "cents", out_name="cum",
+        row_count=_count_rows_cheap(load_table(spark, "part", sf)),
+    )
     k = c.crossJoin(F.broadcast(total)).select(
         "p",
         "cents",

@@ -441,7 +441,14 @@ def stats_gini(spark: SparkSession, sf: str) -> DataFrame:
     j = orders.join(
         customer, orders.o_custkey == customer.c_custkey
     ).select(F.col("c_mktsegment").alias("segment"), F.col("o_totalprice").alias("x"), "o_orderkey")
-    r, _ = distributed_row_number(j, ["segment"], ["x", "o_orderkey"], rn_name="i")
+    from geostore_spark.operators.dedup import _count_rows_cheap
+
+    r, _ = distributed_row_number(
+        j, ["segment"], ["x", "o_orderkey"], rn_name="i",
+        # cheap metadata BOUND (join is FK-1:1, so rows == orders rows):
+        # under the threshold the plain per-segment window is optimal
+        row_count=_count_rows_cheap(orders),
+    )
     n = F.count(F.lit(1))
     sum_ix = F.sum((F.col("i") * F.col("x")).cast("decimal(28,6)")).cast("double")
     sum_x = F.sum(F.col("x").cast("decimal(28,6)")).cast("double")
@@ -1816,7 +1823,14 @@ def stats_mann_whitney(spark: SparkSession, sf: str) -> DataFrame:
             .alias("na"),
         )
     )
-    c = distributed_prefix_sum(v, [], ["cents"], "cnt", out_name="cum")
+    from geostore_spark.operators.dedup import _count_rows_cheap
+
+    # value-level rows <= orders rows: a cheap metadata bound for the
+    # helper's local-window dispatch
+    c = distributed_prefix_sum(
+        v, [], ["cents"], "cnt", out_name="cum",
+        row_count=_count_rows_cheap(orders),
+    )
     c = c.withColumn("below", F.col("cum") - F.col("cnt"))
     m = c.agg(
         F.sum("na").cast("bigint").alias("n1"),
@@ -2041,7 +2055,8 @@ def stats_theil_sen(spark: SparkSession, sf: str) -> DataFrame:
     from geostore_spark.operators.util import distributed_row_number
 
     ranked, counts = distributed_row_number(
-        p, [], ["slope", "da", "db"], rn_name="i"
+        p, [], ["slope", "da", "db"], rn_name="i",
+        row_count=n,  # exact: the pair count was already materialized
     )
     n_df = counts.select(F.col("_n").cast("bigint").alias("n_pairs"))
     return (

@@ -851,8 +851,13 @@ def q_orders_active_intervals(spark: SparkSession, sf: str) -> DataFrame:
     )
     # both cumulatives ride ONE range partitioning / window / offset
     # join (the helper's multi-column form)
+    from geostore_spark.operators.dedup import _count_rows_cheap
+
     c = distributed_prefix_sum(
-        r, [], ["day"], "dn", out_name="n_open", also={"dv": "v_cum"}
+        r, [], ["day"], "dn", out_name="n_open", also={"dv": "v_cum"},
+        # day-level rows <= 2x orders rows (two deltas per interval):
+        # a cheap metadata bound for the local-window dispatch
+        row_count=2 * _count_rows_cheap(orders),
     )
     return (
         c.filter(F.col("n_open") > 0)

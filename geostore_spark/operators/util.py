@@ -228,14 +228,37 @@ def rebalance_for_python(df: DataFrame) -> DataFrame:
     return df.repartition(target)
 
 
+# Local-window dispatch threshold for the two-phase rank helpers: below
+# it a PLAIN window (shuffle by part_cols, one task per group) is the
+# optimal plan — exactly the in-memory sort DuckDB wins small inputs
+# with — and the two-phase machinery's flat floors (range sampling,
+# pin, broadcast offsets) are pure overhead. MEASURED tier-vs-tier on
+# a9_quantiles (orders input, 3 groups; interleaved medians of 4 with
+# inter-rep reaps): window 0.95 s vs two-phase 1.32 s at 150 k rows;
+# two-phase wins 2.7 vs 3.2 s at 1.5 M and 14.8 vs 44.5 s at 19.5 M —
+# the window's per-group single-task sort hits the parallelism ceiling
+# the two-phase design exists to remove, and it hits it EARLY. 500 k
+# is the measured-conservative cut.
+RANK_LOCAL_THRESHOLD = 500_000
+
+
 def distributed_row_number(
     df: DataFrame,
     part_cols: list[str],
     order_cols: list[str],
     rn_name: str = "i",
     num_partitions: int | None = None,
+    row_count: int | None = None,
 ):
     """Two-phase distributed ROW_NUMBER for low-cardinality partition keys.
+
+    ``row_count``, when the caller can bound the input rows CHEAPLY
+    (parquet metadata of the source table — never a count() job),
+    enables the two-level dispatch: at or under ``RANK_LOCAL_THRESHOLD``
+    the ranks come from a plain ``ROW_NUMBER() OVER (PARTITION BY
+    part_cols ORDER BY order_cols)`` window — identical values, one
+    ordinary hash exchange, no range sampling / pin / offset broadcast.
+    ``None`` (the default) keeps the two-phase plan unconditionally.
 
     ``ROW_NUMBER() OVER (PARTITION BY k ORDER BY ...)`` parallelizes by
     ``k`` — with 5 distinct segments that is a 5-task ceiling and
@@ -262,6 +285,19 @@ def distributed_row_number(
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
+    if row_count is not None and row_count <= RANK_LOCAL_THRESHOLD:
+        # NO pin on this tier: the two-phase pin exists to keep both
+        # consumers on ONE sampled RangePartitioning; the plain window
+        # has no sampling — hash partitioning and the total order
+        # (order_cols always end in a unique key) are deterministic, so
+        # independent evaluations agree by construction. counts derives
+        # straight from the input (a map-side-partial groupBy — cheaper
+        # than writing the full ranked table to block storage just to
+        # re-read a count).
+        w = Window.partitionBy(*part_cols).orderBy(*order_cols)
+        ranked = df.withColumn(rn_name, F.row_number().over(w))
+        counts = df.groupBy(*part_cols).agg(F.count(F.lit(1)).alias("_n"))
+        return ranked, counts
     if num_partitions is None:
         num_partitions = int(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
@@ -307,11 +343,18 @@ def distributed_prefix_sum(
     out_name: str = "cum",
     num_partitions: int | None = None,
     also: dict[str, str] | None = None,
+    row_count: int | None = None,
 ):
     """Two-phase distributed cumulative SUM — same scale argument as
     ``distributed_row_number``: a running total OVER a low-cardinality
     (or empty) partition key is a 1-task global window; this computes
     identical inclusive prefix sums with parallelism ∝ data.
+
+    ``row_count`` (a CHEAP metadata bound, never a count job) enables
+    the same two-level dispatch as ``distributed_row_number``: at or
+    under ``RANK_LOCAL_THRESHOLD`` the plain running-sum window is the
+    optimal plan and the two-phase floors are pure overhead. The sums
+    are exact integers, so the tiers are bit-identical by definition.
 
     1. range-partition on (part_cols, order_cols);
     2. local running sum per (spark_partition_id, part_cols);
@@ -328,11 +371,21 @@ def distributed_prefix_sum(
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
+    vals = {val_col: out_name, **(also or {})}
+    if row_count is not None and row_count <= RANK_LOCAL_THRESHOLD:
+        w = (
+            Window.partitionBy(*part_cols)
+            .orderBy(*order_cols)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        out = df
+        for v, o in vals.items():
+            out = out.withColumn(o, F.sum(v).over(w))
+        return out
     if num_partitions is None:
         num_partitions = int(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
         )
-    vals = {val_col: out_name, **(also or {})}
     # pinned for the same two-consumer consistency reason as
     # distributed_row_number above
     ranged = pin_branch_point(

@@ -243,11 +243,14 @@ def win_ntile_quartiles(spark: SparkSession, sf: str) -> DataFrame:
     from geostore_spark.operators.util import distributed_row_number
 
     ev = load_table(spark, "events", sf)
+    from geostore_spark.operators.dedup import _count_rows_cheap
+
     ranked, group_n = distributed_row_number(
         ev.select("event_type", "value", "event_id"),
         ["event_type"],
         ["value", "event_id"],
         rn_name="i",
+        row_count=_count_rows_cheap(ev),
     )
     # NTILE(k) from the global rank i and group size n: the first
     # n % k buckets hold floor(n/k)+1 rows, the rest floor(n/k).

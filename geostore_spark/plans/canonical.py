@@ -1086,9 +1086,12 @@ def a9(spark: SparkSession, sf: str) -> DataFrame:
     # the final aggregate is constant-size per group.
     from geostore_spark.operators.util import distributed_row_number
 
+    from geostore_spark.operators.dedup import _count_rows_cheap
+
     o = load_table(spark, "orders", sf).select("o_orderstatus", "o_totalprice")
     ranked, counts = distributed_row_number(
-        o, ["o_orderstatus"], ["o_totalprice"], "rn"
+        o, ["o_orderstatus"], ["o_totalprice"], "rn",
+        row_count=_count_rows_cheap(o),
     )
     targets = counts.select("o_orderstatus", *(
         c

@@ -331,16 +331,32 @@ def test_fuzzy_join_dispatch_and_plan_shapes(spark):
 
 
 @pytest.mark.parametrize("name", ["x_stats_gini", "x_win_ntile_quartiles"])
-def test_low_cardinality_rank_is_two_phase(spark, name):
+def test_low_cardinality_rank_is_two_phase(spark, name, monkeypatch):
     # ROW_NUMBER over a 5-ish-key partition is a 5-task ceiling with
-    # whole-key state per task; the two-phase form ranks inside
-    # (range-slice, key) windows — every Window node's partition spec
-    # must include the range-slice id, never the bare low-cardinality key
+    # whole-key state per task; ABOVE the measured local-window
+    # threshold the two-phase form ranks inside (range-slice, key)
+    # windows — every Window node's partition spec must include the
+    # range-slice id, never the bare low-cardinality key. (At the test
+    # SF the dispatch picks the plain window — the measured-optimal
+    # small-input plan — so force the scale tier here.)
+    import geostore_spark.operators.util as util
+
+    monkeypatch.setattr(util, "RANK_LOCAL_THRESHOLD", -1)
     plan = _plan(spark, name)
     assert "Window" in plan
     for line in plan.splitlines():
         if "windowspecdefinition" in line.lower() and "row_number" in line.lower():
             assert "_pid" in line, f"global low-cardinality window in {name}: {line[:200]}"
+
+
+@pytest.mark.parametrize("name", ["x_stats_gini", "x_win_ntile_quartiles"])
+def test_low_cardinality_rank_small_tier_is_plain_window(spark, name):
+    # below the threshold the dispatch must pick the plain window (no
+    # range machinery): measured 0.95 vs 1.32 s at 150 k rows — the
+    # two-phase floors are pure overhead in the small regime
+    plan = _plan(spark, name)
+    assert "Window" in plan
+    assert "_pid" not in plan
 
 
 def test_ks_prefix_sums_are_two_phase(spark):
@@ -555,7 +571,10 @@ def test_rfm_distributed_tier_ranks_are_two_phase(spark, monkeypatch):
     # never row_number over all rows (the tiny offsets prefix-sum window
     # over ≤32 per-pid counts is the helper's intended constant-size
     # global step)
+    import geostore_spark.operators.util as util
+
     monkeypatch.setattr(analytics, "RFM_LOCAL_THRESHOLD", -1)
+    monkeypatch.setattr(util, "RANK_LOCAL_THRESHOLD", -1)
     plan = _plan(spark, "x_orders_rfm")
     assert "rangepartitioning" in plan.lower()
     for line in plan.splitlines():
@@ -622,7 +641,10 @@ def test_gapfill_spine_is_generate_no_calendar_dim(spark):
     assert plan.count("Scan parquet") <= 1 or plan.count("FileScan") <= 1
 
 
-def test_abc_pareto_prefix_sum_is_two_phase(spark):
+def test_abc_pareto_prefix_sum_is_two_phase(spark, monkeypatch):
+    import geostore_spark.operators.util as util
+
+    monkeypatch.setattr(util, "RANK_LOCAL_THRESHOLD", -1)
     plan = _plan(spark, "x_part_abc_pareto")
     # the global cumulative sum must be two-phase: range partition +
     # per-pid local running sums; a SUM window over all rows in one
@@ -870,15 +892,25 @@ def test_a9_quantiles_is_rank_selection_not_map_aggregate(spark):
     # the two-phase distributed rank: a RangePartitioning exchange, a
     # broadcast offsets/targets join, and a constant-size final
     # aggregate over only the rows AT the six cut positions.
+    import geostore_spark.operators.util as util
+
     plan = _plan(spark, "a9_quantiles")
-    assert "percentile" not in plan
-    # the two-phase rank's signature: the local row_number windows are
+    assert "percentile" not in plan  # both tiers: never the map aggregate
+    assert "BroadcastHashJoin" in plan
+
+
+def test_a9_quantiles_scale_tier_is_two_phase(spark, monkeypatch):
+    # force the scale tier: the local row_number windows must be
     # partitioned by (_pid, group) — a naive 1-task-per-group global
     # rank would windowspec on the group alone (the RangePartitioning
     # exchange itself hides behind the helper's pinned checkpoint, so
     # the _pid in the windowspec is the observable witness of it)
+    import geostore_spark.operators.util as util
+
+    monkeypatch.setattr(util, "RANK_LOCAL_THRESHOLD", -1)
+    plan = _plan(spark, "a9_quantiles")
+    assert "percentile" not in plan
     assert "windowspecdefinition(_pid" in plan
-    assert "BroadcastHashJoin" in plan
 
 
 def test_dynamic_partition_pruning_engages_on_partitioned_fact(spark, tmp_path):
