@@ -32,7 +32,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from geostore_spark.logging_keys import LOG_MESSAGE_STRATEGY_DISPATCH, log_event
-from geostore_spark.operators.util import rebalance_for_python
+from geostore_spark.operators.util import pin_branch_point, rebalance_for_python
 from geostore_spark.registry import register
 from geostore_spark.sources.tables import load_table
 
@@ -513,7 +513,7 @@ def simhash_pairs(
     # shuffle-free select, and re-deriving it per side is cheaper than
     # materializing + re-reading a second checkpoint (r7 verdict lever).
     if not input_pinned:
-        bands = bands.localCheckpoint(eager=False)
+        bands = bands.transform(pin_branch_point)
     if bucket_cap is not None:
         ok = (
             bands.groupBy("band", "bval")
@@ -705,7 +705,7 @@ def _df_ordered_docs_arr(
     sh = (
         shingle_rows(df, id_col, text_col, 3)
         .select(F.col(id_col), F.xxhash64("s").alias("sh"))
-        .localCheckpoint(eager=False)
+        .transform(pin_branch_point)
     )
     df_tab = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("tdf"))
     if n_docs <= VERIFY_BROADCAST_MAX_DOCS:
@@ -723,7 +723,7 @@ def _df_ordered_docs_arr(
         .agg(F.sort_array(F.collect_set(F.struct("tdf", "sh"))).alias("toks"))
         .select(*cols)
         # consumed by the prefix index AND the verify join — materialize once
-        .localCheckpoint(eager=False)
+        .transform(pin_branch_point)
     )
 
 
@@ -1889,7 +1889,7 @@ def q_simhash_eval(spark: SparkSession, sf: str) -> DataFrame:
     )
     grams = docs.select(
         "doc_id", _trigrams("text").alias("grams")
-    ).localCheckpoint(eager=False)
+    ).transform(pin_branch_point)
     ga = grams.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("ga"))
     gb = grams.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("gb"))
     n_docs = _count_rows_cheap(docs)

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from geostore_spark.registry import register
 from geostore_spark.sources.tables import load_table
+from geostore_spark.operators.util import pin_branch_point
 
 
 @register(
@@ -316,7 +317,7 @@ def emb_fisher_ratio(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("v").cast("bigint").alias("s"),
         F.sum(F.col("v").cast("decimal(19,0)") * F.col("v")).cast("bigint").alias("ss"),
     )
-    cls = cls.localCheckpoint(eager=False)
+    cls = cls.transform(pin_branch_point)
     tot = cls.groupBy("dim").agg(
         F.sum("n").cast("bigint").alias("nt"), F.sum("s").cast("bigint").alias("st")
     )

@@ -23,6 +23,7 @@ from geostore_spark.logging_keys import LOG_MESSAGE_STRATEGY_DISPATCH, log_event
 from geostore_spark.operators.dedup import simhash_pairs, simhash_pairs_ctes
 from geostore_spark.registry import register
 from geostore_spark.sources.tables import load_table
+from geostore_spark.operators.util import pin_branch_point
 
 
 def _local_union_find(sym: DataFrame) -> DataFrame:
@@ -100,7 +101,7 @@ def connected_components(
         edges.select(F.col(src).alias("v"), F.col(dst).alias("n"))
         .union(edges.select(F.col(dst).alias("v"), F.col(src).alias("n")))
         .repartition("v")
-        .localCheckpoint(eager=False)
+        .transform(pin_branch_point)
     )
     # Runtime strategy dispatch (the AQE broadcast-switch idea applied to
     # graph shape): a pair graph whose edge list fits one partition budget
@@ -120,7 +121,7 @@ def connected_components(
         sym.select("v")
         .distinct()
         .select("v", F.col("v").alias("label"))
-        .localCheckpoint(eager=False)
+        .transform(pin_branch_point)
     )
     # Second-level dispatch (the pagerank/kcore pattern): the label
     # table is |V| rows of 2 longs — aggregate-sized next to |E|.
@@ -148,7 +149,7 @@ def connected_components(
             labels.union(offers)
             .groupBy("v")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=False)
+            .transform(pin_branch_point)
         )
         # pointer jump: label(v) <- label(label(v)); label values are
         # vertex ids, so the lookup side is labels itself
@@ -157,7 +158,7 @@ def connected_components(
         )
         labels = hopped.join(_side(lookup), "label").select(
             "v", F.col("jumped").alias("label")
-        ).localCheckpoint(eager=False)
+        ).transform(pin_branch_point)
         label_sum = labels.agg(F.sum("label")).collect()[0][0]
         if label_sum == prev_sum:
             break
@@ -409,7 +410,7 @@ def pagerank(
     # checkpoint write was ~half the query's warm wall).
     ed0 = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     if not input_pinned:
-        ed0 = ed0.localCheckpoint(eager=False)
+        ed0 = ed0.transform(pin_branch_point)
     n_edges = edge_count if edge_count is not None else ed0.count()
     if kernel_symmetrize:
         # directed input; the undirected graph the strategies see is 2×
@@ -439,7 +440,7 @@ def pagerank(
                 ).alias("pk")
             )
             return _local_pagerank_sym_packed(packed, iters, top_k=top_k)
-        ed0 = symmetrize(ed0).localCheckpoint(eager=False)
+        ed0 = symmetrize(ed0).transform(pin_branch_point)
         n_edges *= 2
         pre_deduped = True
     if n_edges <= local_threshold:
@@ -449,12 +450,12 @@ def pagerank(
     # distributed rounds double-count degree on duplicate edges — dedup
     # here unless the caller already guarantees uniqueness (the shared
     # supply-pair checkpoint), which saves the |E| dedup shuffle
-    ed = ed0 if pre_deduped else ed0.distinct().localCheckpoint(eager=False)
+    ed = ed0 if pre_deduped else ed0.distinct().transform(pin_branch_point)
     nodes = (
         ed.groupBy("src")
         .agg(F.count(F.lit(1)).alias("deg"))
         .select(F.col("src").alias("id"), "deg")
-        .localCheckpoint(eager=False)
+        .transform(pin_branch_point)
     )
     n = nodes.count()
     # Second-level strategy dispatch: rank state is |V| rows of 3 longs
@@ -468,7 +469,7 @@ def pagerank(
     # joins — the classic Pregel layout.
     use_bcast = n <= broadcast_max_nodes
     if not use_bcast:
-        ed = ed.repartition("src").localCheckpoint(eager=False)
+        ed = ed.repartition("src").transform(pin_branch_point)
 
     def _side(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if use_bcast else df
@@ -502,7 +503,7 @@ def pagerank(
                     ).cast("bigint")
                 ).alias("r"),
             )
-            .localCheckpoint(eager=False)
+            .transform(pin_branch_point)
         )
     return ranks.select("id", "r")
 
@@ -808,7 +809,7 @@ def q_triangles(spark: SparkSession, sf: str) -> DataFrame:
         # edges feed the degree table AND the orientation join: without a
         # checkpoint the per-order self-join + distinct run once per
         # consumer (measured: the edge build is half the query)
-        .localCheckpoint(eager=False)
+        .transform(pin_branch_point)
     )
     return triangle_counts_from_edges(edges)
 
@@ -867,7 +868,7 @@ def triangle_counts_from_edges(
     # degree join run once, not once per consumer. The count both
     # materializes the checkpoint and drives the strategy dispatch —
     # one job, no extra pass.
-    oriented = oriented.localCheckpoint(eager=False)
+    oriented = oriented.transform(pin_branch_point)
     n_edges = oriented.count()
     log_event(
         LOG_MESSAGE_STRATEGY_DISPATCH,
@@ -1029,7 +1030,7 @@ def q_kcore(
         keep = deg.filter(F.col("d") >= KCORE_K).select("node")
         # survivors feed two semi joins; materialize once — the count is
         # the materializing action AND the broadcast-dispatch sensor
-        keep = keep.localCheckpoint(eager=False)
+        keep = keep.transform(pin_branch_point)
         n_nodes = keep.count()
 
         def _keep_as(col: str):
@@ -1039,7 +1040,7 @@ def q_kcore(
         edges = (
             edges.join(_keep_as("u"), "u", "left_semi")
             .join(_keep_as("v"), "v", "left_semi")
-            .localCheckpoint(eager=False)
+            .transform(pin_branch_point)
         )
         stats.append((rnd, n_nodes, edges.count()))
     return spark.createDataFrame(
@@ -1100,12 +1101,12 @@ def q_bfs_layers(spark: SparkSession, sf: str) -> DataFrame:
     sym = symmetrize(pairs).select(
         F.col("src").alias("u"), F.col("dst").alias("v")
     )
-    sym = sym.localCheckpoint(eager=False)
+    sym = sym.transform(pin_branch_point)
     frontier = (
         pairs.filter(F.col("dst") < 2 * BFS_SEED_MAX + 1)
         .select(F.col("dst").alias("node"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(pin_branch_point)
     )
     visited = frontier
     layers = [
@@ -1119,14 +1120,14 @@ def q_bfs_layers(spark: SparkSession, sf: str) -> DataFrame:
             .select(F.col("v").alias("node"))
             .distinct()
             .join(visited, "node", "left_anti")
-            .localCheckpoint(eager=False)
+            .transform(pin_branch_point)
         )
         layers.append(
             nxt.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes")).select(
                 F.lit(depth).alias("depth"), "n_nodes"
             )
         )
-        visited = visited.unionAll(nxt).localCheckpoint(eager=False)
+        visited = visited.unionAll(nxt).transform(pin_branch_point)
         frontier = nxt
     out = layers[0]
     for s in layers[1:]:
@@ -1178,7 +1179,7 @@ def q_assortativity(spark: SparkSession, sf: str) -> DataFrame:
     sym = symmetrize(shared_supply_pairs(spark, sf)).select(
         F.col("src").alias("u"), F.col("dst").alias("v")
     )
-    sym = sym.localCheckpoint(eager=False)
+    sym = sym.transform(pin_branch_point)
     deg = sym.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("d"))
     du = deg.select(F.col("node").alias("u"), F.col("d").alias("dx"))
     dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dy"))
@@ -1240,7 +1241,10 @@ def q_assortativity(spark: SparkSession, sf: str) -> DataFrame:
        ORDER BY jaccard DESC, part_a, part_b LIMIT 20""",
 )
 def q_jaccard_parts(spark: SparkSession, sf: str) -> DataFrame:
-    from geostore_spark.operators.analytics import shared_order_part_sets
+    from geostore_spark.operators.analytics import (
+        shared_order_part_sets,
+        shared_part_supports,
+    )
 
     # the per-order distinct part sets come from the session scaffold
     # (ONE order-keyed shuffle per session × SF, shared with the
@@ -1250,13 +1254,14 @@ def q_jaccard_parts(spark: SparkSession, sf: str) -> DataFrame:
     # single consumer chain in one codegen stage instead of being
     # written to block storage.
     sets_ = shared_order_part_sets(spark, sf)
-    # degree table from the same per-order sets — a cheap
-    # partial-aggregated explode, no separate (o, p) distinct pass
+    # degree table = the vocabulary-sized shared supports scaffold
+    # (same r10 lever as basket lift: the per-call ~5 M-row explode +
+    # partial-agg shuffle moved into a build-once table; the -1
+    # sentinel row is the order count, unused here)
     deg = (
-        sets_.select(F.explode("ps").alias("p"))
-        .groupBy("p")
-        .agg(F.count(F.lit(1)).alias("d"))
-        .localCheckpoint(eager=False)  # feeds both broadcast probes
+        shared_part_supports(spark, sf)
+        .filter(F.col("p") != -1)
+        .select("p", F.col("n_p").alias("d"))
     )
     # PACKED pair keys (r8 judge lever): each order emits its pairs as
     # ONE long pk = (pa << 32) | pb — half the exchange width and hash

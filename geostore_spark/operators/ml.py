@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 
 from geostore_spark.registry import register
 from geostore_spark.sources.tables import load_table
+from geostore_spark.operators.util import pin_branch_point
 
 K = 8
 ITERS = 3
@@ -75,7 +76,7 @@ def kmeans_assign(
     import numpy as np
     import pandas as pd
 
-    emb = embeddings.select("vec_id", "embedding").localCheckpoint(eager=False)
+    emb = embeddings.select("vec_id", "embedding").transform(pin_branch_point)
     seeds = sorted(
         embeddings.select("vec_id", "embedding").orderBy("vec_id").limit(k).collect(),
         key=lambda r: r["vec_id"],

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from geostore_spark.operators.dedup import _duck_md5_32, _md5_32
 from geostore_spark.registry import register
 from geostore_spark.sources.tables import load_table
+from geostore_spark.operators.util import pin_branch_point
 
 SEED = "geostore-sample-v1"
 BUCKETS = 10_000
@@ -126,7 +127,7 @@ def token_budget_sample(
         toks.alias("toks"),
         okey.alias("okey"),
         F.conv(F.substring(okey, 1, 2), 16, 10).cast("int").alias("bucket"),
-    ).localCheckpoint(eager=False)
+    ).transform(pin_branch_point)
 
     bucket_sums = base.groupBy("lang", "bucket").agg(F.sum("toks").alias("btoks"))
     rules = []  # (lang, bucket, base_acc) for buckets that can contribute
@@ -569,7 +570,7 @@ def q_mix_temperature(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, "documents", sf)
     toks = F.size(F.split(F.trim("text"), r"\s+"))
     lang = docs.groupBy("lang").agg(F.sum(toks).cast("bigint").alias("toks"))
-    lang = lang.localCheckpoint(eager=False)
+    lang = lang.transform(pin_branch_point)
     tot = lang.agg(F.sum("toks").cast("bigint").alias("t"))
     p = lang.crossJoin(F.broadcast(tot)).select(
         "lang",
@@ -585,7 +586,7 @@ def q_mix_temperature(spark: SparkSession, sf: str) -> DataFrame:
         .cast("bigint")
         .alias("pw_q"),
     )
-    p = p.localCheckpoint(eager=False)
+    p = p.transform(pin_branch_point)
     z = p.agg(F.sum("pw_q").cast("bigint").alias("z"))
     return (
         p.crossJoin(F.broadcast(z))

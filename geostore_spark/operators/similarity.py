@@ -31,7 +31,7 @@ from geostore_spark.logging_keys import (
     LOG_MESSAGE_STRATEGY_DISPATCH,
     log_event,
 )
-from geostore_spark.operators.util import rebalance_for_python
+from geostore_spark.operators.util import pin_branch_point, rebalance_for_python
 from geostore_spark.registry import register
 from geostore_spark.sources.tables import load_table
 
@@ -937,7 +937,7 @@ def _fused_brute_ivf_topk(
         .filter(F.col("rn") <= k)
         .select("path", "q_id", "n_id")
         # truth feeds per_q AND the hit join; approx feeds the hit join
-        .localCheckpoint(eager=False)
+        .transform(pin_branch_point)
     )
 
 

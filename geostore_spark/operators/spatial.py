@@ -35,6 +35,7 @@ from geostore_spark.functions.geo import (
 )
 from geostore_spark.registry import register
 from geostore_spark.sources.tables import load_table
+from geostore_spark.operators.util import pin_branch_point
 
 CELL_DEG = 2.0  # fixed grid pitch in degrees
 
@@ -437,7 +438,7 @@ def q_geo_hotspot(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         # the cell table feeds the stencil scatter, the center join AND
         # the total — materialize the fact shuffle once
-        .localCheckpoint(eager=False)
+        .transform(pin_branch_point)
     )
     offsets = F.expr(
         "explode(flatten(transform(sequence(-1, 1), "

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from geostore_spark.registry import register
 from geostore_spark.sources.tables import load_table
+from geostore_spark.operators.util import pin_branch_point
 
 N_BUCKETS = 20
 
@@ -562,7 +563,7 @@ def stats_ks_test(spark: SparkSession, sf: str) -> DataFrame:
     ranged = (
         g.repartitionByRange(n_parts, "value")
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=False)
+        .transform(pin_branch_point)
     )
     # phase 1: local cumsums within each range slice (parallelism = slices)
     w_local = (
@@ -827,7 +828,7 @@ def stats_mutual_info(spark: SparkSession, sf: str) -> DataFrame:
     cell = q.groupBy("x", "y").agg(F.count(F.lit(1)).alias("n_xy"))
     # marginals and the grand total re-aggregate the |X|x|Y| cell table
     # (≤50 rows) — never the event stream again
-    cell = cell.localCheckpoint(eager=False)
+    cell = cell.transform(pin_branch_point)
     mx = cell.groupBy("x").agg(F.sum("n_xy").cast("bigint").alias("n_x"))
     my = cell.groupBy("y").agg(F.sum("n_xy").cast("bigint").alias("n_y"))
     tot = cell.agg(F.sum("n_xy").cast("bigint").alias("n"))
@@ -1267,7 +1268,7 @@ def stats_column_entropy(spark: SparkSession, sf: str) -> DataFrame:
         part = orders.select(F.lit(c).alias("col"), F.col(c).alias("val"))
         u = part if u is None else u.unionAll(part)
     cnt = u.groupBy("col", "val").agg(F.count(F.lit(1)).alias("n"))
-    cnt = cnt.localCheckpoint(eager=False)
+    cnt = cnt.transform(pin_branch_point)
     tot = cnt.groupBy("col").agg(F.sum("n").cast("bigint").alias("tot"))
     p = F.col("n").cast("double") / F.col("tot")
     q = cnt.join(F.broadcast(tot), "col").select(
@@ -1328,7 +1329,7 @@ def stats_hhi(spark: SparkSession, sf: str) -> DataFrame:
             .alias("cents")
         )
     )
-    r = r.localCheckpoint(eager=False)
+    r = r.transform(pin_branch_point)
     t = r.groupBy("nation").agg(F.sum("cents").cast("bigint").alias("tot"))
     h_q = F.round(
         F.pow(F.col("cents").cast("double") / F.col("tot"), 2.0) * 1_000_000_000,
@@ -2009,7 +2010,7 @@ def stats_theil_sen(spark: SparkSession, sf: str) -> DataFrame:
     )
     # pair stream is consumed by 2-3 cheap scans — pin it once (70 MB
     # of (date, date, float8) blocks at a decade of days)
-    p = p.localCheckpoint(eager=False)
+    p = p.transform(pin_branch_point)
     stats = p.agg(
         F.count(F.lit(1)).alias("n"),
         F.min("slope").alias("lo"),

@@ -20,6 +20,7 @@ from pyspark.sql.window import Window
 
 from geostore_spark.registry import register
 from geostore_spark.sources.tables import load_table
+from geostore_spark.operators.util import pin_branch_point
 
 
 def asof_join(
@@ -272,7 +273,7 @@ def q_events_markov(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("prev", F.col("event_type").alias("next"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    t = t.localCheckpoint(eager=False)
+    t = t.transform(pin_branch_point)
     m = t.groupBy("prev").agg(F.sum("n").cast("bigint").alias("n_prev"))
     return (
         t.join(F.broadcast(m), "prev")
@@ -327,7 +328,7 @@ def q_events_gapfill(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("user_id", "day")
         .agg(F.count(F.lit(1)).alias("x"))
     )
-    d = d.localCheckpoint(eager=False)
+    d = d.transform(pin_branch_point)
     spine = (
         d.groupBy("user_id")
         .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
@@ -511,7 +512,7 @@ def q_entropy_rate(spark: SparkSession, sf: str) -> DataFrame:
     t = seq.groupBy("prev", F.col("event_type").alias("next")).agg(
         F.count(F.lit(1)).alias("n")
     )
-    t = t.localCheckpoint(eager=False)
+    t = t.transform(pin_branch_point)
     m = t.groupBy("prev").agg(F.sum("n").cast("bigint").alias("n_prev"))
     tot = t.agg(F.sum("n").cast("bigint").alias("z"))
     h_q = F.round(

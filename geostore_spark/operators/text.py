@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from geostore_spark.logging_keys import LOG_MESSAGE_STRATEGY_DISPATCH, log_event
 from geostore_spark.registry import register
 from geostore_spark.sources.tables import load_table
+from geostore_spark.operators.util import pin_branch_point
 
 # Tiny per-language stopword lexicon (public common stopwords).
 STOPWORDS: dict[str, tuple[str, ...]] = {
@@ -688,7 +689,7 @@ def text_perplexity(spark: SparkSession, sf: str) -> DataFrame:
                 )
             ).alias("g"),
         )
-        .localCheckpoint(eager=False)
+        .transform(pin_branch_point)
     )
     bgc = pairs.groupBy("g").agg(F.count(F.lit(1)).alias("c")).withColumn(
         "w1", F.substring_index("g", " ", 1)
@@ -1190,7 +1191,7 @@ def fuzzy_edit_join(cust_in: DataFrame, force: str | None = None) -> DataFrame:
     # Both aggregates partially combine map-side and collapse to one
     # scalar each; the segment table is checkpointed so the PassJoin
     # path (if chosen) reuses it instead of re-mining segments.
-    b = b.localCheckpoint(eager=False)
+    b = b.transform(pin_branch_point)
     passjoin_est = b.groupBy("b_nation", "b_ln", "i", "seg").agg(
         F.count(F.lit(1)).alias("m")
     ).agg(F.sum(F.col("m") * F.col("m"))).collect()[0][0] or 0
@@ -1467,7 +1468,7 @@ def text_kneser_ney(spark: SparkSession, sf: str) -> DataFrame:
     bgc = pairs.groupBy("w1", "w2", "g").agg(F.count(F.lit(1)).alias("cnt"))
     # every smoothing statistic is a re-aggregation of the bigram table —
     # the corpus is exploded and shuffled exactly once
-    bgc = bgc.localCheckpoint(eager=False)
+    bgc = bgc.transform(pin_branch_point)
     ctx = bgc.groupBy("w1").agg(
         F.sum("cnt").cast("bigint").alias("cw1"),
         F.count(F.lit(1)).alias("n_types_after"),
@@ -1740,7 +1741,7 @@ def text_js_divergence(spark: SparkSession, sf: str) -> DataFrame:
         "lang", F.explode(F.split(F.lower("text"), "")).alias("c")
     ).filter(F.col("c") != "")
     cnt = ch.groupBy("lang", "c").agg(F.count(F.lit(1)).alias("n"))
-    cnt = cnt.localCheckpoint(eager=False)
+    cnt = cnt.transform(pin_branch_point)
     tot = cnt.groupBy("lang").agg(F.sum("n").cast("bigint").alias("t"))
     p = cnt.join(F.broadcast(tot), "lang").select(
         "lang", "c", (F.col("n").cast("double") / F.col("t")).alias("p")
@@ -1966,7 +1967,7 @@ def q_trigram_novelty(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, "documents", sf)
     sh = (
         shingle_rows(docs, "doc_id", "text", 3)
-        .localCheckpoint(eager=False)  # feeds the first-doc table AND the re-join
+        .transform(pin_branch_point)  # feeds the first-doc table AND the re-join
     )
     first = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
     d = (

@@ -432,7 +432,10 @@ def shared_scaffold_builders() -> dict[str, Callable[[SparkSession, str], DataFr
     rows measure the steady-state plan the amortization argument is
     about, not first-consumer cost (r6 judge: pagerank's row carried
     the whole graph family's shared supply-pair build)."""
-    from geostore_spark.operators.analytics import shared_order_part_sets
+    from geostore_spark.operators.analytics import (
+        shared_order_part_sets,
+        shared_part_supports,
+    )
     from geostore_spark.operators.dedup import (
         shared_minhash_sig,
         shared_simhash_fps,
@@ -445,6 +448,7 @@ def shared_scaffold_builders() -> dict[str, Callable[[SparkSession, str], DataFr
     return {
         "supply_pairs": lambda spark, sf: shared_supply_pairs(spark, sf),
         "order_part_sets": lambda spark, sf: shared_order_part_sets(spark, sf),
+        "part_supports": lambda spark, sf: shared_part_supports(spark, sf),
         "daily_orders": lambda spark, sf: shared_daily_orders(spark, sf),
         "kmeans_assignment": lambda spark, sf: shared_kmeans_assignment(spark, sf),
         "bloom_state": lambda spark, sf: shared_bloom_state(spark, sf)[1],

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from geostore_spark.registry import register
 from geostore_spark.sources.tables import load_table
+from geostore_spark.operators.util import pin_branch_point
 
 
 @register(
@@ -459,7 +460,7 @@ def win_streaks(spark: SparkSession, sf: str) -> DataFrame:
     s = i.groupBy("user_id", "island").agg(
         F.count(F.lit(1)).alias("len"), F.min("dn").alias("start_dn")
     )
-    s = s.localCheckpoint(eager=False)
+    s = s.transform(pin_branch_point)
     m = s.groupBy("user_id").agg(
         F.max("len").alias("longest"), F.count(F.lit(1)).alias("n_streaks")
     )
