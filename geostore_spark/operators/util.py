@@ -440,13 +440,20 @@ def shared_scaffold_builders() -> dict[str, Callable[[SparkSession, str], DataFr
         shared_minhash_sig,
         shared_simhash_fps,
     )
-    from geostore_spark.operators.graph import shared_supply_pairs, symmetrize
+    from geostore_spark.operators.graph import (
+        shared_supply_nodes,
+        shared_supply_pairs,
+        shared_supply_sym_dst,
+        symmetrize,
+    )
     from geostore_spark.operators.ml import shared_kmeans_assignment
     from geostore_spark.operators.runtime_filters import shared_bloom_state
     from geostore_spark.operators.stats import shared_daily_orders
 
     return {
         "supply_pairs": lambda spark, sf: shared_supply_pairs(spark, sf),
+        "supply_sym_dst": lambda spark, sf: shared_supply_sym_dst(spark, sf),
+        "supply_nodes": lambda spark, sf: shared_supply_nodes(spark, sf),
         "order_part_sets": lambda spark, sf: shared_order_part_sets(spark, sf),
         "part_supports": lambda spark, sf: shared_part_supports(spark, sf),
         "daily_orders": lambda spark, sf: shared_daily_orders(spark, sf),

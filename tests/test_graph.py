@@ -295,3 +295,17 @@ def test_packed_pair_guard_tolerates_empty_sets(spark):
         .collect()
     )
     assert [(r["x"], r["y"]) for r in rows] == [(1, 2)]
+
+
+def test_pagerank_scaffold_rounds_match_kernel_path(spark, monkeypatch):
+    """q_pagerank's distributed regime (session-scaffolded dst-clustered
+    graph + _pr_rounds) engages only past the kernel break-even, which
+    sf0.01 never reaches — force it and require bit-identical ranks to
+    the packed-kernel path the oracle already pins."""
+    from geostore_spark.operators import graph
+
+    sf = "/root/testdata/sf0.01"
+    via_kernel = [tuple(r) for r in graph.q_pagerank(spark, sf).collect()]
+    monkeypatch.setattr(graph, "PR_KERNEL_MAX_EDGES", -1)
+    via_rounds = [tuple(r) for r in graph.q_pagerank(spark, sf).collect()]
+    assert via_rounds == via_kernel

@@ -133,7 +133,8 @@ def test_shared_scaffold_builders_cover_the_session_scaffolds(spark):
     sf = "/root/testdata/sf0.001"
     builders = shared_scaffold_builders()
     assert set(builders) == {
-        "supply_pairs", "order_part_sets", "part_supports", "daily_orders",
+        "supply_pairs", "supply_sym_dst", "supply_nodes",
+        "order_part_sets", "part_supports", "daily_orders",
         "kmeans_assignment", "bloom_state", "simhash_fps", "minhash_sig",
     }
     built = {name: fn(spark, sf) for name, fn in builders.items()}
