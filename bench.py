@@ -92,16 +92,22 @@ def main() -> None:
     timings: dict[str, float] = {}
     seq_errors: dict[str, str] = {}
     for i, name in enumerate(sorted(qs)):
-        if i % 32 == 0 and i:
+        if i % 16 == 0 and i:
             # reap dead checkpoint blocks/broadcasts from earlier
             # queries OUTSIDE any timed window: ContextCleaner needs a
             # JVM GC to process its weak refs, and 200+ back-to-back
             # plans otherwise pile up enough pinned debris that an
             # organic full GC stalls some victim query mid-flight
             # (measured r9: bimodal 4.5 s vs 23-41 s pagerank reps;
-            # ~0.3 s per reap here, billed to no query)
+            # ~0.3 s per reap here, billed to no query). Every-16
+            # since r10: halving the litter window costs ~7 unbilled
+            # seconds per run and removed the heavy-loop outlier reps
+            # in the sf1 graph probes; the cleaner also drains its
+            # reference queue ASYNCHRONOUSLY after System.gc returns,
+            # so give it a beat before the next timed query starts
             gc.collect()
             spark.sparkContext._jvm.System.gc()
+            time.sleep(0.3)
         start = time.perf_counter()
         try:
             qs[name](spark, sf_dir).collect()

@@ -51,6 +51,15 @@ def main() -> None:
     }
     import gc
 
+    # reap the warmup pass's litter BEFORE the first timed rep — the
+    # per-query reap below only runs after timed queries, and the
+    # warmup's dead blocks otherwise stall rep-0 of whichever query
+    # runs first (measured r10: triangles@sf1 rep-0 42-68 s against a
+    # ~24 s median; steady with this reap)
+    gc.collect()
+    spark.sparkContext._jvm.System.gc()
+    time.sleep(0.3)
+
     for rep in range(args.reps):
         for q in queries:
             for d in sf_dirs:
@@ -59,15 +68,24 @@ def main() -> None:
                 dt = round(time.time() - t0, 2)
                 times[q][d].append(dt)
                 print(f"rep{rep} {q} {d}: {dt}s", file=sys.stderr, flush=True)
-        # reap the PREVIOUS reps' dead checkpoint blocks / broadcasts
-        # between timed reps: ContextCleaner only unpersists them after
-        # a JVM GC processes their weak refs, and letting the debris
-        # pile up turns later reps bimodal (measured: pagerank@sf1
-        # 4.5 s vs 23-41 s; stable 4.1-4.8 s with this reap). Medians
-        # should measure the PLAN, not the harness's accumulated litter
-        # — a real session runs one query, not 8 back-to-back replans.
-        gc.collect()
-        spark.sparkContext._jvm.System.gc()
+                # reap the previous queries' dead checkpoint blocks /
+                # broadcasts OUTSIDE the timed window, after EVERY
+                # timed query (round 10; was per-rep): ContextCleaner
+                # only unpersists them after a JVM GC processes its
+                # weak refs, and when several heavy graph loops share
+                # one rep the per-rep cadence still let one query's
+                # litter stall the next mid-flight (measured r10:
+                # kcore@sf1 26.7 s rep against a 7.4 s median with
+                # pagerank+triangles in the same rep; no rep >2x median
+                # with the per-query reap). Medians should measure the
+                # PLAN, not the harness's accumulated litter — a real
+                # session runs one query, not 15 back-to-back replans.
+                gc.collect()
+                spark.sparkContext._jvm.System.gc()
+                # the ContextCleaner drains its reference queue
+                # ASYNCHRONOUSLY after the GC returns — give it a beat
+                # so the unpersists don't overlap the next timed query
+                time.sleep(0.3)
 
     out = {}
     for q in queries:
