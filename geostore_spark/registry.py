@@ -42,46 +42,44 @@ def register(key: str, doc: str, oracle: str | None):
 
 # Driver-coverage rotation: the per-round correctness harness samples a
 # prefix (~50) of the enumerated queries. The keys below enumerate
-# FIRST this round (round 9), in priority order:
-#   1. every query whose PLAN changed in round 9: the four reworked
-#      fixed-cost rows (rfm's local-kernel dispatch + parallel rank
-#      branches, the packed-pair-key miners, the fused brute+IVF recall
-#      audit), pagerank (in-kernel top-k cut + the sparse-id sink-node
-#      fix), and the ngram miners (dfs column now built on demand);
-#   2. every other rank-helper consumer (distributed_row_number /
-#      distributed_prefix_sum pins now route through pin_branch_point);
-#   3. the stalest driver rows (latest green in round 3, then round 4)
-#      with the remaining budget.
-# Everything else (driver-green r1 ∪ ... ∪ r8 — all 220 keys) enumerates
-# last. Purely an enumeration-order hint — every query stays registered
-# and locally oracle-tested either way.
+# FIRST this round (round 10), in priority order:
+#   1. every query whose PLAN changed in round 10: the two pair miners
+#      (item supports moved into the shared vocabulary-sized
+#      part_supports scaffold; order_part_sets size-bounded), pagerank
+#      (scaffold-rounds fast path over the dst-clustered symmetric
+#      graph), and rfm (repartition(1) kernel barrier replacing the
+#      pin+coalesce);
+#   2. the rest of the supply-graph family — they share the scaffolds
+#      the pagerank rework touched (supply_pairs unchanged, but the
+#      session now also pins supply_sym_dst / supply_nodes beside it);
+#   3. the stalest driver rows — everything whose latest green is
+#      round 4, then the oldest round-5 rows to fill the ~50 budget.
+# Everything else (driver-green r1 ∪ ... ∪ r09 — all 220 keys)
+# enumerates last. Purely an enumeration-order hint — every query stays
+# registered and locally oracle-tested either way.
 _NEVER_DRIVER_SAMPLED = (
-    # -- 1: plans changed in round 9 (rfm kernel dispatch, packed pair
-    #       keys, fused recall audit, pagerank top-k fold + sparse-id
-    #       sink fix, _df_ordered_docs_arr dfs-on-demand)
-    "x_orders_rfm", "x_orders_basket_lift", "x_graph_jaccard_parts",
-    "x_sim_recall_eval", "x_graph_pagerank",
-    "x_dedup_ngram_jaccard", "x_dedup_containment",
-    # -- 2: rank-helper consumers (pin_branch_point swap in
-    #       distributed_row_number / distributed_prefix_sum)
-    "a9_quantiles", "x_stats_gini", "x_stats_ks_test",
-    "x_stats_mann_whitney", "x_stats_theil_sen",
-    "x_orders_active_intervals", "x_win_ntile_quartiles",
-    "x_part_abc_pareto",
-    # -- 3: stalest driver rows (latest green in round 3)
-    "f11_title_case", "f6_hex_digest", "f7_hashing", "f8_json_field",
-    "f9_href_rewrite", "o6_except_all", "x_events_dau_mau",
-    "x_geo_density", "x_pipeline_dataset_card", "x_pipeline_mix_rebalance",
-    "x_pipeline_pack_sequences", "x_pipeline_training_set",
-    "x_sim_label_purity", "x_sim_range_search", "x_stats_benford",
-    "x_stats_chi2", "x_stats_mad_outliers", "x_stats_winsorize",
-    "x_text_bm25", "x_text_c4_lines", "x_text_chunk_windows",
-    "x_text_gopher_rules", "x_text_heavy_hitters", "x_text_kneser_ney",
-    "x_text_zipf", "x_win_attribution", "x_win_dense_rank_topn",
-    "x_win_event_gap", "x_win_session", "x_win_sliding", "x_win_tumbling",
-    # -- 4: next-stalest (round 4), filling to 50
-    "x_emb_fisher_ratio", "x_emb_gram", "x_emb_outliers",
-    "x_events_cohort_ltv",
+    # -- 1: plans changed in round 10
+    "x_orders_basket_lift", "x_graph_jaccard_parts", "x_graph_pagerank",
+    "x_orders_rfm",
+    # -- 2: supply-graph scaffold family
+    "x_graph_kcore", "x_graph_triangles", "x_graph_bfs_layers",
+    "x_graph_assortativity", "x_graph_degree_stats",
+    # -- 3: stalest driver rows (latest green round 4)
+    "x_stats_ttest", "x_stats_psi_drift", "x_stats_mutual_info",
+    "x_stats_cov_matrix", "x_stats_skew_kurtosis", "x_stats_qq_deciles",
+    "x_stats_autocorr", "x_stats_wilson_rank", "x_stats_column_entropy",
+    "x_stats_hhi", "x_events_ewma", "x_events_markov", "x_events_gapfill",
+    "x_events_entropy_rate", "x_orders_survival", "x_win_pct_change",
+    "x_win_cume_dist", "x_win_first_last", "x_win_streaks",
+    "x_text_readability", "x_text_js_divergence", "x_text_heaps",
+    "x_join_full_outer", "x_sample_weighted", "x_pipeline_funnel",
+    "x_pipeline_shard_assign", "x_pipeline_mix_temperature",
+    "x_unpivot_melt", "x_posexplode_ordinality", "x_q6_discount_revenue",
+    "x_shipping_lag", "x_mm_wav_decode", "x_mm_bmp_decode", "x_mm_decode",
+    "x_mm_resize", "x_mm_frames",
+    # -- 4: oldest round-5 rows, filling to 50
+    "x_dedup_url", "x_text_fuzzy_join", "x_text_perplexity",
+    "x_text_bpe_pairs", "a8_approx_distinct",
 )
 
 
@@ -124,9 +122,9 @@ def all_queries() -> dict[str, RegisteredQuery]:
     return {k: REGISTRY[k] for k in (*never, *fresh, *tail)}
 
 
-# 220 keys with a green hash row in CORRECTNESS_r01 ∪ ... ∪ r08
-# (every registered key as of round 8 — 100% ever-driver-verified;
-# the r8 front list came back 50/50 green, so the union is unchanged).
+# 220 keys with a green hash row in CORRECTNESS_r01 ∪ ... ∪ r09
+# (every registered key — 100% ever-driver-verified; the r9 front
+# list came back 50/50 green, so the union is unchanged).
 _DRIVER_VERIFIED = frozenset((
     "a10_pivot_crosstab", "a1_filtered_count", "a2_existence_aggregate",
     "a3_group_collect_extrema", "a4_minmax_summary", "a5_status_rollup",
