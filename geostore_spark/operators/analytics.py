@@ -282,10 +282,21 @@ def shared_part_supports(spark: SparkSession, sf: str) -> DataFrame:
 
     def build() -> DataFrame:
         baskets = shared_order_part_sets(spark, sf)
+        # a REAL -1 partkey would merge with the sentinel and corrupt
+        # n_orders silently — same contract the miners' packed-pair
+        # guard enforces, asserted here per BASKET (ps is sorted, so
+        # element 1 is the minimum; once per session, not per query)
+        guarded_ps = F.when(
+            F.assert_true(
+                (F.size("ps") == 0) | (F.element_at("ps", 1) >= 0),
+                F.lit("part_supports sentinel requires partkey >= 0"),
+            ).isNull(),
+            F.col("ps"),
+        )
         return (
             baskets.select(
                 F.explode(
-                    F.concat("ps", F.array(F.lit(-1).cast("bigint")))
+                    F.concat(guarded_ps, F.array(F.lit(-1).cast("bigint")))
                 ).alias("p")
             )
             .groupBy("p")

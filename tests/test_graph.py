@@ -309,3 +309,29 @@ def test_pagerank_scaffold_rounds_match_kernel_path(spark, monkeypatch):
     monkeypatch.setattr(graph, "PR_KERNEL_MAX_EDGES", -1)
     via_rounds = [tuple(r) for r in graph.q_pagerank(spark, sf).collect()]
     assert via_rounds == via_kernel
+
+
+def test_pagerank_scaffold_pin_budget_falls_back(spark, monkeypatch):
+    """Above the sym-dst pin budget q_pagerank must NOT pin the
+    edge-sized scaffold — it falls back to the generic per-query path
+    with identical ranks and leaves no supply_sym_dst memo entry."""
+    from geostore_spark.operators import graph, util
+
+    sf = "/root/testdata/sf0.01"
+    want = [tuple(r) for r in graph.q_pagerank(spark, sf).collect()]
+    monkeypatch.setattr(graph, "PR_KERNEL_MAX_EDGES", -1)
+    monkeypatch.setattr(graph, "SUPPLY_SYM_DST_PIN_MAX_EDGES", -1)
+    app = spark.sparkContext.applicationId
+    with util._SESSION_CKPT_LOCK:
+        for k in [
+            k
+            for k in util._SESSION_CKPT
+            if k[0] == app and ("supply_sym_dst" in k or "supply_nodes" in k)
+        ]:
+            util._SESSION_CKPT.pop(k, None)
+    got = [tuple(r) for r in graph.q_pagerank(spark, sf).collect()]
+    assert got == want
+    with util._SESSION_CKPT_LOCK:
+        assert not any(
+            "supply_sym_dst" in k for k in util._SESSION_CKPT if k[0] == app
+        )
