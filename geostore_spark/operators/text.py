@@ -1068,26 +1068,32 @@ FUZZY_MAX_DIST = 2
 # S scales with observed block size (rows / target_pairs_per_task); here a
 # fixed 16 turns the 25-nation ceiling into 400 schedulable units.
 FUZZY_SUBBLOCKS = 16
+# Sensor early-exit: when the salted block DP's own candidate count
+# (sum of squared block sizes) is already this small, run it without
+# paying for the heavier PassJoin/symdel estimators — ~50 M
+# threshold-bounded DP calls clear in a few seconds on one node's
+# cores, and small corpora should not fund two extra aggregations to
+# choose between strategies whose savings are bounded by that.
+FUZZY_BLOCK_DP_OK = 50_000_000
 
 
 @register(
     "x_text_fuzzy_join",
     "Entity-resolution fuzzy join: customer-name pairs within "
-    "Levenshtein distance 2, blocked on nationkey so the quadratic "
-    "comparison runs per block, never across the corpus (the classic "
-    "blocking-key design). Oversized blocks are salted into "
-    "fragment-and-replicate sub-blocks: the probe side keeps one salt "
-    "g = hash(key) % S, the build side replicates to every salt, so "
-    "every pair meets exactly once, per-task work is bounded by "
-    "block/S x block, and parallelism is blocks x S — not capped at "
-    "the 25 distinct nations. Candidate pairs pass cheap band "
-    "predicates (pair-ordering, |length delta| <= max_dist — a "
-    "necessary condition for edit distance <= max_dist) BEFORE the "
-    "DP kernel, and the kernel itself is threshold-bounded "
-    "levenshtein(a, b, max_dist): a banded O(d*n) diagonal DP with "
-    "early exit instead of the full O(n^2) matrix. Rolled up per "
-    "nation — pair counts and the closest-pair distance — so the "
-    "result is block-count-sized.",
+    "Levenshtein distance 2, blocked on nationkey so comparison never "
+    "runs across the corpus. THREE candidate strategies behind a "
+    "cheapest-first cost sensor: salted block DP (fragment-and-"
+    "replicate sub-blocks — skew-proof quadratic, taken directly when "
+    "its own pair count is small), PassJoin segment equi-join "
+    "(pigeonhole: one of d+1 segments survives any d edits — wins on "
+    "dispersed corpora), and a symmetric-delete neighborhood join "
+    "(lev<=d implies a shared <=d-deletion variant; equi-join on "
+    "hashed variants, packed-key pair dedup — immune to the constant "
+    "templates that collapse segment buckets, carrying a ~len^2/2x "
+    "variant index the sensor demands a 2x candidate edge to fund). "
+    "Survivors verify through threshold-bounded levenshtein(a, b, "
+    "max_dist) — banded O(d*n) DP with early exit — and roll up per "
+    "nation, so the result is block-count-sized.",
     f"""WITH p AS (
          SELECT a.c_nationkey AS nation,
                 levenshtein(a.c_name, b.c_name) AS d
@@ -1109,9 +1115,9 @@ def text_fuzzy_join(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def fuzzy_edit_join(cust_in: DataFrame, force: str | None = None) -> DataFrame:
-    # Two candidate-generation strategies, chosen at runtime by a
+    # THREE candidate-generation strategies, chosen at runtime by a
     # cost sensor (the triangle/pagerank dispatch pattern applied to
-    # string joins — neither strategy dominates, the DATA decides):
+    # string joins — none dominates, the DATA decides):
     #
     # 1. PassJoin segment indexing (Li, Deng, Wang, Feng — VLDB'11
     #    family): partition every string into d+1 = 3 even segments;
@@ -1120,10 +1126,10 @@ def fuzzy_edit_join(cust_in: DataFrame, force: str | None = None) -> DataFrame:
     #    candidates come from an EQUI-join on (nation, |b|, segment
     #    index, segment text) with a ~constant probe fan-out per row.
     #    Candidates scale with segment-bucket collision counts — tiny
-    #    on dispersed real-world names, but an 18-char corpus whose
-    #    first 12 chars are a constant template collapses segments 0-1
-    #    into one bucket per nation and the equi-join degenerates to
-    #    the full quadratic PLUS a pair-dedup shuffle.
+    #    on dispersed real-world names, but a corpus with ANY constant
+    #    segment (an 18-char template whose first 12 chars never vary)
+    #    collapses that segment into one bucket per nation and the
+    #    equi-join degenerates to the full quadratic.
     #
     # 2. Salted block DP: all ordered in-block pairs meet a
     #    threshold-bounded levenshtein, fragment-and-replicate salted
@@ -1131,85 +1137,77 @@ def fuzzy_edit_join(cust_in: DataFrame, force: str | None = None) -> DataFrame:
     #    parallelism is blocks x S. Cost is exactly Sum(block^2)/2 —
     #    skew-proof, never better than quadratic.
     #
-    # Sensor: both costs are sums of squared bucket sizes (candidate
-    # counts), estimated with two cheap partial-aggregated counts over
-    # the segment table / the nation blocks. Pick the smaller. The
-    # constant-prefix fixture routes to block DP; a names-with-entropy
-    # corpus routes to PassJoin and candidates ~ true-pair density.
+    # 3. Symmetric-delete neighborhood join (the SymSpell family): if
+    #    lev(a, b) <= d then deleting the <= d non-matched characters
+    #    from each side of an optimal alignment leaves a COMMON string,
+    #    so candidates come from an equi-join on (nation,
+    #    xxhash64(delete-variant)) where every string emits its
+    #    O(len^d) <= d-deletion variants. Immune to constant templates
+    #    (a shared variant pins len-2 of len characters in order), at
+    #    the price of a ~(1 + len + len^2/2)x variant index — which is
+    #    why the sensor demands a 2x candidate advantage before paying
+    #    for it. Candidates carry multiplicity (near-pairs share many
+    #    variants); pairs dedup on a packed key BEFORE the DP verify.
+    #
+    # Sensors run cheapest-first with an early exit: the block-DP
+    # estimate is one nation-count aggregate, and when it is already
+    # under FUZZY_BLOCK_DP_OK the quadratic is cheaper than the
+    # estimators that would replace it (r10: this keeps the sf0.1 wall
+    # sensor-free). Past the exit, all three costs are sums of squared
+    # bucket sizes (candidate counts) — pick the smallest, with the 2x
+    # index-cost handicap on symdel.
     dmax = FUZZY_MAX_DIST
     nseg = dmax + 1
     cust = cust_in.select(
         "c_custkey", "c_name", "c_nationkey", F.length("c_name").alias("ln")
     )
-    # even partition boundaries for a string of length L: segment i
-    # (0-based) has len L DIV n + (i < L % n), start 1 + i*(L DIV n)
-    # + least(i, L % n) — the same closed form on both sides
-    seg_len = "(L div {n}) + (case when i < (L % {n}) then 1 else 0 end)"
-    seg_start = "1 + i * (L div {n}) + least(i, L % {n})"
-    b = cust.filter(F.col("ln") >= nseg).selectExpr(
-        "c_custkey", "c_name", "c_nationkey", "ln",
-        f"""explode(transform(sequence(0, {nseg - 1}), i ->
-              struct(i as i,
-                     substr(c_name,
-                            {seg_start.format(n=nseg).replace('L', 'ln')},
-                            {seg_len.format(n=nseg).replace('L', 'ln')})
-                       as seg))) as bk""",
-    ).select(
-        F.col("c_nationkey").alias("b_nation"),
-        F.col("c_custkey").alias("b_key"),
-        F.col("c_name").alias("b_name"),
-        F.col("ln").alias("b_ln"),
-        F.col("bk.i").alias("i"),
-        F.col("bk.seg").alias("seg"),
-    )
-    # probe: every (build length Lb, segment i, start p) triple whose
-    # segment could have survived from a within-distance partner
-    a = cust.selectExpr(
-        "c_custkey", "c_name", "c_nationkey", "ln",
-        f"""explode(flatten(transform(
-              sequence(greatest(ln - {dmax}, {nseg}), ln + {dmax}), Lb ->
-              flatten(transform(sequence(0, {nseg - 1}), i ->
-                transform(
-                  sequence(
-                    greatest({seg_start.format(n=nseg).replace('L', 'Lb')}
-                             - {dmax}, 1),
-                    {seg_start.format(n=nseg).replace('L', 'Lb')} + {dmax}
-                  ), p ->
-                  struct(Lb as lb, i as i,
-                         substr(c_name, p,
-                                {seg_len.format(n=nseg).replace('L', 'Lb')})
-                           as sub))))))) as pk""",
-    ).select(
-        F.col("c_nationkey").alias("a_nation"),
-        F.col("c_custkey").alias("a_key"),
-        F.col("c_name").alias("a_name"),
-        F.col("pk.lb").alias("lb"),
-        F.col("pk.i").alias("pi"),
-        F.col("pk.sub").alias("sub"),
-    )
-    # Cost sensor: candidate counts are sums of squared bucket sizes.
-    # Both aggregates partially combine map-side and collapse to one
-    # scalar each; the segment table is checkpointed so the PassJoin
-    # path (if chosen) reuses it instead of re-mining segments.
-    b = b.transform(pin_branch_point)
-    passjoin_est = b.groupBy("b_nation", "b_ln", "i", "seg").agg(
-        F.count(F.lit(1)).alias("m")
-    ).agg(F.sum(F.col("m") * F.col("m"))).collect()[0][0] or 0
     block_dp_est = cust.groupBy("c_nationkey").agg(
         F.count(F.lit(1)).alias("m")
     ).agg(F.sum(F.col("m") * F.col("m"))).collect()[0][0] or 0
-    strategy = force or (
-        "passjoin" if passjoin_est <= block_dp_est else "block_dp"
-    )
+
+    b = None
+    vtab = None
+    passjoin_est = None
+    symdel_est = None
+    if force is not None:
+        strategy = force
+    elif block_dp_est <= FUZZY_BLOCK_DP_OK:
+        strategy = "block_dp"
+    else:
+        b = _fuzzy_segment_index(cust, nseg)
+        passjoin_est = b.groupBy("b_nation", "b_ln", "i", "seg").agg(
+            F.count(F.lit(1)).alias("m")
+        ).agg(F.sum(F.col("m") * F.col("m"))).collect()[0][0] or 0
+        vtab = _fuzzy_delete_variants(cust, dmax)
+        symdel_est = vtab.groupBy("nation", "vh").agg(
+            F.count(F.lit(1)).alias("m")
+        ).agg(
+            F.sum(F.col("m") * (F.col("m") - 1) / 2)
+        ).collect()[0][0] or 0
+        if symdel_est < 0.5 * min(passjoin_est, block_dp_est):
+            strategy = "symdel"
+        elif passjoin_est <= block_dp_est:
+            strategy = "passjoin"
+        else:
+            strategy = "block_dp"
     log_event(
         LOG_MESSAGE_STRATEGY_DISPATCH,
         stage="fuzzy_join",
-        passjoin_candidates=int(passjoin_est),
+        passjoin_candidates=None if passjoin_est is None else int(passjoin_est),
         block_dp_candidates=int(block_dp_est),
+        symdel_candidates=None if symdel_est is None else int(symdel_est),
         strategy=strategy,
     )
 
+    if strategy == "symdel":
+        if vtab is None:
+            vtab = _fuzzy_delete_variants(cust, dmax)
+        return _fuzzy_symdel_join(cust, vtab, dmax)
+
     if strategy == "passjoin":
+        if b is None:
+            b = _fuzzy_segment_index(cust, nseg)
+        a = _fuzzy_segment_probe(cust, nseg, dmax)
         cand = (
             a.join(
                 b,
@@ -1267,8 +1265,13 @@ def fuzzy_edit_join(cust_in: DataFrame, force: str | None = None) -> DataFrame:
             F.col("pa.c_name").alias("a_name"),
             F.col("pb.c_name").alias("b_name"),
         )
-    # threshold-bounded DP only on surviving candidates: returns -1 when
-    # the distance exceeds the bound, the exact distance otherwise
+    return _fuzzy_verify_rollup(cand, dmax)
+
+
+def _fuzzy_verify_rollup(cand: DataFrame, dmax: int) -> DataFrame:
+    """Threshold-bounded DP only on surviving candidates (returns -1
+    when the distance exceeds the bound, the exact distance otherwise),
+    rolled up per nation."""
     d = F.levenshtein(F.col("a_name"), F.col("b_name"), dmax)
     return (
         cand.select(F.col("a_nation").alias("nation"), d.alias("d"))
@@ -1281,6 +1284,157 @@ def fuzzy_edit_join(cust_in: DataFrame, force: str | None = None) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+def _fuzzy_segment_index(cust: DataFrame, nseg: int) -> DataFrame:
+    """PassJoin build side: every string's nseg even segments, pinned
+    (the sensor aggregates it and the join reuses it)."""
+    seg_len = "(L div {n}) + (case when i < (L % {n}) then 1 else 0 end)"
+    seg_start = "1 + i * (L div {n}) + least(i, L % {n})"
+    return cust.filter(F.col("ln") >= nseg).selectExpr(
+        "c_custkey", "c_name", "c_nationkey", "ln",
+        f"""explode(transform(sequence(0, {nseg - 1}), i ->
+              struct(i as i,
+                     substr(c_name,
+                            {seg_start.format(n=nseg).replace('L', 'ln')},
+                            {seg_len.format(n=nseg).replace('L', 'ln')})
+                       as seg))) as bk""",
+    ).select(
+        F.col("c_nationkey").alias("b_nation"),
+        F.col("c_custkey").alias("b_key"),
+        F.col("c_name").alias("b_name"),
+        F.col("ln").alias("b_ln"),
+        F.col("bk.i").alias("i"),
+        F.col("bk.seg").alias("seg"),
+    ).transform(pin_branch_point)
+
+
+def _fuzzy_segment_probe(cust: DataFrame, nseg: int, dmax: int) -> DataFrame:
+    """PassJoin probe side: every (build length Lb, segment i, start p)
+    triple whose segment could have survived from a within-distance
+    partner."""
+    seg_len = "(L div {n}) + (case when i < (L % {n}) then 1 else 0 end)"
+    seg_start = "1 + i * (L div {n}) + least(i, L % {n})"
+    return cust.selectExpr(
+        "c_custkey", "c_name", "c_nationkey", "ln",
+        f"""explode(flatten(transform(
+              sequence(greatest(ln - {dmax}, {nseg}), ln + {dmax}), Lb ->
+              flatten(transform(sequence(0, {nseg - 1}), i ->
+                transform(
+                  sequence(
+                    greatest({seg_start.format(n=nseg).replace('L', 'Lb')}
+                             - {dmax}, 1),
+                    {seg_start.format(n=nseg).replace('L', 'Lb')} + {dmax}
+                  ), p ->
+                  struct(Lb as lb, i as i,
+                         substr(c_name, p,
+                                {seg_len.format(n=nseg).replace('L', 'Lb')})
+                           as sub))))))) as pk""",
+    ).select(
+        F.col("c_nationkey").alias("a_nation"),
+        F.col("c_custkey").alias("a_key"),
+        F.col("c_name").alias("a_name"),
+        F.col("pk.lb").alias("lb"),
+        F.col("pk.i").alias("pi"),
+        F.col("pk.sub").alias("sub"),
+    )
+
+
+def _fuzzy_delete_variants(cust: DataFrame, dmax: int) -> DataFrame:
+    """Symdel index: (nation, key, xxhash64(variant)) for every
+    <= dmax-deletion variant of every string, pinned (the sensor
+    aggregates it and the join consumes it twice).
+
+    The 64-bit hash stands in for the variant TEXT in the join key —
+    an 8-byte exchange instead of a ~len-byte string, and a hash
+    collision merely adds one false candidate for the DP verify to
+    reject. The input repartitions first: the variant fan-out is
+    ~len^2/2 per row, and an upstream single-file scan would otherwise
+    generate the whole index in one task. Within-name duplicate
+    variants (deletions inside equal-character runs) are NOT
+    deduplicated here — array_distinct is O(variants^2) comparisons
+    per row and the pair dedup downstream absorbs the multiplicity."""
+    assert dmax == 2, "variant generator is specialized to d = 2"
+    variants = F.flatten(
+        F.array(
+            F.array(F.col("c_name")),
+            F.expr(
+                "transform(sequence(1, ln), i ->"
+                " concat(substr(c_name, 1, i - 1), substr(c_name, i + 1, ln)))"
+            ),
+            F.expr(
+                "flatten(transform(sequence(1, ln - 1), i ->"
+                " transform(sequence(i + 1, ln), j ->"
+                " concat(substr(c_name, 1, i - 1),"
+                "        substr(c_name, i + 1, j - i - 1),"
+                "        substr(c_name, j + 1, ln)))))"
+            ),
+        )
+    )
+    spark = cust.sparkSession
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    return (
+        cust.repartition(shuffle_n)
+        .select(
+            F.col("c_nationkey").alias("nation"),
+            F.col("c_custkey").alias("key"),
+            F.explode(variants).alias("v"),
+        )
+        .select("nation", "key", F.xxhash64("v").alias("vh"))
+        .transform(pin_branch_point)
+    )
+
+
+def _fuzzy_symdel_join(cust: DataFrame, vtab: DataFrame, dmax: int) -> DataFrame:
+    """Symdel candidate join + verify: equi-join the variant index with
+    itself on (nation, variant hash), pack each candidate pair into one
+    long, dedup the PACKED key (multiplicity never carries strings),
+    then re-join the two names — dimension-sized, auto-broadcast at
+    local SFs, a plain key shuffle at scale — for the bounded-DP verify."""
+    in_bounds = (F.col("key") >= 0) & (F.col("key") < F.lit(1 << 31))
+    guard = F.assert_true(
+        in_bounds,
+        F.lit("fuzzy symdel packed pair keys require custkey in [0, 2^31)"),
+    )
+    va = vtab.select(
+        F.col("nation"),
+        F.col("vh"),
+        F.when(guard.isNull(), F.col("key")).alias("ka"),
+    ).alias("va")
+    vb = vtab.select(
+        F.col("vh").alias("vh_b"),
+        F.col("nation").alias("nation_b"),
+        F.col("key").alias("kb"),
+    ).alias("vb")
+    cand_pk = (
+        va.join(
+            vb,
+            (F.col("nation") == F.col("nation_b"))
+            & (F.col("vh") == F.col("vh_b"))
+            & (F.col("ka") < F.col("kb")),
+        )
+        .select(
+            "nation",
+            F.shiftleft(F.col("ka"), 32).bitwiseOR(F.col("kb")).alias("pk"),
+        )
+        .dropDuplicates(["pk"])
+    )
+    names_a = cust.select(
+        F.col("c_custkey").alias("ka_j"), F.col("c_name").alias("a_name")
+    )
+    names_b = cust.select(
+        F.col("c_custkey").alias("kb_j"), F.col("c_name").alias("b_name")
+    )
+    cand = (
+        cand_pk.withColumn("ka_j", F.shiftright("pk", 32))
+        .withColumn("kb_j", F.col("pk").bitwiseAND(F.lit((1 << 32) - 1)))
+        .join(names_a, "ka_j")
+        .join(names_b, "kb_j")
+        .select(
+            F.col("nation").alias("a_nation"), "a_name", "b_name"
+        )
+    )
+    return _fuzzy_verify_rollup(cand, dmax)
 
 
 # -- dataset card -----------------------------------------------------------

@@ -106,11 +106,15 @@ def test_ivf_probe_stage_logged(spark, logcap):
     assert evs and evs[0]["n_cells"] > 0 and evs[0]["nprobe"] >= 1
 
 
-def test_fuzzy_join_dispatch_logged_both_ways(spark, logcap):
+def test_fuzzy_join_dispatch_logged_both_ways(spark, logcap, monkeypatch):
+    from geostore_spark.operators import text
     from geostore_spark.operators.text import fuzzy_edit_join
 
+    # tiny corpora early-exit to block_dp (r10) — disable the exit so
+    # this test exercises the full three-way sensor comparison
+    monkeypatch.setattr(text, "FUZZY_BLOCK_DP_OK", -1)
     # constant-template names: the sensor must pick block_dp and log
-    # both candidate estimates it compared
+    # every candidate estimate it compared
     const = spark.createDataFrame(
         [(i, f"Customer#{i:09d}", 0) for i in range(40)],
         "c_custkey long, c_name string, c_nationkey long",
@@ -119,6 +123,7 @@ def test_fuzzy_join_dispatch_logged_both_ways(spark, logcap):
     [ev] = [e for e in _dispatches(logcap) if e["stage"] == "fuzzy_join"]
     assert ev["strategy"] == "block_dp"
     assert ev["passjoin_candidates"] > ev["block_dp_candidates"]
+    assert ev["symdel_candidates"] is not None
 
     logcap.clear()
     # dispersed names: passjoin wins

@@ -466,7 +466,7 @@ def test_fuzzy_passjoin_candidate_completeness_random_batch(spark):
     df = spark.createDataFrame(
         rows, "c_custkey long, c_name string, c_nationkey long"
     )
-    for force in ("passjoin", "block_dp"):
+    for force in ("passjoin", "block_dp", "symdel"):
         got = {
             r["nation"]: (r["n_pairs"], r["min_dist"], r["sum_dist"])
             for r in fuzzy_edit_join(df, force=force).collect()

@@ -291,7 +291,7 @@ def test_semantic_dedup_single_cluster_shuffle(spark):
     assert "SortMergeJoin" not in plan
 
 
-def test_fuzzy_join_dispatch_and_plan_shapes(spark):
+def test_fuzzy_join_dispatch_and_plan_shapes(spark, monkeypatch):
     # The fuzzy join picks its candidate strategy from a cost sensor
     # (sum of squared bucket sizes). On the constant-prefix fixture the
     # PassJoin segment buckets collapse (segments 0-1 identical for
@@ -313,8 +313,11 @@ def test_fuzzy_join_dispatch_and_plan_shapes(spark):
     assert "c_custkey" in cond and "<" in cond  # pair-ordering band
 
     # dispersed synthetic names route to PassJoin: segment equi-join
+    # (force the full sensor — tiny corpora early-exit to block_dp)
+    from geostore_spark.operators import text
     from geostore_spark.operators.text import fuzzy_edit_join
 
+    monkeypatch.setattr(text, "FUZZY_BLOCK_DP_OK", -1)
     disp = spark.createDataFrame(
         [(i, f"{i * 2654435761 % 10**9:09d}xyz{i}", i % 3) for i in range(200)],
         "c_custkey long, c_name string, c_nationkey long",
