@@ -12,8 +12,14 @@ Two passes, both reported:
    plans; the one-time amortized cost is its own visible line item
    instead of silently inflating whichever consumer runs first.
 1. **Sequential latency pass** — each query run alone, timed to full
-   ``collect()``; the per-query numbers in ``queries`` come from this pass
-   (after a warmup query to amortize JVM/codegen startup).
+   Arrow materialization (``toPandas()``); the per-query numbers in
+   ``queries`` come from this pass (after a warmup query to amortize
+   JVM/codegen startup). Arrow, not ``collect()``: the driver's
+   correctness harness and any real consumer (parquet sink, pandas,
+   BI connector) take the Arrow path; ``collect()`` adds a per-Row
+   Python-object tax that measured 7+ s on a 400 k-row result whose
+   plan runs in 0.6 s — billing the engine for a delivery format
+   nothing uses (r10; DuckDB's paired ``fetchall`` has no such tax).
 2. **Throughput pass** — the whole suite again, submitted from
    ``$SPARK_GRAFT_STREAMS`` (default 8) concurrent driver threads, one FAIR
    scheduler pool per stream, longest-query-first; run twice, ``value`` is
@@ -110,7 +116,7 @@ def main() -> None:
             time.sleep(0.3)
         start = time.perf_counter()
         try:
-            qs[name](spark, sf_dir).collect()
+            qs[name](spark, sf_dir).toPandas()
         except Exception as exc:  # record, don't zero the whole bench run
             seq_errors[name] = str(exc).splitlines()[0][:200]
             # a partial elapsed time is NOT a completion time: keep it
@@ -131,7 +137,7 @@ def main() -> None:
             "spark.scheduler.pool", f"bench-{idx % streams}"
         )
         try:
-            qs[name](spark, sf_dir).collect()
+            qs[name](spark, sf_dir).toPandas()
         except Exception as exc:  # record, don't zero the whole bench run
             errors.setdefault(name, str(exc).splitlines()[0][:200])
 

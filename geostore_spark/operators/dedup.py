@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 from geostore_spark.logging_keys import LOG_MESSAGE_STRATEGY_DISPATCH, log_event
 from geostore_spark.operators.util import pin_branch_point, rebalance_for_python
 from geostore_spark.registry import register
-from geostore_spark.sources.tables import load_table
+from geostore_spark.sources.tables import load_table, load_table_for_compute
 
 P = 2_147_483_647  # 2^31 - 1
 NUM_PERM = 32
@@ -83,7 +83,7 @@ def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
        FROM documents""",
 )
 def q_exact(spark: SparkSession, sf: str) -> DataFrame:
-    return exact_dedup(load_table(spark, "documents", sf))
+    return exact_dedup(load_table_for_compute(spark, "documents", sf))
 
 
 # -- minhash + LSH ----------------------------------------------------------
@@ -388,7 +388,7 @@ def shared_simhash_fps(spark: SparkSession, sf: str) -> DataFrame:
     from geostore_spark.operators.util import session_checkpoint
 
     def build() -> DataFrame:
-        docs = load_table(spark, "documents", sf)
+        docs = load_table_for_compute(spark, "documents", sf)
         return simhash(docs, "doc_id", "text")
 
     return session_checkpoint(spark, ("simhash_fps", sf), build)
@@ -405,7 +405,7 @@ def shared_minhash_sig(spark: SparkSession, sf: str) -> DataFrame:
     from geostore_spark.operators.util import session_checkpoint
 
     def build() -> DataFrame:
-        docs = load_table(spark, "documents", sf)
+        docs = load_table_for_compute(spark, "documents", sf)
         return minhash_signatures(docs, "doc_id", "text")
 
     return session_checkpoint(spark, ("minhash_sig", sf), build)
@@ -969,7 +969,7 @@ _CONTAINMENT_ORACLE = f"""
     _CONTAINMENT_ORACLE,
 )
 def q_containment(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf)
+    docs = load_table_for_compute(spark, "documents", sf)
     return ngram_containment_pairs(docs, "doc_id", "text").orderBy(
         "doc_a", "doc_b"
     )
@@ -1119,7 +1119,7 @@ def q_embed_cosine(spark: SparkSession, sf: str) -> DataFrame:
     _NGRAM_ORACLE,
 )
 def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf)
+    docs = load_table_for_compute(spark, "documents", sf)
     return ngram_jaccard_pairs(docs, "doc_id", "text").orderBy("doc_a", "doc_b")
 
 
@@ -1248,7 +1248,7 @@ def q_chunk_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """
     from pyspark.sql.window import Window
 
-    docs = load_table(spark, "documents", sf)
+    docs = load_table_for_compute(spark, "documents", sf)
     ws = F.split(F.col("text"), " ")
     n_chunks = F.ceil(F.size(ws) / F.lit(float(CHUNK_W)))
     chunks = docs.select(
@@ -1363,7 +1363,7 @@ def _substring_oracle() -> str:
     _substring_oracle(),
 )
 def q_substring_dedup(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf)
+    docs = load_table_for_compute(spark, "documents", sf)
     return (
         anchor_substrings(docs)
         .groupBy("sub")
@@ -1449,7 +1449,7 @@ def _incremental_oracle() -> str:
     _incremental_oracle(),
 )
 def q_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf)
+    docs = load_table_for_compute(spark, "documents", sf)
     is_batch = F.col("doc_id") % BATCH_MOD == 0
     batch_ids = docs.filter(is_batch).select("doc_id")
 
@@ -1656,7 +1656,7 @@ PARA_WORDS = 8  # fixed window: fixture text is single-line word soup
 )
 def q_paragraph_dedup(spark: SparkSession, sf: str) -> DataFrame:
     w = PARA_WORDS
-    docs = load_table(spark, "documents", sf)
+    docs = load_table_for_compute(spark, "documents", sf)
     paras = docs.select(
         "doc_id",
         F.explode(
@@ -1772,7 +1772,7 @@ def _minhash_eval_oracle() -> str:
     _minhash_eval_oracle(),
 )
 def q_minhash_eval(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf)
+    docs = load_table_for_compute(spark, "documents", sf)
     sig = shared_minhash_sig(spark, sf)
     bands = band_table(sig, "doc_id")
     x, y = bands.alias("x"), bands.alias("y")
@@ -1882,7 +1882,7 @@ def _simhash_audit_oracle() -> str:
     _simhash_audit_oracle(),
 )
 def q_simhash_eval(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf)
+    docs = load_table_for_compute(spark, "documents", sf)
     fps = shared_simhash_fps(spark, sf)
     pairs = simhash_pairs(fps, "doc_id", input_pinned=True).select(
         "doc_a", "doc_b", "hamming"

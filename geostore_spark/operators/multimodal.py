@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from geostore_spark.registry import register
-from geostore_spark.sources.tables import load_table
+from geostore_spark.sources.tables import load_table, load_table_for_compute
 
 DECODED_SCHEMA = (
     "doc_id long, media_type string, width int, height int, n_bytes long, "
@@ -257,7 +257,7 @@ FRAME_EVERY_N = 2
        FROM p ORDER BY doc_id LIMIT 200""",
 )
 def q_mm_decode(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf)
+    docs = load_table_for_compute(spark, "documents", sf)
     decoded = decode_media(attach_binary(docs))
     return (
         decoded.select(
@@ -297,7 +297,7 @@ def q_mm_decode(spark: SparkSession, sf: str) -> DataFrame:
        FROM r ORDER BY doc_id LIMIT 200""",
 )
 def q_mm_resize(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf)
+    docs = load_table_for_compute(spark, "documents", sf)
     return resize_media(attach_binary(docs)).orderBy("doc_id").limit(200)
 
 
@@ -328,7 +328,7 @@ def q_mm_resize(spark: SparkSession, sf: str) -> DataFrame:
        ORDER BY doc_id, frame_index LIMIT 200""",
 )
 def q_mm_frames(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf)
+    docs = load_table_for_compute(spark, "documents", sf)
     return (
         sample_frames(attach_binary(docs), frame_size=FRAME_SIZE, every_n=FRAME_EVERY_N)
         .orderBy("doc_id", "frame_index")
@@ -510,7 +510,7 @@ def bmp_pipeline(df: DataFrame, text_col: str = "text") -> DataFrame:
        FROM s ORDER BY doc_id LIMIT 200""",
 )
 def q_mm_wav(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf)
+    docs = load_table_for_compute(spark, "documents", sf)
     return wav_pipeline(docs).orderBy("doc_id").limit(200)
 
 
@@ -562,7 +562,7 @@ def q_mm_wav(spark: SparkSession, sf: str) -> DataFrame:
        FROM p ORDER BY doc_id LIMIT 200""",
 )
 def q_mm_bmp(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf)
+    docs = load_table_for_compute(spark, "documents", sf)
     return bmp_pipeline(docs).orderBy("doc_id").limit(200)
 
 
@@ -654,7 +654,7 @@ def wav_window_features(df: DataFrame, text_col: str = "text") -> DataFrame:
        FROM seg ORDER BY doc_id, win_idx""",
 )
 def q_mm_wav_windows(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf).filter(F.col("doc_id") < WAV_WIN_DOCS)
+    docs = load_table_for_compute(spark, "documents", sf).filter(F.col("doc_id") < WAV_WIN_DOCS)
     return wav_window_features(docs).orderBy("doc_id", "win_idx")
 
 
@@ -725,7 +725,7 @@ def q_mm_bmp_histogram(spark: SparkSession, sf: str) -> DataFrame:
                     counts.append(int(hist[bkt]))
             yield pd.DataFrame({"doc_id": ids, "bucket": buckets, "n_px": counts})
 
-    docs = load_table(spark, "documents", sf).filter(F.col("doc_id") < BMP_HIST_DOCS)
+    docs = load_table_for_compute(spark, "documents", sf).filter(F.col("doc_id") < BMP_HIST_DOCS)
     return (
         docs.select("doc_id", "text")
         .mapInPandas(batches, "doc_id long, bucket int, n_px long")
@@ -853,7 +853,7 @@ def q_mm_png(spark: SparkSession, sf: str) -> DataFrame:
                 rows, columns=["doc_id", "width", "height", "n_pixels", "pixel_sum"]
             )
 
-    docs = load_table(spark, "documents", sf).filter(F.col("doc_id") < PNG_DOCS)
+    docs = load_table_for_compute(spark, "documents", sf).filter(F.col("doc_id") < PNG_DOCS)
     return (
         docs.select("doc_id", "text")
         .mapInPandas(batches, "doc_id long, width int, height int, n_pixels long, pixel_sum long")

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from geostore_spark.operators.dedup import _duck_md5_32, _md5_32
 from geostore_spark.registry import register
-from geostore_spark.sources.tables import load_table
+from geostore_spark.sources.tables import load_table, load_table_for_compute
 from geostore_spark.operators.util import pin_branch_point
 
 SEED = "geostore-sample-v1"
@@ -80,7 +80,7 @@ def _sample_oracle() -> str:
     _sample_oracle(),
 )
 def q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf)
+    docs = load_table_for_compute(spark, "documents", sf)
     kept = stratified_sample(docs, F.col("doc_id"), F.col("lang"), LANG_RATES)
     return (
         kept.groupBy("lang")
@@ -172,7 +172,7 @@ def token_budget_sample(
        ORDER BY lang, cum""",
 )
 def q_token_budget(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf)
+    docs = load_table_for_compute(spark, "documents", sf)
     return token_budget_sample(docs).orderBy("lang", "cum")
 
 
@@ -197,7 +197,7 @@ TOPK_SAMPLE_K = 100
        ORDER BY doc_id""",
 )
 def q_topk_hash_sample(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf)
+    docs = load_table_for_compute(spark, "documents", sf)
     h = F.md5(F.concat(F.lit(SEED + ":"), F.col("doc_id").cast("string")))
     return (
         docs.select("doc_id", "lang", h.alias("h"))
@@ -247,7 +247,7 @@ PACK_SHARDS = 16  # pack within hash shards — no global sort at scale
 def q_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    docs = load_table(spark, "documents", sf)
+    docs = load_table_for_compute(spark, "documents", sf)
     d = docs.select(
         "doc_id",
         (F.col("doc_id") % PACK_SHARDS).cast("bigint").alias("shard"),
@@ -303,7 +303,7 @@ MIX_WEIGHTS = {"en": 0.4, "de": 0.2, "es": 0.2, "fr": 0.1, "zh": 0.1}
        FROM iw CROSS JOIN budget ORDER BY lang""",
 )
 def q_mix_rebalance(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf)
+    docs = load_table_for_compute(spark, "documents", sf)
     inv = docs.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(F.split(F.col("text"), " "))).cast("bigint").alias("n_tokens"),
@@ -355,7 +355,7 @@ WEIGHTED_SAMPLE_K = 100
        FROM d ORDER BY -ln(u) / n_words, doc_id LIMIT {WEIGHTED_SAMPLE_K}""",
 )
 def q_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf)
+    docs = load_table_for_compute(spark, "documents", sf)
     # 12 hex chars of the md5 = 48 uniform bits; u in (0, 1]
     u = F.conv(
         F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("-es"))), 1, 12),
@@ -423,7 +423,7 @@ FUNNEL_SAMPLE_PCT = 50  # final hash-stratified keep rate
 def q_pipeline_funnel(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    docs = load_table(spark, "documents", sf)
+    docs = load_table_for_compute(spark, "documents", sf)
     d = docs.select(
         "doc_id",
         F.md5(F.col("text").cast("binary")).alias("digest"),
@@ -501,7 +501,7 @@ N_SHARDS = 16
        GROUP BY s.shard ORDER BY s.shard""",
 )
 def q_shard_assign(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf)
+    docs = load_table_for_compute(spark, "documents", sf)
     shard = (
         _md5_32(F.concat(F.lit("shard:"), F.col("doc_id").cast("string")))
         % N_SHARDS
@@ -567,7 +567,7 @@ MIX_SCALE = 1_000_000_000
        FROM p CROSS JOIN z ORDER BY p.lang""",
 )
 def q_mix_temperature(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf)
+    docs = load_table_for_compute(spark, "documents", sf)
     toks = F.size(F.split(F.trim("text"), r"\s+"))
     lang = docs.groupBy("lang").agg(F.sum(toks).cast("bigint").alias("toks"))
     lang = lang.transform(pin_branch_point)

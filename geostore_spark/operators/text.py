@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from geostore_spark.logging_keys import LOG_MESSAGE_STRATEGY_DISPATCH, log_event
 from geostore_spark.registry import register
-from geostore_spark.sources.tables import load_table
+from geostore_spark.sources.tables import load_table, load_table_for_compute
 from geostore_spark.operators.util import pin_branch_point
 
 # Tiny per-language stopword lexicon (public common stopwords).
@@ -43,7 +43,7 @@ _BPE_PATTERN = "[a-z]+|[0-9]|[^a-z0-9 ]"
 )
 def text_tokens(spark: SparkSession, sf: str) -> DataFrame:
     return (
-        load_table(spark, "documents", sf)
+        load_table_for_compute(spark, "documents", sf)
         .select(
             "doc_id",
             F.size(F.split(F.trim("text"), r"\s+")).alias("ws_tokens"),
@@ -76,7 +76,7 @@ def text_tokens(spark: SparkSession, sf: str) -> DataFrame:
        ORDER BY doc_id LIMIT 200""",
 )
 def text_quality(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf)
+    docs = load_table_for_compute(spark, "documents", sf)
     return (
         docs.select("doc_id", quality_expr().alias("quality"))
         .orderBy("doc_id")
@@ -175,7 +175,7 @@ def _winnow_oracle() -> str:
 )
 def text_winnow(spark: SparkSession, sf: str) -> DataFrame:
     return (
-        winnow_fingerprints(load_table(spark, "documents", sf))
+        winnow_fingerprints(load_table_for_compute(spark, "documents", sf))
         .orderBy("doc_id")
         .limit(200)
     )
@@ -220,7 +220,7 @@ def text_lang_id(spark: SparkSession, sf: str) -> DataFrame:
     # top-k — at 100 TB this is a single codegen'd projection pass, where
     # the explode→join→groupBy→window form shuffles the full token stream
     # three times.
-    docs = load_table(spark, "documents", sf)
+    docs = load_table_for_compute(spark, "documents", sf)
     toks = F.split("text", " ")
     langs = sorted(STOPWORDS)
     hits = {
@@ -256,7 +256,7 @@ def text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     fp = F.md5(norm.cast("binary"))
     shard = (F.conv(F.substring(fp, 1, 8), 16, 10).cast("bigint") % 64).alias("shard")
     return (
-        load_table(spark, "documents", sf)
+        load_table_for_compute(spark, "documents", sf)
         .select("doc_id", fp.alias("fp"), shard)
         .orderBy("doc_id")
         .limit(200)
@@ -296,7 +296,7 @@ def text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
        ORDER BY b.doc_id LIMIT 200""",
 )
 def text_repetition(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf)
+    docs = load_table_for_compute(spark, "documents", sf)
     words = F.split(F.trim("text"), " ")
     base = docs.select(
         "doc_id",
@@ -371,7 +371,7 @@ def text_repetition(spark: SparkSession, sf: str) -> DataFrame:
 def text_tfidf(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql import Window
 
-    docs = load_table(spark, "documents", sf)
+    docs = load_table_for_compute(spark, "documents", sf)
     tf = (
         docs.select("doc_id", F.explode(F.split(F.trim("text"), " ")).alias("term"))
         .groupBy("doc_id", "term")
@@ -430,7 +430,7 @@ def text_tfidf(spark: SparkSession, sf: str) -> DataFrame:
        FROM agg ORDER BY doc_id LIMIT 200""",
 )
 def text_entropy(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf)
+    docs = load_table_for_compute(spark, "documents", sf)
     cnt = (
         docs.select("doc_id", F.explode(F.split("text", "")).alias("ch"))
         .filter(F.col("ch") != "")
@@ -533,7 +533,7 @@ def text_pii_redact(spark: SparkSession, sf: str) -> DataFrame:
        ORDER BY cnt DESC, bigram LIMIT 50""",
 )
 def text_bigram_lm(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf)
+    docs = load_table_for_compute(spark, "documents", sf)
     ws = F.split(F.trim("text"), " ")
     pairs = (
         docs.filter(F.size(ws) >= 2)
@@ -604,7 +604,7 @@ def text_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     Counting distinct hashes equals counting distinct grams absent
     xxhash64 collisions, which the corpus sizes here make negligible.
     """
-    docs = load_table(spark, "documents", sf)
+    docs = load_table_for_compute(spark, "documents", sf)
     return (
         decontamination_hits(docs)
         .groupBy("doc_id")
@@ -670,7 +670,7 @@ def text_perplexity(spark: SparkSession, sf: str) -> DataFrame:
     broadcast-join scoring pass touches the 100 TB side; here the LM
     derives from the same fixture corpus (two partially-aggregated
     shuffles over the vocab — the fact side never shuffles)."""
-    docs = load_table(spark, "documents", sf)
+    docs = load_table_for_compute(spark, "documents", sf)
     ws = F.split(F.trim("text"), " ")
     # ONE bigram explode feeds both the LM derivation and the scoring
     # join (uncheckpointed, each branch would re-run the scan+explode —
@@ -766,7 +766,7 @@ QUALITY_THRESHOLD = 0.85
        GROUP BY lang, source ORDER BY lang, source""",
 )
 def pipeline_training_set(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf)
+    docs = load_table_for_compute(spark, "documents", sf)
     n_tok = F.size(F.split(F.trim("text"), r"\s+"))
     train = docs.filter(
         (F.col("doc_id") % 10 != 0) & (quality_expr() >= QUALITY_THRESHOLD)
@@ -815,7 +815,7 @@ HH_TOP = 20
        FROM agg ORDER BY occurrences DESC, token LIMIT {HH_TOP}""",
 )
 def text_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf)
+    docs = load_table_for_compute(spark, "documents", sf)
     per_doc = (
         docs.select(
             "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
@@ -876,7 +876,7 @@ C4_MIN_KEPT_LINES = 3  # C4: drop pages with < 3 surviving sentences
        FROM k ORDER BY doc_id""",
 )
 def text_c4_lines(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf)
+    docs = load_table_for_compute(spark, "documents", sf)
     w, mw = C4_LINE_WORDS, C4_MIN_WORDS_PER_LINE
     base = docs.select(
         "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_words")
@@ -942,7 +942,7 @@ GOPHER_STOPS = ("the", "a", "of", "to", "and", "in", "that", "is")
        FROM d ORDER BY doc_id""",
 )
 def text_gopher_rules(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf)
+    docs = load_table_for_compute(spark, "documents", sf)
     stops = ", ".join(f"'{s}'" for s in GOPHER_STOPS)
     base = docs.select(
         "doc_id",
@@ -1023,7 +1023,7 @@ BM25_TOP = 20
        ORDER BY score_q DESC, doc_id LIMIT {BM25_TOP}""",
 )
 def text_bm25(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf)
+    docs = load_table_for_compute(spark, "documents", sf)
     d = docs.select("doc_id", F.size(F.split(F.col("text"), " ")).alias("dl"))
     stats = d.agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -1460,7 +1460,7 @@ def _fuzzy_symdel_join(cust: DataFrame, vtab: DataFrame, dmax: int) -> DataFrame
        FROM documents""",
 )
 def pipeline_dataset_card(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf)
+    docs = load_table_for_compute(spark, "documents", sf)
     n_words = F.size(F.split(F.col("text"), " "))
     return docs.agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -1519,7 +1519,7 @@ ZIPF_SCALE = 1_000_000  # ln values quantize to micro-units → exact int sums
        FROM s""",
 )
 def q_zipf(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf)
+    docs = load_table_for_compute(spark, "documents", sf)
     tok = docs.select(
         F.explode(F.split(F.trim("text"), r"\s+")).alias("t")
     ).filter(F.col("t") != "")
@@ -1600,7 +1600,7 @@ KN_TOP = 50
        ORDER BY cnt DESC, bigram LIMIT {KN_TOP}""",
 )
 def text_kneser_ney(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf)
+    docs = load_table_for_compute(spark, "documents", sf)
     ws = F.split(F.trim("text"), " ")
     pairs = (
         docs.filter(F.size(ws) >= 2)
@@ -1677,7 +1677,7 @@ BPE_TOP_PAIRS = 30
        ORDER BY n DESC, pair LIMIT {BPE_TOP_PAIRS}""",
 )
 def text_bpe_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf)
+    docs = load_table_for_compute(spark, "documents", sf)
     words = docs.select(
         F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("word")
     ).filter(F.length("word") >= 2)
@@ -1742,7 +1742,7 @@ CHUNK_STRIDE = 48  # 16-token overlap between consecutive chunks
        ORDER BY doc_id LIMIT 300""",
 )
 def text_chunk_windows(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf)
+    docs = load_table_for_compute(spark, "documents", sf)
     t = docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("ws"))
     c = t.selectExpr(
         "doc_id",
@@ -1807,7 +1807,7 @@ def text_chunk_windows(spark: SparkSession, sf: str) -> DataFrame:
        FROM c ORDER BY doc_id LIMIT 300""",
 )
 def text_readability(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf)
+    docs = load_table_for_compute(spark, "documents", sf)
     n_sent = F.greatest(
         F.size(F.regexp_extract_all("text", F.lit("[.!?]+"), 0)), F.lit(1)
     )
@@ -1888,7 +1888,7 @@ JS_SCALE = 1_000_000_000
        FROM terms""",
 )
 def text_js_divergence(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf).filter(
+    docs = load_table_for_compute(spark, "documents", sf).filter(
         F.col("lang").isin(JS_LANG_A, JS_LANG_B)
     )
     ch = docs.select(
@@ -1979,7 +1979,7 @@ HEAPS_SCALE = 1_000_000
        FROM s""",
 )
 def text_heaps(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf).filter(
+    docs = load_table_for_compute(spark, "documents", sf).filter(
         F.col("doc_id") < max(HEAPS_CHECKPOINTS)
     )
     tok = docs.select(
@@ -2054,7 +2054,7 @@ TEMPLATE_CAP = 9  # word lengths cap at one digit so the shape string is stable
        ORDER BY n_docs DESC, shape LIMIT {TEMPLATE_TOP}""",
 )
 def q_template_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf)
+    docs = load_table_for_compute(spark, "documents", sf)
     shape = F.md5(
         F.expr(
             f"cast(array_join(transform(split(text, ' '), "
@@ -2118,7 +2118,7 @@ NOVELTY_DOCS = 100
 def q_trigram_novelty(spark: SparkSession, sf: str) -> DataFrame:
     from geostore_spark.operators.dedup import shingle_rows
 
-    docs = load_table(spark, "documents", sf)
+    docs = load_table_for_compute(spark, "documents", sf)
     sh = (
         shingle_rows(docs, "doc_id", "text", 3)
         .transform(pin_branch_point)  # feeds the first-doc table AND the re-join
@@ -2195,7 +2195,7 @@ def q_trigram_novelty(spark: SparkSession, sf: str) -> DataFrame:
        FROM r""",
 )
 def q_filter_ablation(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf)
+    docs = load_table_for_compute(spark, "documents", sf)
     stops = ", ".join(f"'{s}'" for s in GOPHER_STOPS)
     d = docs.select(
         F.size(F.split(F.col("text"), " ")).alias("n_words"),

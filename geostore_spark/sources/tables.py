@@ -35,6 +35,30 @@ TABLE_NAMES = (
 DEFAULT_SF_DIR = "/root/testdata/sf0.1"
 
 
+def load_table_for_compute(
+    spark: SparkSession, name: str, sf_dir: str | None = None
+) -> DataFrame:
+    """``load_table`` + ``rebalance_for_python``: the scan that feeds a
+    CPU-heavy per-row pass (tokenization, shingling, interpreted
+    higher-order lambdas, regex extraction).
+
+    Parquet scan parallelism is bounded by ROW GROUPS, not bytes — the
+    driver's fixture tables are written as a single row group per file,
+    so a plain ``load_table`` hands every downstream per-row expression
+    to ONE task regardless of core count (measured r10 at sf1: the
+    whole text family ran its split()/zip_with() work on 1-2 of 32
+    cores — x_text_repetition 10.4 s of which ~1 task's worth was
+    compute). The round-robin rebalance is a no-op when the scan
+    already yields at least core-count file splits — the 100 TB regime
+    — and in the small-input regime the shuffle moves megabytes. Plain
+    scans (point lookups, pushdown-sensitive filters) should keep using
+    ``load_table``: filters still push through the repartition, but a
+    limit-1 probe has no business paying an exchange."""
+    from geostore_spark.operators.util import rebalance_for_python
+
+    return rebalance_for_python(load_table(spark, name, sf_dir))
+
+
 def default_sf_dir() -> str:
     return os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
 

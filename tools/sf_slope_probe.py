@@ -1,6 +1,8 @@
 """Clean scale-slope measurement: the same queries at two (or more) SF
 fixtures, interleaved round-robin in ONE warm session, medians of
->=reps — the protocol the heavy-tailed-host experience demands
+>=reps. Results materialize through toPandas() — the Arrow path every
+real consumer and the driver's own compare take; collect()'s per-Row
+Python tax measured 7+ s on a 400k-row result whose plan runs in 0.6 s — the protocol the heavy-tailed-host experience demands
 (BASELINE.md: cross-process absolutes under concurrent load have been
 seen 3-30x off; paired interleaving cancels drift).
 
@@ -44,7 +46,7 @@ def main() -> None:
     # 3-6x the steady state in the same process
     for q in queries:
         for d in sf_dirs:
-            qs[q].spark(spark, d).collect()
+            qs[q].spark(spark, d).toPandas()
 
     times: dict[str, dict[str, list[float]]] = {
         q: {d: [] for d in sf_dirs} for q in queries
@@ -64,7 +66,7 @@ def main() -> None:
         for q in queries:
             for d in sf_dirs:
                 t0 = time.time()
-                qs[q].spark(spark, d).collect()
+                qs[q].spark(spark, d).toPandas()
                 dt = round(time.time() - t0, 2)
                 times[q][d].append(dt)
                 print(f"rep{rep} {q} {d}: {dt}s", file=sys.stderr, flush=True)
