@@ -212,20 +212,27 @@ def q_events_ewma(spark: SparkSession, sf: str) -> DataFrame:
         .rangeBetween(-EWMA_WINDOW_DAYS, 0)
     )
     hist = F.collect_list(F.struct("dn", "x")).over(w)
-    zero = F.lit(0.0)
-    # 2^(13-(dn_cur-dn_j)) via pow: every term and partial sum is an
-    # integer < 2^53, where IEEE double arithmetic is EXACT — bit-equal
-    # to the oracle's BIGINT shifts
-    weight = lambda e: F.pow(F.lit(2.0), F.lit(EWMA_WINDOW_DAYS) - (F.col("dn") - e["dn"]))  # noqa: E731
-    numer = F.aggregate(hist, zero, lambda acc, e: acc + e["x"] * weight(e))
-    denom = F.aggregate(hist, zero, lambda acc, e: acc + weight(e))
+    # fold the ≤14-struct window via EXPLODE + re-aggregate instead of a
+    # higher-order F.aggregate lambda: transform/aggregate lambdas are
+    # interpreted (CodegenFallback), and the explode keeps the whole
+    # weighted fold inside whole-stage codegen (r10 measured sf1:
+    # 3.1 → 2.6 s, identical values). 2^(13-(dn_cur-dn_j)) via pow:
+    # every term and partial sum is an integer < 2^53, where IEEE
+    # double arithmetic is EXACT — bit-equal to the oracle's BIGINT
+    # shifts; the re-aggregate groups on the (user, day) grain the
+    # window row already carried, so weights never mix across rows.
+    e = daily.select(
+        "user_id", "day", F.col("x").alias("n_events"), "dn",
+        hist.alias("hist"),
+    ).select(
+        "user_id", "day", "n_events", "dn", F.explode("hist").alias("h")
+    )
+    wgt = F.pow(
+        F.lit(2.0), F.lit(EWMA_WINDOW_DAYS) - (F.col("dn") - F.col("h.dn"))
+    )
     return (
-        daily.select(
-            "user_id",
-            "day",
-            F.col("x").alias("n_events"),
-            (numer / denom).alias("ewma"),
-        )
+        e.groupBy("user_id", "day", "n_events")
+        .agg((F.sum(F.col("h.x") * wgt) / F.sum(wgt)).alias("ewma"))
         .orderBy("user_id", "day")
     )
 
