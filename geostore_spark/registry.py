@@ -58,7 +58,12 @@ def register(key: str, doc: str, oracle: str | None):
 # enumerates last. Purely an enumeration-order hint — every query stays
 # registered and locally oracle-tested either way.
 _NEVER_DRIVER_SAMPLED = (
-    # -- 1: plans changed in round 10
+    # -- 1: plans changed in round 10 (miners' shared supports scaffold,
+    #       pagerank scaffold-rounds, rfm kernel barrier, the symdel
+    #       fuzzy strategy, backlog agg-before-join, the codegen ewma
+    #       fold — plus the load_table_for_compute rebalance sweep,
+    #       whose text/dedup keys sections 3-4 already cover)
+    "x_text_fuzzy_join", "x_orders_backlog", "x_events_ewma",
     "x_orders_basket_lift", "x_graph_jaccard_parts", "x_graph_pagerank",
     "x_orders_rfm",
     # -- 2: supply-graph scaffold family
@@ -68,7 +73,7 @@ _NEVER_DRIVER_SAMPLED = (
     "x_stats_ttest", "x_stats_psi_drift", "x_stats_mutual_info",
     "x_stats_cov_matrix", "x_stats_skew_kurtosis", "x_stats_qq_deciles",
     "x_stats_autocorr", "x_stats_wilson_rank", "x_stats_column_entropy",
-    "x_stats_hhi", "x_events_ewma", "x_events_markov", "x_events_gapfill",
+    "x_stats_hhi", "x_events_markov", "x_events_gapfill",
     "x_events_entropy_rate", "x_orders_survival", "x_win_pct_change",
     "x_win_cume_dist", "x_win_first_last", "x_win_streaks",
     "x_text_readability", "x_text_js_divergence", "x_text_heaps",
@@ -78,8 +83,7 @@ _NEVER_DRIVER_SAMPLED = (
     "x_shipping_lag", "x_mm_wav_decode", "x_mm_bmp_decode", "x_mm_decode",
     "x_mm_resize", "x_mm_frames",
     # -- 4: oldest round-5 rows, filling to 50
-    "x_dedup_url", "x_text_fuzzy_join", "x_text_perplexity",
-    "x_text_bpe_pairs", "a8_approx_distinct",
+    "x_dedup_url", "x_text_perplexity", "x_text_bpe_pairs",
 )
 
 
