@@ -876,7 +876,11 @@ C4_MIN_KEPT_LINES = 3  # C4: drop pages with < 3 surviving sentences
        FROM k ORDER BY doc_id""",
 )
 def text_c4_lines(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load_table_for_compute(spark, "documents", sf)
+    # Plain scan, deliberately: the r10 row-group rebalance was probed
+    # here (sf1 interleaved medians of 5) at 1.77 s vs 1.57 s plain —
+    # the arithmetic-only line synthesis is cheap enough per row that
+    # the round-robin exchange costs more than the parallelism buys.
+    docs = load_table(spark, "documents", sf)
     w, mw = C4_LINE_WORDS, C4_MIN_WORDS_PER_LINE
     base = docs.select(
         "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_words")

@@ -270,8 +270,14 @@ def test_winsorize_percentile_dim_broadcasts(spark):
 
 
 def test_gopher_rules_zero_shuffle(spark):
+    # Two exchanges, both deliberate: the round-robin scan rebalance
+    # (single-row-group fixtures serialize the interpreted stop-word
+    # lambda onto one task — sf1 interleaved medians: 1.86 s rebalanced
+    # vs 3.48 s plain, a 1.87x win) and the presentation orderBy. Still
+    # no aggregation/join/explode — it remains a scan-projection.
     plan = _plan(spark, "x_text_gopher_rules")
-    assert plan.count("Exchange") == 1 and "rangepartitioning" in plan
+    assert plan.count("Exchange") == 2 and "rangepartitioning" in plan
+    assert "RoundRobinPartitioning" in plan or "roundrobin" in plan.lower()
     for op in ("Generate", "Join", "HashAggregate"):
         assert op not in plan, f"unexpected {op} in gopher plan"
 
@@ -739,10 +745,14 @@ def test_template_fingerprint_is_digest_rollup_topk(spark):
 
 def test_filter_ablation_is_single_aggregate_pass(spark):
     # three rule booleans + eight counters in ONE map-side-partial
-    # aggregate — no per-rule passes, no joins, schema pruned to text
+    # aggregate — no per-rule passes, no joins, schema pruned to text.
+    # Exchange budget is 2: the round-robin scan rebalance (measured
+    # sf1 interleaved medians: 1.93 s vs 2.33 s plain) plus the
+    # partial->final aggregate shuffle. Column pruning must survive
+    # the repartition (ReadSchema stays text-only).
     plan = _plan(spark, "x_pipeline_filter_ablation")
     assert "Join" not in plan
-    assert plan.count("Exchange") <= 1
+    assert plan.count("Exchange") <= 2
     assert "ReadSchema: struct<text:string>" in plan
 
 
