@@ -35,7 +35,6 @@ from datetime import datetime, timezone
 import pandas as pd
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import BooleanType
 
 from geostore_spark.logging_keys import (
     LOG_MESSAGE_CHECK_STAGE_COMPLETE,
@@ -185,17 +184,25 @@ def _make_copy_batches(fault_dir: str | None, openers: dict | None = None):
 
 
 def _rewrite_metadata_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Distributed metadata rewrite (import_metadata_file/task.py:34-73):
+    """Distributed metadata rewrite (import_metadata_file/task.py:34-74):
     drop rel=self links, rewrite every remaining link/asset href to its
-    basename (flat storage layout). Raw-JSON round-trip keeps fields the
-    engine doesn't model."""
+    basename (flat storage layout), then retarget rel=root links to
+    ``../catalog.json`` (``update_root_link``, task.py:71-74 — applied
+    AFTER the basename pass, so the root href is the fixed relative
+    catalog path regardless of the source layout). Raw-JSON round-trip
+    keeps fields the engine doesn't model."""
     for pdf in batches:
         results = []
         for raw, dst in zip(pdf["raw"], pdf["dst"]):
             try:
                 doc = json.loads(raw)
                 doc["links"] = [
-                    {**lk, "href": os.path.basename(lk.get("href", ""))}
+                    {
+                        **lk,
+                        "href": "../catalog.json"
+                        if lk.get("rel") == "root"
+                        else os.path.basename(lk.get("href", "")),
+                    }
                     for lk in doc.get("links", [])
                     if lk.get("rel") != "self"
                 ]
@@ -211,9 +218,22 @@ def _rewrite_metadata_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.Da
         yield pd.DataFrame(results, columns=["dst", "status", "message"])
 
 
-@F.udf(returnType=BooleanType())
-def _file_exists(path: str) -> bool:
-    return os.path.exists(path)
+def _probe_existence_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched staging-existence probe for DATA_ITEM_INDEX assets
+    (import_dataset/task.py builds its manifest only from files that
+    exist in staging). One python loop per Arrow batch instead of a
+    row-at-a-time UDF round-trip — the only remaining per-row Python
+    in the import path before r11. Non-data rows keep a NULL flag."""
+    for pdf in batches:
+        pdf = pdf.copy()
+        pdf["exists_in_staging"] = pd.array(
+            [
+                os.path.exists(url) if kind == "DATA_ITEM_INDEX" else None
+                for url, kind in zip(pdf["url"], pdf["asset_type"])
+            ],
+            dtype="boolean",
+        )
+        yield pdf
 
 
 # -- pipeline ----------------------------------------------------------------
@@ -318,11 +338,10 @@ def _run_pipeline(
         F.col("href").alias("url"),
         F.regexp_extract("href", "([^/]+)$", 1).alias("filename"),
         "multihash",
-        F.when(
-            F.col("asset_type") == "DATA_ITEM_INDEX", _file_exists("href")
-        ).alias("exists_in_staging"),
+        F.lit(None).cast("boolean").alias("exists_in_staging"),
         F.lit(None).cast("boolean").alias("replaced_in_new_version"),
     )
+    asset_rows = asset_rows.mapInPandas(_probe_existence_batches, asset_rows.schema)
     store.append("processing_assets", asset_rows)
 
     # V6 checksum job over DATA assets present in staging

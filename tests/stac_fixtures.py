@@ -124,7 +124,14 @@ def build_golden_tree(root: str, asset_payloads: dict[str, bytes] | None = None)
         item_path,
         minimal_item(
             assets_block,
-            links=[{"rel": "self", "href": item_path}, {"rel": "parent", "href": "./collection.json"}],
+            links=[
+                {"rel": "self", "href": item_path},
+                {"rel": "parent", "href": "./collection.json"},
+                # rel=root must be RETARGETED to ../catalog.json on import
+                # (reference import_metadata_file/task.py:71-74), not just
+                # basenamed like every other link
+                {"rel": "root", "href": "./catalog.json"},
+            ],
         ),
     )
     _write_json(

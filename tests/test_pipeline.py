@@ -207,6 +207,10 @@ def test_golden_ingest_end_to_end(spark, store, tmp_path):
         item = json.load(f)
     assert all("/" not in a["href"] for a in item["assets"].values())  # F9 basename rewrite
     assert all(lk["rel"] != "self" for lk in item["links"])  # self links dropped
+    # F9 root retarget (import_metadata_file/task.py:71-74): rel=root links
+    # point at the dataset's flat-layout parent catalog, never a basename
+    root_hrefs = [lk["href"] for lk in item["links"] if lk["rel"] == "root"]
+    assert root_hrefs == ["../catalog.json"]
 
     # current-version pointer + root catalog child (V12)
     ds = get_dataset(store, dataset_id=ds_id)["body"]
