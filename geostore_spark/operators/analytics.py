@@ -518,9 +518,13 @@ def q_abc_pareto(spark: SparkSession, sf: str) -> DataFrame:
     "New-vs-returning revenue split per quarter — the growth metric "
     "every subscription/commerce dashboard leads with (a rising "
     "returning share is retention working; a new-dominated mix is "
-    "paid acquisition). The first-order timestamp per customer is one "
-    "aggregate, broadcast back onto orders; the quarterly split "
-    "partially aggregates exact cents on ≤2 x #quarters keys.",
+    "paid acquisition). The first-order timestamp comes from a MIN "
+    "window over the customer key — ONE customer-keyed shuffle of the "
+    "fact, no join (the per-customer dim is customers-sized, NOT "
+    "bounded-small, so the broadcast-back form dies at scale and paid "
+    "two fact passes here: sf1 interleaved medians 1.85 s -> 0.99 s); "
+    "the quarterly split partially aggregates exact cents on "
+    "≤2 x #quarters keys.",
     """WITH first_o AS (
          SELECT o_custkey AS c, MIN(o_orderdate) AS first_dt
          FROM orders GROUP BY o_custkey
@@ -537,12 +541,20 @@ def q_abc_pareto(spark: SparkSession, sf: str) -> DataFrame:
        FROM t GROUP BY q, cohort ORDER BY q, cohort LIMIT 200""",
 )
 def q_repeat_rate(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
     orders = load_table(spark, "orders", sf)
-    first_o = orders.groupBy(F.col("o_custkey").alias("c")).agg(
-        F.min("o_orderdate").alias("first_dt")
-    )
     t = (
-        orders.join(F.broadcast(first_o), orders["o_custkey"] == first_o["c"])
+        orders.select(
+            "o_custkey",
+            "o_orderdate",
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .withColumn(
+            "first_dt", F.min("o_orderdate").over(Window.partitionBy("o_custkey"))
+        )
         .select(
             F.date_trunc("quarter", "o_orderdate")
             .cast("date")
@@ -551,7 +563,7 @@ def q_repeat_rate(spark: SparkSession, sf: str) -> DataFrame:
             F.when(F.col("o_orderdate") == F.col("first_dt"), "new")
             .otherwise("returning")
             .alias("cohort"),
-            F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+            "cents",
         )
     )
     return (

@@ -181,9 +181,11 @@ def q_dau_mau(spark: SparkSession, sf: str) -> DataFrame:
     "Cohort lifetime-value curve: customers grouped by first-purchase "
     "quarter, revenue accumulated by quarters-since-acquisition — the "
     "retention triangle's revenue twin and the payback-period input. "
-    "The acquisition table derives from ONE customer-keyed aggregate "
-    "of orders; it joins back BROADCAST (one row per customer — the "
-    "small side of a fact join by construction); revenue buckets "
+    "The acquisition date comes from a MIN window over the customer "
+    "key — ONE customer-keyed shuffle of the fact, no join (the "
+    "per-customer dim is customers-sized, NOT bounded-small: the "
+    "broadcast-back form dies at scale and paid two fact passes "
+    "here); revenue buckets "
     "partially aggregate on (cohort_q, quarters_since) — at 100 TB "
     "nothing but cohort-sized rollups ever reach a single node. "
     "Revenue sums are exact cents.",
@@ -207,13 +209,22 @@ def q_dau_mau(spark: SparkSession, sf: str) -> DataFrame:
        LIMIT 400""",
 )
 def q_cohort_ltv(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
     orders = load_table(spark, "orders", sf)
-    acq = orders.groupBy(F.col("o_custkey").alias("c")).agg(
-        F.min(F.to_date("o_orderdate")).alias("first_day")
-    )
     q_idx = lambda col: F.year(col) * 4 + F.quarter(col)  # noqa: E731
     rev = (
-        orders.join(F.broadcast(acq), orders["o_custkey"] == acq["c"])
+        orders.select(
+            "o_custkey",
+            "o_orderdate",
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .withColumn(
+            "first_day",
+            F.min(F.to_date("o_orderdate")).over(Window.partitionBy("o_custkey")),
+        )
         .select(
             F.date_trunc("quarter", "first_day").cast("date").cast("string").alias(
                 "cohort_q"
@@ -221,7 +232,7 @@ def q_cohort_ltv(spark: SparkSession, sf: str) -> DataFrame:
             (q_idx(F.col("o_orderdate")) - q_idx(F.col("first_day")))
             .cast("bigint")
             .alias("quarters_since"),
-            F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+            "cents",
         )
     )
     return (

@@ -1059,11 +1059,63 @@ def a8(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# Local-kernel dispatch threshold for a9_quantiles, on the ORDERS
+# parquet-metadata row count (the rfm pattern, analytics.py). Below it
+# the quantile SELECTION runs as ONE numpy task: the scan stays
+# parallel, a 1-partition exchange funnels the (status, price) pairs,
+# and a per-group np.sort picks the six cut rows — collapsing the
+# distributed plan's ~5 fixed stage floors (range exchange, local
+# window, offset broadcast, target join, final agg) for a 6-row
+# answer. Above it the two-phase distributed rank keeps parallelism
+# ∝ data. Tiers are bit-identical (same integer cut positions, same
+# lo + frac*(hi-lo) float interpolation, rounding applied Spark-side
+# in both): pinned by tests/test_plans.py::test_a9_tiers_agree.
+A9_LOCAL_THRESHOLD = 8_000_000
+
+
+def _a9_local(q: DataFrame) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    def run(batches):
+        frames = [p for p in batches if len(p)]
+        if not frames:
+            return
+        pdf = pd.concat(frames, ignore_index=True)
+        out = []
+        for status, grp in pdf.groupby("o_orderstatus", sort=False):
+            vals = np.sort(grp["o_totalprice"].to_numpy(np.float64))
+            n = len(vals)
+            row = [status]
+            for k in (1, 2, 3):
+                t = k * (n - 1)
+                lo = t // 4
+                frac = (t % 4) / 4.0
+                v_lo = vals[lo]
+                v_hi = vals[lo + 1] if lo + 1 < n else v_lo
+                row.append(v_lo + frac * (v_hi - v_lo))
+            out.append(row)
+        yield pd.DataFrame(
+            out, columns=["o_orderstatus", "_q25", "_q50", "_q75"]
+        )
+
+    raw = q.repartition(1).mapInPandas(
+        run, "o_orderstatus string, _q25 double, _q50 double, _q75 double"
+    )
+    return raw.select(
+        "o_orderstatus",
+        *(F.round(F.col(f"_q{p}"), 4).alias(f"q{p}") for p in (25, 50, 75)),
+    ).orderBy("o_orderstatus")
+
+
 @_register(
     "a9_quantiles",
     "Exact continuous quantiles per group (percentile ≡ DuckDB "
     "quantile_cont, both linear-interpolating) — the distribution-summary "
-    "aggregate (extension; no reference op).",
+    "aggregate (extension; no reference op). Two-level dispatch on the "
+    "parquet-metadata row count: one vectorized sort-selection task "
+    "below the measured break-even, the two-phase distributed rank "
+    "above it; tiers bit-identical.",
     """SELECT o_orderstatus,
               ROUND(quantile_cont(o_totalprice, 0.25), 4) AS q25,
               ROUND(quantile_cont(o_totalprice, 0.50), 4) AS q50,
@@ -1089,9 +1141,12 @@ def a9(spark: SparkSession, sf: str) -> DataFrame:
     from geostore_spark.operators.dedup import _count_rows_cheap
 
     o = load_table(spark, "orders", sf).select("o_orderstatus", "o_totalprice")
+    n_orders = _count_rows_cheap(o)
+    if n_orders <= A9_LOCAL_THRESHOLD:
+        return _a9_local(o)
     ranked, counts = distributed_row_number(
         o, ["o_orderstatus"], ["o_totalprice"], "rn",
-        row_count=_count_rows_cheap(o),
+        row_count=n_orders,
     )
     targets = counts.select("o_orderstatus", *(
         c

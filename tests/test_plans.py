@@ -682,10 +682,16 @@ def test_mm_codecs_are_arrow_batched_map_in_pandas(spark):
         assert "Join" not in plan
 
 
-def test_cohort_ltv_acquisition_dim_broadcasts(spark):
+def test_cohort_ltv_single_fact_shuffle_no_join(spark):
+    # acquisition date is a MIN window over the customer key: one
+    # customer-keyed exchange of the fact, no join at all (the r10
+    # broadcast-back form built a customers-sized dim — not
+    # bounded-small at scale — and paid two fact passes; sf1
+    # interleaved medians ~1.9 s -> ~1.0 s as the window form)
     plan = _plan(spark, "x_events_cohort_ltv")
-    assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
+    assert "Join" not in plan
+    assert "WindowExec" in plan or "Window" in plan
+    assert plan.count("hashpartitioning(o_custkey") >= 1
 
 
 def test_wilson_rank_part_dim_broadcasts_and_takes_topk(spark):
@@ -897,19 +903,18 @@ def test_a8_hll_never_rides_the_distinct_expand(spark):
     assert "BroadcastHashJoin" in plan
 
 
-def test_a9_quantiles_is_rank_selection_not_map_aggregate(spark):
-    # r5 scale fix: Spark's exact `percentile` aggregate carries a
-    # value->count OpenHashMap through every partial-agg buffer —
-    # ~|group| entries each on near-unique o_totalprice (measured 30 s
-    # at sf1; O(data) agg state at 100 TB). The plan must instead be
-    # the two-phase distributed rank: a RangePartitioning exchange, a
-    # broadcast offsets/targets join, and a constant-size final
-    # aggregate over only the rows AT the six cut positions.
-    import geostore_spark.operators.util as util
-
+def test_a9_quantiles_local_tier_is_one_kernel_task(spark):
+    # r11: below the measured break-even (8 M orders, parquet-metadata
+    # count) the quantile SELECTION is one numpy sort task fed by a
+    # single 1-partition exchange — never Spark's `percentile` map
+    # aggregate (a value->count OpenHashMap through every partial-agg
+    # buffer; measured 30 s at sf1, O(data) agg state at 100 TB), and
+    # none of the distributed tier's ~5 fixed stage floors (sf0.1
+    # interleaved medians: 2.04 s -> 0.48 s).
     plan = _plan(spark, "a9_quantiles")
     assert "percentile" not in plan  # both tiers: never the map aggregate
-    assert "BroadcastHashJoin" in plan
+    assert "MapInPandas" in plan
+    assert "Join" not in plan
 
 
 def test_a9_quantiles_scale_tier_is_two_phase(spark, monkeypatch):
@@ -919,7 +924,9 @@ def test_a9_quantiles_scale_tier_is_two_phase(spark, monkeypatch):
     # exchange itself hides behind the helper's pinned checkpoint, so
     # the _pid in the windowspec is the observable witness of it)
     import geostore_spark.operators.util as util
+    import geostore_spark.plans.canonical as canonical
 
+    monkeypatch.setattr(canonical, "A9_LOCAL_THRESHOLD", -1)
     monkeypatch.setattr(util, "RANK_LOCAL_THRESHOLD", -1)
     plan = _plan(spark, "a9_quantiles")
     assert "percentile" not in plan
@@ -969,5 +976,19 @@ def test_rfm_tiers_agree(spark, monkeypatch):
     fn = entry_mod.queries()["x_orders_rfm"]
     local = [tuple(r) for r in fn(spark, SF).collect()]
     monkeypatch.setattr(analytics, "RFM_LOCAL_THRESHOLD", -1)
+    dist = [tuple(r) for r in fn(spark, SF).collect()]
+    assert local == dist and len(local) > 0
+
+
+def test_a9_tiers_agree(spark, monkeypatch):
+    """The single-task sort-selection kernel and the two-phase
+    distributed rank are two tiers of ONE quantile operator: identical
+    integer cut positions and the same lo + frac*(hi-lo) float64
+    interpolation, so agreement is bitwise."""
+    import geostore_spark.plans.canonical as canonical
+
+    fn = entry_mod.queries()["a9_quantiles"]
+    local = [tuple(r) for r in fn(spark, SF).collect()]
+    monkeypatch.setattr(canonical, "A9_LOCAL_THRESHOLD", -1)
     dist = [tuple(r) for r in fn(spark, SF).collect()]
     assert local == dist and len(local) > 0
