@@ -42,58 +42,49 @@ def register(key: str, doc: str, oracle: str | None):
 
 # Driver-coverage rotation: the per-round correctness harness samples a
 # prefix (~50) of the enumerated queries. The keys below enumerate
-# FIRST this round (round 10), in priority order:
-#   1. every query whose PLAN changed in round 10: the two pair miners
-#      (item supports moved into the shared vocabulary-sized
-#      part_supports scaffold; order_part_sets size-bounded), pagerank
-#      (scaffold-rounds fast path over the dst-clustered symmetric
-#      graph), and rfm (repartition(1) kernel barrier replacing the
-#      pin+coalesce);
-#   2. the rest of the supply-graph family — they share the scaffolds
-#      the pagerank rework touched (supply_pairs unchanged, but the
-#      session now also pins supply_sym_dst / supply_nodes beside it);
-#   3. the stalest driver rows — everything whose latest green is
-#      round 4, then the oldest round-5 rows to fill the ~50 budget.
-# Everything else (driver-green r1 ∪ ... ∪ r09 — all 220 keys)
+# FIRST this round (round 11), in priority order:
+#   1. every query whose PLAN changed in round 11: a9_quantiles (local
+#      sort-selection kernel tier), cov_matrix (split-limb BIGINT
+#      accumulators + floor quantization), repeat_rate / cohort_ltv
+#      (first-order window replacing the customers-sized broadcast-back);
+#   2. the r10 `load_table_for_compute` scan-rebalance consumers that
+#      were NOT in the r10 driver sample (r10 judge item 7): every
+#      post-rebalance text/dedup/sampling/multimodal plan gets a fresh
+#      driver row this round.
+# Everything else (driver-green r1 ∪ ... ∪ r10 — all 220 keys)
 # enumerates last. Purely an enumeration-order hint — every query stays
 # registered and locally oracle-tested either way.
 _NEVER_DRIVER_SAMPLED = (
-    # -- 1: plans changed in round 10 (miners' shared supports scaffold,
-    #       pagerank scaffold-rounds, rfm kernel barrier, the symdel
-    #       fuzzy strategy, backlog agg-before-join, the codegen ewma
-    #       fold — plus the load_table_for_compute rebalance sweep,
-    #       whose text/dedup keys sections 3-4 already cover)
-    "x_text_fuzzy_join", "x_orders_backlog", "x_events_ewma",
-    "x_orders_basket_lift", "x_graph_jaccard_parts", "x_graph_pagerank",
-    "x_orders_rfm",
-    # -- 2: supply-graph scaffold family
-    "x_graph_kcore", "x_graph_triangles", "x_graph_bfs_layers",
-    "x_graph_assortativity", "x_graph_degree_stats",
-    # -- 3: stalest driver rows (latest green round 4)
-    "x_stats_ttest", "x_stats_psi_drift", "x_stats_mutual_info",
-    "x_stats_cov_matrix", "x_stats_skew_kurtosis", "x_stats_qq_deciles",
-    "x_stats_autocorr", "x_stats_wilson_rank", "x_stats_column_entropy",
-    "x_stats_hhi", "x_events_markov", "x_events_gapfill",
-    "x_events_entropy_rate", "x_orders_survival", "x_win_pct_change",
-    "x_win_cume_dist", "x_win_first_last", "x_win_streaks",
-    "x_text_readability", "x_text_js_divergence", "x_text_heaps",
-    "x_join_full_outer", "x_sample_weighted", "x_pipeline_funnel",
-    "x_pipeline_shard_assign", "x_pipeline_mix_temperature",
-    "x_unpivot_melt", "x_posexplode_ordinality", "x_q6_discount_revenue",
-    "x_shipping_lag", "x_mm_wav_decode", "x_mm_bmp_decode", "x_mm_decode",
-    "x_mm_resize", "x_mm_frames",
-    # -- 4: oldest round-5 rows, filling to 50
-    "x_dedup_url", "x_text_perplexity", "x_text_bpe_pairs",
+    # -- 1: plans changed in round 11
+    "a9_quantiles", "x_stats_cov_matrix", "x_orders_repeat_rate",
+    "x_events_cohort_ltv",
+    # -- 2: rebalance-touched keys without an r10 driver row
+    "x_text_tokens", "x_text_quality", "x_text_winnow", "x_text_lang_id",
+    "x_text_fingerprint", "x_text_repetition", "x_text_tfidf",
+    "x_text_entropy", "x_text_pii_redact", "x_text_bigram_lm",
+    "x_text_decontaminate", "x_pipeline_training_set",
+    "x_text_heavy_hitters", "x_text_c4_lines", "x_text_gopher_rules",
+    "x_text_bm25", "x_pipeline_dataset_card", "x_text_zipf",
+    "x_text_kneser_ney", "x_text_chunk_windows",
+    "x_text_template_fingerprint", "x_text_trigram_novelty",
+    "x_pipeline_filter_ablation", "x_dedup_exact", "x_dedup_minhash_lsh",
+    "x_dedup_simhash", "x_dedup_simhash_pairs", "x_dedup_containment",
+    "x_dedup_embed_cosine", "x_dedup_ngram_jaccard", "x_dedup_chunks",
+    "x_dedup_substring", "x_dedup_incremental", "x_dedup_semantic",
+    "x_dedup_paragraph", "x_dedup_minhash_eval", "x_dedup_simhash_eval",
+    "x_sample_stratified", "x_sample_token_budget", "x_sample_topk_hash",
+    "x_pipeline_pack_sequences", "x_pipeline_mix_rebalance",
+    "x_mm_wav_windows", "x_mm_bmp_histogram", "x_mm_png_decode",
 )
 
 
 def all_queries() -> dict[str, RegisteredQuery]:
     """Import every contributing module, then return the registry.
 
-    Enumeration order: the round-9 priority prefix first (see
-    _NEVER_DRIVER_SAMPLED — changed plans, then stale-row refresh), then
-    any new queries added this round, then the 220 keys the driver
-    already verified green in rounds 1-8.
+    Enumeration order: the round-11 priority prefix first (see
+    _NEVER_DRIVER_SAMPLED — changed plans, then the rebalance-touched
+    refresh), then any new queries added this round, then the 220 keys
+    the driver already verified green in rounds 1-10.
     """
     # Imports are effectful: each module registers its queries on import.
     from geostore_spark.operators import (  # noqa: F401
