@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from geostore_spark.operators.dedup import _count_rows_cheap
-from geostore_spark.operators.util import distributed_row_number, pin_branch_point
+from geostore_spark.operators.util import distributed_row_number, pin_branch_point, quantize
 from geostore_spark.registry import register
 from geostore_spark.sources.tables import load_table
 
@@ -165,7 +165,7 @@ def q_rfm(spark: SparkSession, sf: str) -> DataFrame:
     base = orders.groupBy(F.col("o_custkey").alias("c")).agg(
         F.datediff(F.lit(RFM_ANCHOR), F.max("o_orderdate")).alias("rec_days"),
         F.count(F.lit(1)).alias("freq"),
-        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+        F.sum(quantize(F.col("o_totalprice"), 100))
         .cast("bigint")
         .alias("cents"),
     )
@@ -479,7 +479,7 @@ def q_abc_pareto(spark: SparkSession, sf: str) -> DataFrame:
 
     li = load_table(spark, "lineitem", sf)
     r = li.groupBy(F.col("l_partkey").alias("p")).agg(
-        F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("bigint"))
+        F.sum(quantize(F.col("l_extendedprice"), 100))
         .cast("bigint")
         .alias("cents"),
     )

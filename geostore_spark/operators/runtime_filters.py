@@ -37,6 +37,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from geostore_spark.operators.util import quantize
 from geostore_spark.registry import register
 from geostore_spark.sources.tables import load_table
 
@@ -208,7 +209,7 @@ def q_bloom_semi(spark: SparkSession, sf: str) -> DataFrame:
         exact.groupBy("o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            F.sum(quantize(F.col("o_totalprice"), 100))
             .cast("bigint")
             .alias("total_cents"),
         )

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from geostore_spark.registry import register
 from geostore_spark.sources.tables import load_table
-from geostore_spark.operators.util import pin_branch_point
+from geostore_spark.operators.util import pin_branch_point, quantize
 
 N_BUCKETS = 20
 
@@ -161,7 +161,7 @@ CORR_SCALE = 1000  # value quantization for exact integer moments
 )
 def stats_corr(spark: SparkSession, sf: str) -> DataFrame:
     ev = load_table(spark, "events", sf)
-    x = F.round(F.col("value") * CORR_SCALE, 0).cast("bigint")
+    x = quantize(F.col("value"), CORR_SCALE)
     y = F.hour("ts").cast("bigint")
     q = ev.select("event_type", x.alias("x"), y.alias("y"))
     s = q.groupBy("event_type").agg(
@@ -1036,7 +1036,7 @@ MOM_SCALE = 100  # l_quantity quantizes exactly to 1/100 units
 )
 def stats_skew_kurtosis(spark: SparkSession, sf: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf)
-    x = F.round(F.col("l_quantity") * MOM_SCALE, 0).cast("bigint")
+    x = quantize(F.col("l_quantity"), MOM_SCALE)
     q = li.select(F.col("l_returnflag").alias("flag"), x.alias("x"))
     d19 = lambda c: c.cast("decimal(19,0)")  # noqa: E731
     s = q.groupBy("flag").agg(
@@ -1365,7 +1365,7 @@ def stats_hhi(spark: SparkSession, sf: str) -> DataFrame:
             F.col("s_nationkey").alias("nation"), F.col("l_suppkey").alias("supp")
         )
         .agg(
-            F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("bigint"))
+            F.sum(quantize(F.col("l_extendedprice"), 100))
             .cast("bigint")
             .alias("cents")
         )
@@ -1657,7 +1657,7 @@ def q_bootstrap_ci(spark: SparkSession, sf: str) -> DataFrame:
         orders.select(
             F.col("o_orderpriority").alias("priority"),
             "o_orderkey",
-            F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+            quantize(F.col("o_totalprice"), 100).alias("cents"),
         )
         .withColumn("r", F.explode(F.sequence(F.lit(0), F.lit(BOOT_R - 1))))
         .filter(member)
@@ -1701,7 +1701,7 @@ def shared_daily_orders(spark: SparkSession, sf: str) -> DataFrame:
             F.col("o_orderdate").cast("date").alias("day")
         ).agg(
             F.count(F.lit(1)).alias("x"),
-            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            F.sum(quantize(F.col("o_totalprice"), 100))
             .cast("bigint")
             .alias("y"),
         )
@@ -1854,8 +1854,7 @@ def stats_mann_whitney(spark: SparkSession, sf: str) -> DataFrame:
     v = (
         orders.filter(F.col("o_orderpriority").isin(MW_GROUP_A, MW_GROUP_B))
         .groupBy(
-            F.round(F.col("o_totalprice") * 100, 0)
-            .cast("bigint")
+            quantize(F.col("o_totalprice"), 100)
             .alias("cents")
         )
         .agg(

@@ -20,7 +20,7 @@ from pyspark.sql.window import Window
 
 from geostore_spark.registry import register
 from geostore_spark.sources.tables import load_table
-from geostore_spark.operators.util import pin_branch_point
+from geostore_spark.operators.util import pin_branch_point, quantize
 
 
 def asof_join(
@@ -454,7 +454,7 @@ def q_pct_change(spark: SparkSession, sf: str) -> DataFrame:
         F.col("o_orderpriority").alias("prio"),
         F.date_format("o_orderdate", "yyyy-MM").alias("month"),
     ).agg(
-        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+        F.sum(quantize(F.col("o_totalprice"), 100))
         .cast("bigint")
         .alias("cents")
     )
@@ -833,7 +833,7 @@ def q_orders_active_intervals(spark: SparkSession, sf: str) -> DataFrame:
     iv = orders.join(ends, "o_orderkey").select(
         F.col("o_orderdate").alias("start_day"),
         "end_day",
-        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+        quantize(F.col("o_totalprice"), 100).alias("cents"),
     )
     # one generator pass emits both endpoint deltas inside the join
     # stage (a UNION of two selects would run the join twice)

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from geostore_spark.logging_keys import LOG_MESSAGE_STRATEGY_DISPATCH, log_event
 from geostore_spark.registry import register
 from geostore_spark.sources.tables import load_table, load_table_for_compute
-from geostore_spark.operators.util import pin_branch_point
+from geostore_spark.operators.util import pin_branch_point, quantize
 
 # Tiny per-language stopword lexicon (public common stopwords).
 STOPWORDS: dict[str, tuple[str, ...]] = {
@@ -437,7 +437,7 @@ def text_entropy(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("doc_id", "ch")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    term = F.round(F.col("c") * F.log("c") * 1e6, 0).cast("bigint")
+    term = quantize(F.col("c") * F.log("c"), 1e6)
     agg = cnt.groupBy("doc_id").agg(
         F.sum("c").alias("n_chars"),
         F.count(F.lit(1)).alias("n_distinct"),

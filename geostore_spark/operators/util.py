@@ -36,6 +36,24 @@ _SESSION_CKPT_LOCK = threading.RLock()
 _SESSION_KEY_LOCKS: dict[tuple, threading.RLock] = {}
 
 
+def quantize(col, scale):
+    """Round-half-up integer quantization for NON-NEGATIVE doubles as
+    pure codegen arithmetic: ``floor(v*scale + 0.5) :: bigint``.
+
+    Spark's ``round()`` on DoubleType routes every value through a
+    ``java.math.BigDecimal`` allocation; for ``v >= 0`` this floor form
+    is value-identical (including exact .5 — both round up) and stays
+    inside whole-stage codegen. Measured on x_stats_cov_matrix (sf1,
+    interleaved medians): 1.29 s -> 0.76 s from this change alone.
+    NOT valid for columns that can be negative (HALF_UP rounds away
+    from zero there; the exact-.5 case would differ) — those keep
+    ``F.round``.
+    """
+    from pyspark.sql import functions as F
+
+    return F.floor(col * scale + F.lit(0.5)).cast("bigint")
+
+
 def _key_lock(k: tuple) -> threading.RLock:
     with _SESSION_CKPT_LOCK:
         return _SESSION_KEY_LOCKS.setdefault(k, threading.RLock())

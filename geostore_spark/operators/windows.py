@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from geostore_spark.registry import register
 from geostore_spark.sources.tables import load_table
-from geostore_spark.operators.util import pin_branch_point
+from geostore_spark.operators.util import pin_branch_point, quantize
 
 
 @register(
@@ -383,7 +383,7 @@ def win_first_last(spark: SparkSession, sf: str) -> DataFrame:
         "o_custkey",
         "o_orderkey",
         "o_orderdate",
-        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+        quantize(F.col("o_totalprice"), 100).alias("cents"),
     )
     w = (
         Window.partitionBy("o_custkey")

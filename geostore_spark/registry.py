@@ -75,6 +75,17 @@ _NEVER_DRIVER_SAMPLED = (
     "x_sample_stratified", "x_sample_token_budget", "x_sample_topk_hash",
     "x_pipeline_pack_sequences", "x_pipeline_mix_rebalance",
     "x_mm_wav_windows", "x_mm_bmp_histogram", "x_mm_png_decode",
+    # -- 3: quantize-helper sweep (codegen floor replacing BigDecimal
+    #       round — value-identical by construction, all 15 keys
+    #       locally oracle-verified; lowest-risk refresh, so they sit
+    #       behind the rebalance block even though some overflow the
+    #       ~50-key driver sample)
+    "x_orders_rfm", "x_part_abc_pareto", "x_stats_corr",
+    "x_stats_skew_kurtosis", "x_stats_hhi", "x_stats_bootstrap_ci",
+    "x_stats_mann_whitney", "x_win_pct_change",
+    "x_orders_active_intervals", "x_join_bloom_semi",
+    "x_storage_partition_prune", "x_storage_ivm_refresh",
+    "x_win_first_last", "x_storage_cdc_apply",
 )
 
 

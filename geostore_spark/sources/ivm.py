@@ -53,6 +53,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from geostore_spark.operators.util import quantize
 from geostore_spark.sources.store import MetadataStore, null_safe_on
 
 
@@ -404,7 +405,7 @@ def _register_query() -> None:
         orders = load_table(spark, "orders", sf).select(
             F.col("o_orderkey").alias("okey"),
             F.col("o_orderpriority").alias("pr"),
-            F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+            quantize(F.col("o_totalprice"), 100).alias("cents"),
             F.col("o_orderdate").alias("odate"),
         )
         view = IncrementalAggView(

@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from geostore_spark.operators.util import quantize
 from geostore_spark.sources.bucketed import save_table_clearing_stale_dir
 from geostore_spark.sources.tables import fixture_tag, load_table
 
@@ -115,7 +116,7 @@ def _register_query() -> None:
             .groupBy(F.month("o_orderdate").alias("month"))
             .agg(
                 F.count(F.lit(1)).alias("n_orders"),
-                F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+                F.sum(quantize(F.col("o_totalprice"), 100))
                 .cast("bigint")
                 .alias("revenue_cents"),
             )

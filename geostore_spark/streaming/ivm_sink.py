@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from geostore_spark.operators.util import quantize
 from geostore_spark.sources.ivm import IncrementalAggView
 from geostore_spark.sources.store import MetadataStore
 
@@ -318,8 +319,7 @@ def _register_query() -> None:
             .select(
                 F.col("o_orderkey").alias("okey"),
                 F.col("o_orderpriority").alias("pr"),
-                F.round(F.col("o_totalprice") * 100, 0)
-                .cast("bigint")
+                quantize(F.col("o_totalprice"), 100)
                 .alias("cents"),
             )
         )

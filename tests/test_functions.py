@@ -89,3 +89,28 @@ def test_hex_digest_matches_duckdb(spark):
             "SELECT ('0x' || substring(md5(?), 1, 8))::BIGINT", [v]
         ).fetchone()
         assert got[v] == exp, v
+
+
+def test_quantize_equals_spark_round_for_non_negative(spark):
+    """The codegen quantize (floor(v*scale + 0.5)) must be
+    value-identical to Spark's BigDecimal-backed round() on every
+    non-negative input it replaced — including exact .5 boundaries
+    (both round up) and float-error neighbors of integers. This is the
+    contract behind the r11 hot-path sweep (cov_matrix measured
+    1.29 s -> 0.76 s at sf1 from this substitution alone)."""
+    from pyspark.sql import functions as F
+
+    from geostore_spark.operators.util import quantize
+
+    vals = [
+        0.0, 0.004, 0.005, 0.0049999999, 123.45, 123.455, 123.456,
+        0.125, 999999.995, 12344.999999999, 1.005, 2.675,  # classic float traps
+        94999.5, 0.505, 10.015,
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    out = df.select(
+        quantize(F.col("v"), 100).alias("q"),
+        F.round(F.col("v") * 100, 0).cast("bigint").alias("r"),
+    ).collect()
+    for row, v in zip(out, vals):
+        assert row["q"] == row["r"], (v, row["q"], row["r"])
