@@ -1067,10 +1067,15 @@ def a8(spark: SparkSession, sf: str) -> DataFrame:
 # distributed plan's ~5 fixed stage floors (range exchange, local
 # window, offset broadcast, target join, final agg) for a 6-row
 # answer. Above it the two-phase distributed rank keeps parallelism
-# ∝ data. Tiers are bit-identical (same integer cut positions, same
-# lo + frac*(hi-lo) float interpolation, rounding applied Spark-side
-# in both): pinned by tests/test_plans.py::test_a9_tiers_agree.
-A9_LOCAL_THRESHOLD = 8_000_000
+# ∝ data. MEASURED crossover (tier-vs-tier interleaved medians, 5
+# reps each, this host): local wins 0.43 vs 1.16 s at 150 k orders
+# and 1.59 vs 2.69 s at 1.5 M; the distributed rank wins 4.31 vs
+# 5.41 s at 4.5 M and 8.19 vs 18.2 s at 15 M — the crossover sits
+# between 1.5 M and 4.5 M, so 3 M is the cut. Tiers are bit-identical
+# (same integer cut positions, same lo + frac*(hi-lo) float
+# interpolation, rounding applied Spark-side in both): pinned by
+# tests/test_plans.py::test_a9_tiers_agree.
+A9_LOCAL_THRESHOLD = 3_000_000
 
 
 def _a9_local(q: DataFrame) -> DataFrame:
