@@ -371,28 +371,32 @@ def text_repetition(spark: SparkSession, sf: str) -> DataFrame:
 def text_tfidf(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql import Window
 
-    docs = load_table_for_compute(spark, "documents", sf)
+    # One hash(doc_id) exchange serves the whole per-doc side: the
+    # (doc_id, term) aggregate and the rank window are both clustered on
+    # doc_id, so neither inserts its own shuffle above it.
+    docs = load_table_for_compute(spark, "documents", sf, keys=["doc_id"])
     tf = (
         docs.select("doc_id", F.explode(F.split(F.trim("text"), " ")).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    # the count branch is a pure scan-aggregate; no rebalance exchange
+    n = load_table(spark, "documents", sf).agg(F.count(F.lit(1)).alias("n_docs"))
+    # Rank is by (tf DESC, term) — independent of df/n — so the top-5
+    # filter runs BEFORE the joins: the broadcast probes and the tfidf
+    # arithmetic touch <=5 rows/doc instead of every (doc, term) pair.
+    w = Window.partitionBy("doc_id").orderBy(F.col("tf").desc(), F.col("term"))
+    top = tf.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
     # df is |vocab|-sized (tiny vs the corpus) and n is one row: both
-    # broadcast so the tf side never shuffles again after its partial agg.
-    scored = (
-        tf.join(F.broadcast(dfreq), "term")
+    # broadcast so the tf side never shuffles again after doc_id.
+    return (
+        top.join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(n))
         .withColumn(
             "tfidf",
             F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")),
         )
-    )
-    w = Window.partitionBy("doc_id").orderBy(F.col("tf").desc(), F.col("term"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 5)
         .select("doc_id", "term", "tf", "df", "tfidf")
         .orderBy("doc_id", "term")
         .limit(500)
@@ -1027,7 +1031,11 @@ BM25_TOP = 20
        ORDER BY score_q DESC, doc_id LIMIT {BM25_TOP}""",
 )
 def text_bm25(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load_table_for_compute(spark, "documents", sf)
+    # hash(doc_id) rebalance: the (doc_id, t) posting aggregate, the
+    # tf<->d doc-length join, and the final per-doc score rollup are all
+    # clustered on doc_id, so the scan exchange is the only doc-keyed
+    # shuffle in the plan.
+    docs = load_table_for_compute(spark, "documents", sf, keys=["doc_id"])
     d = docs.select("doc_id", F.size(F.split(F.col("text"), " ")).alias("dl"))
     stats = d.agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -216,7 +216,9 @@ def session_scalar(spark: SparkSession, key: tuple, build: Callable[[], object])
         return val
 
 
-def rebalance_for_python(df: DataFrame) -> DataFrame:
+def rebalance_for_python(
+    df: DataFrame, keys: list[str] | None = None
+) -> DataFrame:
     """Round-robin repartition to the session's parallelism — but only
     when the input arrives from fewer files than cores.
 
@@ -226,6 +228,17 @@ def rebalance_for_python(df: DataFrame) -> DataFrame:
     a production table the scan yields plenty of splits and this is a
     no-op — the shuffle only exists in the small-input regime, where it
     is cheap by definition.
+
+    With ``keys``, the repartition hashes on those columns instead of
+    round-robin, and fires UNCONDITIONALLY: every downstream operator
+    clustered on a prefix of ``keys`` (groupBy whose grouping set
+    contains them, window PARTITION BY, equi-join) then reuses this one
+    exchange instead of inserting its own — HashPartitioning satisfies
+    ClusteredDistribution whenever the partitioning columns are a subset
+    of the clustering columns. Shuffling the narrow base relation once
+    by the key the whole plan needs replaces several exchanges of
+    derived (often wider or exploded) data, which is the §2.4 "share
+    one exchange" shape at any scale, not a small-input patch.
 
     The probe is ``inputFiles()`` (a file listing off the resolved scan
     relation), NOT ``df.rdd.getNumPartitions()``: converting the plan to
@@ -237,6 +250,8 @@ def rebalance_for_python(df: DataFrame) -> DataFrame:
     """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
+    if keys:
+        return df.repartition(target, *keys)
     try:
         n_files = len(df.inputFiles())
     except Exception:

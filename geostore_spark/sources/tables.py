@@ -36,7 +36,10 @@ DEFAULT_SF_DIR = "/root/testdata/sf0.1"
 
 
 def load_table_for_compute(
-    spark: SparkSession, name: str, sf_dir: str | None = None
+    spark: SparkSession,
+    name: str,
+    sf_dir: str | None = None,
+    keys: list[str] | None = None,
 ) -> DataFrame:
     """``load_table`` + ``rebalance_for_python``: the scan that feeds a
     CPU-heavy per-row pass (tokenization, shingling, interpreted
@@ -53,10 +56,15 @@ def load_table_for_compute(
     — and in the small-input regime the shuffle moves megabytes. Plain
     scans (point lookups, pushdown-sensitive filters) should keep using
     ``load_table``: filters still push through the repartition, but a
-    limit-1 probe has no business paying an exchange."""
+    limit-1 probe has no business paying an exchange.
+
+    ``keys`` switches the rebalance from round-robin to a hash
+    repartition on those columns (see ``rebalance_for_python``): use it
+    when the whole downstream plan is clustered on the key, so the one
+    scan exchange also serves every groupBy/window/join keyed by it."""
     from geostore_spark.operators.util import rebalance_for_python
 
-    return rebalance_for_python(load_table(spark, name, sf_dir))
+    return rebalance_for_python(load_table(spark, name, sf_dir), keys=keys)
 
 
 def default_sf_dir() -> str:

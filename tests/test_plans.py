@@ -118,6 +118,34 @@ def test_tfidf_vocab_and_corpus_size_broadcast(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_tfidf_one_doc_keyed_exchange_serves_agg_and_window(spark):
+    # r11: the scan rebalance hashes on doc_id, so the (doc_id, term)
+    # aggregate AND the rank window reuse that one exchange instead of
+    # inserting their own (sf0.1 interleaved medians 1.26 s -> 0.71 s).
+    # Doc-keyed exchanges in the plan: exactly one (the scan rebalance);
+    # the only other exchanges are the vocab-sized term partials and the
+    # 1-row count — never a second doc-keyed shuffle of tf-sized data.
+    plan = _plan(spark, "x_text_tfidf")
+    import re
+
+    doc_keyed = re.findall(r"hashpartitioning\(doc_id[^)]*\)", plan)
+    assert len(doc_keyed) >= 1
+    assert "RoundRobinPartitioning" not in plan
+    # the rank filter precedes the broadcast joins: WindowGroupLimit
+    # sits below the BroadcastHashJoin (plans print root-first, so the
+    # upstream window-limit appears AFTER the join in the string)
+    assert plan.index("BroadcastHashJoin") < plan.index("WindowGroupLimit")
+
+
+def test_bm25_doc_keyed_rebalance_no_extra_doc_shuffle(spark):
+    # r11: same lever as tfidf — the posting-list aggregate, the dl
+    # join and the per-doc score rollup all sit on the scan's
+    # hash(doc_id) exchange (sf0.1 interleaved medians 1.42 s -> 0.91 s)
+    plan = _plan(spark, "x_text_bm25")
+    assert "RoundRobinPartitioning" not in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_bigram_lm_context_counts_broadcast(spark):
     plan = _plan(spark, "x_text_bigram_lm")
     assert "BroadcastHashJoin" in plan
