@@ -381,7 +381,16 @@ def stats_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
                 CROSS JOIN tot""",
 )
 def stats_chi2(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
     ev = load_table(spark, "events", sf)
+    # The contingency table is TYPE-bounded (|event_type| x |device|,
+    # dozens of cells at any data size), so after the one fact shuffle
+    # it is coalesced to a single partition and the row/column/grand
+    # marginals become window sums over SinglePartition — zero further
+    # exchanges and no re-aggregation branches (the r10 shape built
+    # rm/cm/tot as three broadcast branches, each re-running the fact
+    # aggregate subtree; sf0.1 interleaved medians 0.76 s -> 0.45 s).
     obs = (
         ev.select(
             "event_type",
@@ -389,21 +398,19 @@ def stats_chi2(spark: SparkSession, sf: str) -> DataFrame:
         )
         .groupBy("event_type", "device")
         .agg(F.count(F.lit(1)).alias("o"))
+        .coalesce(1)
     )
-    rm = obs.groupBy("event_type").agg(F.sum("o").alias("rn"))
-    cm = obs.groupBy("device").agg(F.sum("o").alias("cn"))
-    tot = obs.agg(F.sum("o").alias("n"))
+    cells = (
+        obs.withColumn("rn", F.sum("o").over(Window.partitionBy("event_type")))
+        .withColumn("cn", F.sum("o").over(Window.partitionBy("device")))
+        .withColumn("n", F.sum("o").over(Window.partitionBy()))
+    )
     e = (F.col("rn") * F.col("cn")).cast("double") / F.col("n")
-    return (
-        obs.join(F.broadcast(rm), "event_type")
-        .join(F.broadcast(cm), "device")
-        .join(F.broadcast(tot))
-        .agg(
-            F.count_distinct("event_type").cast("bigint").alias("n_rows"),
-            F.count_distinct("device").cast("bigint").alias("n_cols"),
-            F.max("n").cast("bigint").alias("n"),
-            F.round(F.sum(F.pow(F.col("o") - e, 2) / e), 4).alias("chi2"),
-        )
+    return cells.agg(
+        F.count_distinct("event_type").cast("bigint").alias("n_rows"),
+        F.count_distinct("device").cast("bigint").alias("n_cols"),
+        F.max("n").cast("bigint").alias("n"),
+        F.round(F.sum(F.pow(F.col("o") - e, 2) / e), 4).alias("chi2"),
     )
 
 
@@ -491,15 +498,20 @@ def stats_benford(spark: SparkSession, sf: str) -> DataFrame:
     digit = F.substring(
         F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
     ).cast("bigint")
+    from pyspark.sql import Window
+
+    # 9 possible digits: coalesce the cell table to one partition and
+    # take the total as a window sum — no re-aggregation branch and no
+    # broadcast (same r11 lever as chi2/mutual_info)
     c = (
         orders.filter(F.col("o_totalprice") >= 1)
         .select(digit.alias("digit"))
         .groupBy("digit")
         .agg(F.count(F.lit(1)).alias("n"))
+        .coalesce(1)
     )
-    t = c.agg(F.sum("n").alias("total"))
     return (
-        c.join(F.broadcast(t))
+        c.withColumn("total", F.sum("n").over(Window.partitionBy()))
         .select(
             "digit",
             "n",
@@ -825,17 +837,27 @@ def stats_mutual_info(spark: SparkSession, sf: str) -> DataFrame:
             F.regexp_extract("props", '"k": *([0-9]+)', 1).cast("int") / 10
         ).cast("int").alias("y"),
     )
-    cell = q.groupBy("x", "y").agg(F.count(F.lit(1)).alias("n_xy"))
-    # marginals and the grand total re-aggregate the |X|x|Y| cell table
-    # (≤50 rows) — never the event stream again
-    cell = cell.transform(pin_branch_point)
-    mx = cell.groupBy("x").agg(F.sum("n_xy").cast("bigint").alias("n_x"))
-    my = cell.groupBy("y").agg(F.sum("n_xy").cast("bigint").alias("n_y"))
-    tot = cell.agg(F.sum("n_xy").cast("bigint").alias("n"))
+    from pyspark.sql import Window
+
+    # The |X|x|Y| cell table is type-bounded (≤50 rows at any data
+    # size): coalesce it to one partition and derive the marginals and
+    # grand total as window sums over SinglePartition — one fact
+    # shuffle, zero branch re-aggregations, no checkpoint pin (the r10
+    # shape localCheckpointed the cells and built mx/my/tot as three
+    # broadcast branches; sf0.1 interleaved medians 0.53 s -> 0.30 s)
+    cell = (
+        q.groupBy("x", "y").agg(F.count(F.lit(1)).alias("n_xy")).coalesce(1)
+    )
     j = (
-        cell.join(F.broadcast(mx), "x")
-        .join(F.broadcast(my), "y")
-        .crossJoin(F.broadcast(tot))
+        cell.withColumn(
+            "n_x", F.sum("n_xy").over(Window.partitionBy("x")).cast("bigint")
+        )
+        .withColumn(
+            "n_y", F.sum("n_xy").over(Window.partitionBy("y")).cast("bigint")
+        )
+        .withColumn(
+            "n", F.sum("n_xy").over(Window.partitionBy()).cast("bigint")
+        )
     )
     n_xy_d = F.col("n_xy").cast("double")
     pmi = F.log(n_xy_d * F.col("n") / (F.col("n_x").cast("double") * F.col("n_y")))

@@ -516,12 +516,19 @@ def q_entropy_rate(spark: SparkSession, sf: str) -> DataFrame:
     seq = ev.select(
         "event_type", F.lag("event_type").over(w).alias("prev")
     ).filter(F.col("prev").isNotNull())
-    t = seq.groupBy("prev", F.col("event_type").alias("next")).agg(
-        F.count(F.lit(1)).alias("n")
+    # The transition matrix is type-bounded (|event_type|² cells), so
+    # after the one (prev, next) shuffle it coalesces to a single
+    # partition and the row marginal + grand total become window sums —
+    # no checkpoint pin, no broadcast branches (r11 lever, same as
+    # chi2/mutual_info)
+    t = (
+        seq.groupBy("prev", F.col("event_type").alias("next"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .coalesce(1)
     )
-    t = t.transform(pin_branch_point)
-    m = t.groupBy("prev").agg(F.sum("n").cast("bigint").alias("n_prev"))
-    tot = t.agg(F.sum("n").cast("bigint").alias("z"))
+    t = t.withColumn(
+        "n_prev", F.sum("n").over(Window.partitionBy("prev")).cast("bigint")
+    ).withColumn("z", F.sum("n").over(Window.partitionBy()).cast("bigint"))
     h_q = F.round(
         -(F.col("n").cast("double") / F.col("z"))
         * F.log(F.col("n").cast("double") / F.col("n_prev"))
@@ -529,9 +536,7 @@ def q_entropy_rate(spark: SparkSession, sf: str) -> DataFrame:
         0,
     ).cast("bigint")
     return (
-        t.join(F.broadcast(m), "prev")
-        .crossJoin(F.broadcast(tot))
-        .select(h_q.alias("h_q"))
+        t.select(h_q.alias("h_q"))
         .agg(
             F.count(F.lit(1)).alias("n_transitions"),
             (F.sum("h_q").cast("double") / 1_000_000_000).alias(

@@ -1858,11 +1858,13 @@ JS_SCALE = 1_000_000_000
     "distributions — the symmetric, bounded [0, ln 2] corpus-drift "
     "metric (PSI's cousin without its zero-bucket blowups), the "
     "standard check that two corpus slices are 'the same kind of "
-    "text'. One explode to (lang, char) counts with map-side "
-    "partials; both distributions and the mixture derive from the "
-    "SAME count table (alphabet-sized) joined full-outer so "
-    "one-sided characters contribute correctly; per-character KL "
-    "terms quantize to nano-nats and sum as exact integers.",
+    "text'. One explode to per-char conditional counts with map-side "
+    "partials (grouping by char alone IS the full-outer row set: a "
+    "one-sided character reads count 0 on the other side); the "
+    "alphabet is type-bounded, so both language totals are window "
+    "sums over the coalesced single partition — no joins anywhere; "
+    "per-character KL terms quantize to nano-nats and sum as exact "
+    "integers.",
     f"""WITH ch AS (
          SELECT lang, unnest(string_split_regex(lower(text), '')) AS c
          FROM documents WHERE lang IN ('{JS_LANG_A}', '{JS_LANG_B}')
@@ -1900,30 +1902,36 @@ JS_SCALE = 1_000_000_000
        FROM terms""",
 )
 def text_js_divergence(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
     docs = load_table_for_compute(spark, "documents", sf).filter(
         F.col("lang").isin(JS_LANG_A, JS_LANG_B)
     )
     ch = docs.select(
         "lang", F.explode(F.split(F.lower("text"), "")).alias("c")
     ).filter(F.col("c") != "")
-    cnt = ch.groupBy("lang", "c").agg(F.count(F.lit(1)).alias("n"))
-    cnt = cnt.transform(pin_branch_point)
-    tot = cnt.groupBy("lang").agg(F.sum("n").cast("bigint").alias("t"))
-    p = cnt.join(F.broadcast(tot), "lang").select(
-        "lang", "c", (F.col("n").cast("double") / F.col("t")).alias("p")
-    )
-    a = p.filter(F.col("lang") == JS_LANG_A).select(
-        F.col("c").alias("ca"), F.col("p").alias("pa")
-    )
-    b = p.filter(F.col("lang") == JS_LANG_B).select(
-        F.col("c").alias("cb"), F.col("p").alias("pb")
-    )
-    w = (
-        a.join(b, a["ca"] == b["cb"], "full_outer")
-        .select(
-            F.coalesce("pa", F.lit(0.0)).alias("pa"),
-            F.coalesce("pb", F.lit(0.0)).alias("pb"),
+    # Per-char conditional counts replace the (lang, c) table + its
+    # full-outer self-join: grouping by c alone yields exactly the
+    # full-outer row set (a char missing on one side reads count 0 =
+    # COALESCE(p, 0)), and the alphabet is type-bounded, so the two
+    # language totals are window sums over the coalesced single
+    # partition — one fact shuffle, no checkpoint, no SortMergeJoins
+    # (r10 shape: pin + tot broadcast + 2-exchange full-outer SMJ;
+    # sf0.1 interleaved medians 1.24 s -> 0.78 s).
+    cells = (
+        ch.groupBy("c")
+        .agg(
+            F.sum(F.when(F.col("lang") == JS_LANG_A, 1).otherwise(0)).alias("na"),
+            F.sum(F.when(F.col("lang") == JS_LANG_B, 1).otherwise(0)).alias("nb"),
         )
+        .coalesce(1)
+    )
+    wt = Window.partitionBy()
+    w = (
+        cells.withColumn("ta", F.sum("na").over(wt).cast("bigint"))
+        .withColumn("tb", F.sum("nb").over(wt).cast("bigint"))
+        .withColumn("pa", F.col("na").cast("double") / F.col("ta"))
+        .withColumn("pb", F.col("nb").cast("double") / F.col("tb"))
         .withColumn("m", (F.col("pa") + F.col("pb")) / 2)
     )
     term = (
