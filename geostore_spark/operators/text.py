@@ -296,7 +296,10 @@ def text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
        ORDER BY b.doc_id LIMIT 200""",
 )
 def text_repetition(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load_table_for_compute(spark, "documents", sf)
+    # hash(doc_id) rebalance (r11): the (doc_id, g) bigram count, the
+    # per-doc max rollup and the base join are all clustered on doc_id,
+    # so the scan exchange is the only shuffle in the plan
+    docs = load_table_for_compute(spark, "documents", sf, keys=["doc_id"])
     words = F.split(F.trim("text"), " ")
     base = docs.select(
         "doc_id",
@@ -434,7 +437,9 @@ def text_tfidf(spark: SparkSession, sf: str) -> DataFrame:
        FROM agg ORDER BY doc_id LIMIT 200""",
 )
 def text_entropy(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load_table_for_compute(spark, "documents", sf)
+    # hash(doc_id) rebalance (r11): both aggregates are doc_id-clustered
+    # — one exchange total ahead of the TakeOrdered
+    docs = load_table_for_compute(spark, "documents", sf, keys=["doc_id"])
     cnt = (
         docs.select("doc_id", F.explode(F.split("text", "")).alias("ch"))
         .filter(F.col("ch") != "")
