@@ -121,8 +121,11 @@ def test_ivm_minmax_recompute_on_retract(spark, store):
     assert _mm_rows(view.read()) == _mm_rows(view.recompute())
 
     # insert-only churn folds without touching the source snapshot:
-    # count store.read('mm') calls during the refresh — the CDF diff
-    # reads the two snapshots, and NOTHING ELSE may read the source
+    # count store.read('mm') calls during the refresh — the append
+    # commit RECORDED its change feed (r11: the CDF fast path reads the
+    # appended files directly), so the refresh reads the source ZERO
+    # times; before r11 the pin was 2 (the generic diff's two snapshot
+    # scans). Either way: no recompute scan on an insert-only delta.
     store.append(
         "mm", spark.createDataFrame([("a", 3), ("d", 1)], "k string, cents long")
     )
@@ -138,7 +141,7 @@ def test_ivm_minmax_recompute_on_retract(spark, store):
         assert view.refresh()["mode"] == "incremental"
     finally:
         store.read = orig_read
-    assert reads.count("mm") == 2  # the CDF's two snapshots, no recompute scan
+    assert reads.count("mm") == 0  # recorded feed: no snapshot diff, no recompute
     got = _mm_rows(view.read())
     assert got == _mm_rows(view.recompute())
     assert ("a", 3, 17, 3, 9) in got  # min folded 5 -> 3 incrementally
@@ -151,7 +154,7 @@ def test_ivm_minmax_recompute_on_retract(spark, store):
         view.refresh()
     finally:
         store.read = orig_read
-    assert reads.count("mm") == 3  # CDF snapshots + ONE recompute scan
+    assert reads.count("mm") == 1  # recorded delete feed + ONE recompute scan
     got = _mm_rows(view.read())
     assert got == _mm_rows(view.recompute())
     assert ("a", 2, 14, 5, 9) in got  # min rewound to 5 via recompute

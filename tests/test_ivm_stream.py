@@ -417,9 +417,9 @@ def test_cdc_apply_has_no_target_scan_beyond_the_merge(spark, store, monkeypatch
     captured = {}
     orig = store._write_snapshot
 
-    def spy(table, df, base, meta=None):
+    def spy(table, df, base, meta=None, **kw):
         captured["df"] = df
-        return orig(table, df, base, meta=meta)
+        return orig(table, df, base, meta=meta, **kw)
 
     monkeypatch.setattr(store, "_write_snapshot", spy)
 
