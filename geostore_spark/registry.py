@@ -58,6 +58,13 @@ _NEVER_DRIVER_SAMPLED = (
     # -- 1: plans changed in round 11
     "a9_quantiles", "x_stats_cov_matrix", "x_orders_repeat_rate",
     "x_events_cohort_ltv",
+    # (late-round addition: the type-bounded-marginal rework collapsed
+    # these five plans' branch-join trees — re-verified locally,
+    # front-loaded so the driver re-rows them this round; the storage
+    # pair whose commit protocol changed already sits at the end of
+    # section 3 below)
+    "x_stats_chi2", "x_stats_mutual_info", "x_text_js_divergence",
+    "x_stats_benford", "x_events_entropy_rate",
     # -- 2: rebalance-touched keys without an r10 driver row
     "x_text_tokens", "x_text_quality", "x_text_winnow", "x_text_lang_id",
     "x_text_fingerprint", "x_text_repetition", "x_text_tfidf",
