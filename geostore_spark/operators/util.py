@@ -173,17 +173,28 @@ def session_checkpoint(
                 df.count()
             ids = frozenset()
         else:
-            # the before/after diff can capture a CONCURRENT build's ids
-            # now that builds overlap; that only widens this entry's
-            # liveness set, and a too-wide set merely causes a spurious
-            # (safe) rebuild if the other entry's blocks are dropped
-            before = _persisted_rdd_ids(spark)
             df = build().localCheckpoint(eager=eager)
-            ids = (
-                frozenset(_persisted_rdd_ids(spark) - before)
-                if eager
-                else frozenset()
-            )
+            # Liveness ids must be EXACTLY the memo checkpoint's own RDD
+            # — a localCheckpoint plan is one LogicalRDD and its rdd id
+            # is the persisted block set consumers read. The previous
+            # before/after diff of the persistent-RDD map also captured
+            # the build's INTERNAL throwaway pins (a Lloyd loop's
+            # per-iteration checkpoints, rank-helper pins): those become
+            # unreferenced the moment build() returns, the ContextCleaner
+            # unpersists them on the next driver GC, and the too-wide
+            # liveness set then declared the scaffold lost — silently
+            # rebuilding it on EVERY consumer call after every reap
+            # (bench.py reaps every 16 queries; x_ml_kmeans measured
+            # 1.2-6.1 s per read vs 0.08 s memo-hit, r11).
+            try:
+                ids = frozenset(
+                    {int(df._jdf.queryExecution().analyzed().rdd().id())}
+                )
+            except Exception:
+                # accessor shape changed: fall back to no liveness ids,
+                # i.e. trust the entry (persist-mode behavior) rather
+                # than poisoning it with an over-wide set
+                ids = frozenset()
         with _SESSION_CKPT_LOCK:
             _SESSION_CKPT[k] = (df, ids)
     return df

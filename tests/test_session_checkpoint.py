@@ -84,6 +84,46 @@ def test_lost_checkpoint_blocks_trigger_rebuild(spark):
     assert calls["n"] == 2 and c is b
 
 
+def test_internal_build_pins_reaped_does_not_rebuild(spark):
+    """The liveness set must be EXACTLY the memo checkpoint's own RDD.
+    A build that creates internal throwaway pins (a Lloyd loop's
+    per-iteration checkpoints) sees those unpersisted by the
+    ContextCleaner after the next driver GC; with the old before/after
+    diff the over-wide liveness set then declared the scaffold lost and
+    silently rebuilt it on every consumer call after every reap (r11:
+    x_ml_kmeans read 1.2-6.1 s per bench row vs 0.08 s memo-hit)."""
+    from geostore_spark.operators import util
+
+    calls = {"n": 0}
+    inner_holder = {}
+
+    def build():
+        calls["n"] += 1
+        # internal pin the build discards — the ContextCleaner's victim
+        inner = spark.range(0, 11).localCheckpoint(eager=True)
+        inner_holder["df"] = inner
+        return inner.selectExpr("id * 2 as id")
+
+    a = session_checkpoint(spark, ("t_innerpin", "k"), build)
+    assert calls["n"] == 1 and a.count() == 11
+    app = spark.sparkContext.applicationId
+    _, ids = util._SESSION_CKPT[(app, "t_innerpin", "k")]
+    inner_id = int(
+        inner_holder["df"]._jdf.queryExecution().analyzed().rdd().id()
+    )
+    assert inner_id not in ids, "liveness set must not include build-internal pins"
+
+    # simulate the cleaner reaping the unreferenced internal pin
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for jid in list(jmap.keySet().toArray()):
+        if int(jid) == inner_id:
+            jmap.get(jid).unpersist()
+
+    b = session_checkpoint(spark, ("t_innerpin", "k"), build)
+    assert calls["n"] == 1, "reaped internal pin must not poison the entry"
+    assert b is a and b.count() == 11
+
+
 def test_session_checkpoint_thread_safety_under_churn(spark):
     """r7 advisor: two concurrent callers racing the dead-session purge
     both executed `del` on the same stale key, the second raising
