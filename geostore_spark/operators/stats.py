@@ -457,15 +457,55 @@ def stats_gini(spark: SparkSession, sf: str) -> DataFrame:
         # under the threshold the plain per-segment window is optimal
         row_count=_count_rows_cheap(orders),
     )
-    n = F.count(F.lit(1))
-    sum_ix = F.sum((F.col("i") * F.col("x")).cast("decimal(28,6)")).cast("double")
-    sum_x = F.sum(F.col("x").cast("decimal(28,6)")).cast("double")
-    gini = F.round(2.0 * sum_ix / (n * sum_x) - (n + 1.0) / n, 4)
-    return (
-        r.groupBy("segment")
-        .agg(n.alias("n"), gini.alias("gini"))
-        .orderBy("segment")
+    # The oracle sums CAST(i*x AS DECIMAL(28,6)) — i.e. the DOUBLE
+    # product rounded half-up at 6 decimals. Spark's decimal sum runs on
+    # per-value BigDecimal buffers (the cov_matrix finding); the same
+    # exact total accumulates on the codegen long fast path by summing
+    # the product's integer part as three 21-bit limbs plus the rounded
+    # micro-unit fraction (floor(p) and p-floor(p) are exact in double;
+    # +0.5-floor is half-up for these non-negative values). Limb sums
+    # stay in-range past 1e12 rows; the exact total reassembles in
+    # DECIMAL on the 5 aggregated rows. r11 sf1 interleaved medians:
+    # 4.06 -> 3.23 s (the decimal buffers were ~2/3 of the non-rank
+    # wall; the split-limb form times identical to raw double sums).
+    r2 = r.selectExpr(
+        "segment",
+        "cast(floor(cast(i as double) * x) as bigint) as k",
+        "cast(floor((cast(i as double) * x - floor(cast(i as double) * x))"
+        " * 1e6 + 0.5) as bigint) as fr",
+        "cast(floor(x) as bigint) as xk",
+        "cast(floor((x - floor(x)) * 1e6 + 0.5) as bigint) as xfr",
+    ).selectExpr(
+        "segment",
+        f"k div {2**42} as kh",
+        f"(k div {2**21}) % {2**21} as km",
+        f"k % {2**21} as kl",
+        "fr",
+        "xk",
+        "xfr",
     )
+    agg = r2.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("kh").alias("skh"),
+        F.sum("km").alias("skm"),
+        F.sum("kl").alias("skl"),
+        F.sum("fr").alias("sfr"),
+        F.sum("xk").alias("sxk"),
+        F.sum("xfr").alias("sxfr"),
+    ).selectExpr(
+        "segment",
+        "n",
+        # micro-units (1e-6) of the exact decimal(28,6) sums
+        f"cast((cast(skh as decimal(38,0)) * {2**42}"
+        f" + cast(skm as decimal(38,0)) * {2**21} + skl) as decimal(38,0))"
+        " * 1000000 + sfr as ixu",
+        "cast(sxk as decimal(38,0)) * 1000000 + sxfr as xu",
+    )
+    n_d = F.col("n").cast("double")
+    sum_ix = F.col("ixu").cast("double") / F.lit(1e6)
+    sum_x = F.col("xu").cast("double") / F.lit(1e6)
+    gini = F.round(2.0 * sum_ix / (n_d * sum_x) - (n_d + 1.0) / n_d, 4)
+    return agg.select("segment", "n", gini.alias("gini")).orderBy("segment")
 
 
 # -- Benford first-digit screening ------------------------------------------
