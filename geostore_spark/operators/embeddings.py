@@ -26,7 +26,12 @@ from pyspark.sql import functions as F
 
 from geostore_spark.registry import register
 from geostore_spark.sources.tables import load_table
-from geostore_spark.operators.util import pin_branch_point
+from geostore_spark.operators.util import (
+    limb_sum_aggs,
+    limb_total_expr,
+    pin_branch_point,
+    quantize_signed,
+)
 
 
 @register(
@@ -305,17 +310,31 @@ FISHER_DIMS = 16
 )
 def emb_fisher_ratio(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf)
-    q = emb.selectExpr(
+    # posexplode + codegen quantization instead of an explode over a
+    # higher-order transform lambda: Spark evaluates lambda expressions
+    # interpreted (CodegenFallback — the minhash finding), and the
+    # lambda's round() added a per-value BigDecimal on top.
+    # quantize_signed is value-identical to round() for the sign-mixed
+    # embedding values; Σv² accumulates split-limb (cov_matrix/gini
+    # lever) instead of through DECIMAL buffers.
+    q = emb.select(
         "label",
-        f"""explode(transform(sequence(1, {FISHER_DIMS}),
-             i -> struct(i as dim,
-                         cast(round(cast(element_at(embedding, i) as double)
-                                    * 1024) as bigint) as v))) as z""",
-    ).select("label", "z.dim", "z.v")
+        F.posexplode(F.slice("embedding", 1, FISHER_DIMS)).alias("dim0", "e"),
+    ).select(
+        "label",
+        (F.col("dim0") + 1).alias("dim"),
+        quantize_signed(F.col("e").cast("double"), 1024).alias("v"),
+    )
     cls = q.groupBy("label", "dim").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("v").cast("bigint").alias("s"),
-        F.sum(F.col("v").cast("decimal(19,0)") * F.col("v")).cast("bigint").alias("ss"),
+        *limb_sum_aggs("v * v", "vv"),
+    ).selectExpr(
+        "label",
+        "dim",
+        "n",
+        "s",
+        f"cast({limb_total_expr('vv')} as bigint) as ss",
     )
     cls = cls.transform(pin_branch_point)
     tot = cls.groupBy("dim").agg(

@@ -303,7 +303,13 @@ MIX_WEIGHTS = {"en": 0.4, "de": 0.2, "es": 0.2, "fr": 0.1, "zh": 0.1}
        FROM iw CROSS JOIN budget ORDER BY lang""",
 )
 def q_mix_rebalance(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load_table_for_compute(spark, "documents", sf)
+    # plain scan (the c4_lines re-pin precedent, r11 item 5): the
+    # inventory rollup is an arithmetic-only projection with map-side
+    # partials — the compute-rebalance exchange would shuffle the full
+    # document text round-robin just to split+size it, costing more
+    # than the row-group parallelism it buys (A/B below in
+    # OPTIMIZATION_r11.md)
+    docs = load_table(spark, "documents", sf)
     inv = docs.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(F.split(F.col("text"), " "))).cast("bigint").alias("n_tokens"),

@@ -20,7 +20,12 @@ from pyspark.sql import functions as F
 
 from geostore_spark.registry import register
 from geostore_spark.sources.tables import load_table
-from geostore_spark.operators.util import pin_branch_point, quantize
+from geostore_spark.operators.util import (
+    limb_sum_aggs,
+    limb_total_expr,
+    pin_branch_point,
+    quantize,
+)
 
 N_BUCKETS = 20
 
@@ -54,12 +59,35 @@ N_BUCKETS = 20
 )
 def stats_zscore(spark: SparkSession, sf: str) -> DataFrame:
     ev = load_table(spark, "events", sf)
-    g = ev.groupBy("event_type").agg(
+    # events.value carries exactly 2 decimals, so CAST(value AS
+    # DECIMAL(28,6)) == cents/100 and CAST(value*value AS DECIMAL(28,6))
+    # == tenth-milli-units/10^4 exactly (the double product sits within
+    # 1e-10 of the 4-decimal rational, far inside the 5e-7 rounding
+    # window). Both accumulate on the codegen long fast path — cents as
+    # a plain BIGINT sum, the square split-limb for headroom — instead
+    # of per-value BigDecimal buffers (cov_matrix/gini lever); the
+    # exact totals reassemble in DECIMAL on the 5 group rows, and the
+    # decimal division keeps the double cast a single rounding of the
+    # exact rational (bit-equal to the oracle's decimal-sum cast).
+    q = ev.selectExpr(
+        "event_type",
+        "cast(floor(value * 100 + 0.5) as bigint) as c1",
+        "cast(floor(value * value * 10000 + 0.5) as bigint) as c2",
+    )
+    g = q.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("s1"),
-        F.sum((F.col("value") * F.col("value")).cast("decimal(28,6)"))
-        .cast("double")
-        .alias("s2"),
+        F.sum("c1").alias("sc1"),
+        *limb_sum_aggs("c2", "2"),
+    ).selectExpr(
+        "event_type",
+        "n",
+        "cast(cast(sc1 as decimal(38,0)) / 100 as double) as s1",
+        limb_total_expr("2", "sq"),
+    ).selectExpr(
+        "event_type",
+        "n",
+        "s1",
+        "cast(sq / 10000 as double) as s2",
     )
     mean = F.col("s1") / F.col("n")
     std = F.sqrt(F.greatest(F.col("s2") / F.col("n") - mean * mean, F.lit(0.0)))
@@ -209,7 +237,23 @@ def stats_corr(spark: SparkSession, sf: str) -> DataFrame:
 )
 def stats_profile(spark: SparkSession, sf: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf)
-    return li.agg(
+    # the exact price sum accumulates as cents BIGINT limbs riding the
+    # same Expand pass as the distincts (price carries exactly 2
+    # decimals, so CAST(price AS DECIMAL(28,6)) == cents/100) — plain
+    # long adds instead of a per-value BigDecimal buffer
+    # (cov_matrix/gini lever); decimal reassembly + division on the one
+    # aggregated row keeps the double cast a single rounding.
+    q = li.select(
+        "l_returnflag",
+        "l_linestatus",
+        "l_suppkey",
+        "l_shipdate",
+        "l_quantity",
+        F.expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint)").alias(
+            "_cents"
+        ),
+    )
+    return q.agg(
         F.count(F.lit(1)).alias("n_rows"),
         (F.count(F.lit(1)) - F.count("l_returnflag")).alias("nulls_returnflag"),
         F.count_distinct("l_returnflag").alias("ndv_returnflag"),
@@ -219,9 +263,18 @@ def stats_profile(spark: SparkSession, sf: str) -> DataFrame:
         F.max("l_shipdate").alias("max_shipdate"),
         F.min("l_quantity").alias("min_qty"),
         F.max("l_quantity").alias("max_qty"),
-        F.sum(F.col("l_extendedprice").cast("decimal(28,6)"))
-        .cast("double")
-        .alias("sum_price"),
+        *limb_sum_aggs("_cents", "c"),
+    ).selectExpr(
+        "n_rows",
+        "nulls_returnflag",
+        "ndv_returnflag",
+        "ndv_linestatus",
+        "ndv_suppkey",
+        "min_shipdate",
+        "max_shipdate",
+        "min_qty",
+        "max_qty",
+        f"cast({limb_total_expr('c')} / 100 as double) as sum_price",
     )
 
 
@@ -270,9 +323,24 @@ def stats_winsorize(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     clip = F.least(F.greatest(F.col("value"), F.col("q05")), F.col("q95"))
+    # CAST(clip AS DECIMAL(28,6)) accumulated as (integer part, half-up
+    # micro-unit fraction) BIGINT pairs instead of per-value BigDecimal
+    # buffers (cov_matrix/gini lever): clip - floor(clip) is exact for
+    # non-negative doubles (Sterbenz), and floor(f*1e6 + 0.5) is the
+    # cast's HALF_UP at the 6th decimal. Exact totals reassemble in
+    # DECIMAL on the 5 group rows; verified value-identical vs the
+    # DuckDB oracle at every audited SF.
     return (
         ev.join(F.broadcast(q), "event_type")
         .withColumn("clip", clip)
+        .selectExpr(
+            "event_type",
+            "value",
+            "q05",
+            "q95",
+            "cast(floor(clip) as bigint) as ck",
+            "cast(floor((clip - floor(clip)) * 1e6 + 0.5) as bigint) as cf",
+        )
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -280,11 +348,18 @@ def stats_winsorize(spark: SparkSession, sf: str) -> DataFrame:
             F.round(F.max("q95"), 4).alias("q95"),
             F.sum((F.col("value") < F.col("q05")).cast("bigint")).alias("n_low"),
             F.sum((F.col("value") > F.col("q95")).cast("bigint")).alias("n_high"),
-            F.round(
-                F.sum(F.col("clip").cast("decimal(28,6)")).cast("double")
-                / F.count(F.lit(1)),
-                4,
-            ).alias("wmean"),
+            F.sum("ck").alias("sck"),
+            F.sum("cf").alias("scf"),
+        )
+        .selectExpr(
+            "event_type",
+            "n",
+            "q05",
+            "q95",
+            "n_low",
+            "n_high",
+            "round(cast((cast(sck as decimal(38,0)) * 1000000 + scf)"
+            " / 1000000 as double) / n, 4) as wmean",
         )
         .orderBy("event_type")
     )
@@ -702,6 +777,11 @@ def stats_ks_test(spark: SparkSession, sf: str) -> DataFrame:
 )
 def stats_ttest(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, "documents", sf)
+    # NOTE (r11): the split-limb accumulation lever was built and
+    # A/B'd here (integer token counts make the decimal sums exact
+    # integer sums) — a WASH at sf1 (0.79 vs 0.80 s medians): this
+    # query's wall is the split() projection, not the two-group
+    # aggregate's buffers. Old form kept to avoid unmeasured churn.
     d = docs.select(
         (F.substring("source", 4, 10).cast("int") % 2).alias("grp"),
         F.size(F.split(F.col("text"), " ")).cast("double").alias("x"),
@@ -1100,13 +1180,28 @@ def stats_skew_kurtosis(spark: SparkSession, sf: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf)
     x = quantize(F.col("l_quantity"), MOM_SCALE)
     q = li.select(F.col("l_returnflag").alias("flag"), x.alias("x"))
-    d19 = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+    # Powers materialized once (explicit CSE projection), then summed
+    # as SPLIT-LIMB int64s instead of DECIMAL accumulators (the
+    # cov_matrix/gini lever): x <= 5100 centi-units so x^4 < 2^50 fits
+    # int64 exactly, and the exact 128-bit-class totals reassemble in
+    # DECIMAL on the 3 group rows — bit-equal to the oracle's HUGEINT
+    # sums, without a per-value BigDecimal on the hot path.
+    q = q.selectExpr(
+        "flag", "x", "x * x as p2", "x * x * x as p3", "x * x * x * x as p4"
+    )
     s = q.groupBy("flag").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("s1"),
-        F.sum(d19(F.col("x")) * F.col("x")).alias("s2"),
-        F.sum(d19(F.col("x")) * F.col("x") * F.col("x")).alias("s3"),
-        F.sum(d19(F.col("x")) * F.col("x") * F.col("x") * F.col("x")).alias("s4"),
+        *limb_sum_aggs("p2", "2"),
+        *limb_sum_aggs("p3", "3"),
+        *limb_sum_aggs("p4", "4"),
+    ).selectExpr(
+        "flag",
+        "n",
+        "s1",
+        limb_total_expr("2", "s2"),
+        limb_total_expr("3", "s3"),
+        limb_total_expr("4", "s4"),
     )
     n_d = F.col("n").cast("double")
     m1 = F.col("s1").cast("double") / n_d

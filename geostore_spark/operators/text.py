@@ -544,6 +544,10 @@ def text_pii_redact(spark: SparkSession, sf: str) -> DataFrame:
 def text_bigram_lm(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table_for_compute(spark, "documents", sf)
     ws = F.split(F.trim("text"), " ")
+    # the explode emits only (w1, w2) — the bigram string would
+    # duplicate both words across the one corpus-sized exchange and
+    # triple the grouping key (the kneser_ney lever, r11 item 19); the
+    # display string is rebuilt vocab²-sized after the rollup
     pairs = (
         docs.filter(F.size(ws) >= 2)
         .select(
@@ -551,20 +555,20 @@ def text_bigram_lm(spark: SparkSession, sf: str) -> DataFrame:
                 F.zip_with(
                     F.slice(ws, 1, F.size(ws) - 1),
                     F.slice(ws, 2, F.size(ws) - 1),
-                    lambda a, b: F.struct(a.alias("w1"), F.concat_ws(" ", a, b).alias("g")),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
                 )
             ).alias("z")
         )
-        .select("z.w1", "z.g")
+        .select("z.w1", "z.w2")
     )
-    bgc = pairs.groupBy("w1", "g").agg(F.count(F.lit(1)).alias("cnt"))
+    bgc = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
     # context counts come from the bigram table itself (map-side partials;
     # |vocab|-sized result broadcast back onto the bigram side)
     ctx = bgc.groupBy("w1").agg(F.sum("cnt").alias("context_cnt"))
     return (
         bgc.join(F.broadcast(ctx), "w1")
         .select(
-            F.col("g").alias("bigram"),
+            F.concat_ws(" ", "w1", "w2").alias("bigram"),
             "cnt",
             "context_cnt",
             (F.col("cnt").cast("double") / F.col("context_cnt")).alias("p_cond"),
@@ -2143,16 +2147,22 @@ NOVELTY_DOCS = 100
        FROM d WHERE doc_id < {NOVELTY_DOCS} ORDER BY doc_id""",
 )
 def q_trigram_novelty(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
     from geostore_spark.operators.dedup import shingle_rows
 
     docs = load_table_for_compute(spark, "documents", sf)
-    sh = (
-        shingle_rows(docs, "doc_id", "text", 3)
-        .transform(pin_branch_point)  # feeds the first-doc table AND the re-join
-    )
-    first = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    # MIN(doc_id) OVER (PARTITION BY s) consumes the shingle stream
+    # ONCE — the former (pin → groupBy(s) → re-join) shape paid a
+    # localCheckpoint write plus a second shingle-keyed exchange and
+    # SMJ sort to re-attach the first-doc table to the very stream it
+    # came from (the repeat_rate/cohort_ltv window lever, r11 item 4).
+    # One shingle-keyed exchange, one doc-keyed exchange, no pin.
+    sh = shingle_rows(docs, "doc_id", "text", 3)
     d = (
-        sh.join(first, "s")
+        sh.withColumn(
+            "first_doc", F.min("doc_id").over(Window.partitionBy("s"))
+        )
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),

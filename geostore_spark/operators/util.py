@@ -54,6 +54,53 @@ def quantize(col, scale):
     return F.floor(col * scale + F.lit(0.5)).cast("bigint")
 
 
+def quantize_signed(col, scale):
+    """Round-half-away-from-zero integer quantization for doubles of
+    EITHER sign as pure codegen arithmetic — value-identical to
+    ``F.round(col * scale).cast("bigint")``: java.math.BigDecimal
+    HALF_UP rounds ties away from zero, and ``floor(|v|*scale + 0.5)``
+    rounds |v|'s ties up, so applying the sign afterwards reproduces it
+    exactly (|p| + 0.5 is an exact double for |p| < 2^52, the same
+    window ``quantize`` relies on). Use for fact-scale quantization of
+    sign-mixed columns (embedding values, account balances) where
+    ``quantize``'s non-negative precondition fails."""
+    from pyspark.sql import functions as F
+
+    mag = F.floor(F.abs(col) * scale + F.lit(0.5)).cast("bigint")
+    return F.when(col < 0, -mag).otherwise(mag)
+
+
+def limb_sum_aggs(prod: str, tag: str) -> list:
+    """Aggregate expressions summing a non-negative BIGINT expression
+    as three 21-bit limbs — the split-limb accumulation lever proven on
+    x_stats_cov_matrix and x_stats_gini: Spark sums wide DECIMALs on
+    per-value ``java.math.BigDecimal`` buffers (off the compact-long
+    fast path), while limb sums are three plain long adds inside
+    whole-stage codegen. ``prod`` must be a non-negative bigint SQL
+    expression with values < 2^63; each limb sum stays in int64 past
+    2^42 (~4.4e12) rows — the same headroom class as the DECIMAL(38)
+    accumulator it replaces. Reassemble with ``limb_total_expr``."""
+    from pyspark.sql import functions as F
+
+    return [
+        F.expr(f"sum(({prod}) div {2**42})").alias(f"h_{tag}"),
+        F.expr(f"sum((({prod}) div {2**21}) % {2**21})").alias(f"m_{tag}"),
+        F.expr(f"sum(({prod}) % {2**21})").alias(f"l_{tag}"),
+    ]
+
+
+def limb_total_expr(tag: str, alias: str | None = None) -> str:
+    """``selectExpr`` fragment reassembling a ``limb_sum_aggs`` triple
+    into the exact DECIMAL(38,0) total — evaluated once per aggregated
+    row, never per value. With ``alias=None`` returns the bare
+    parenthesized expression for embedding in a larger fragment."""
+    total = (
+        f"(cast(h_{tag} as decimal(38,0)) * {2**42}"
+        f" + cast(m_{tag} as decimal(38,0)) * {2**21} + l_{tag})"
+    )
+    return f"{total} as {alias}" if alias else total
+
+
 def _key_lock(k: tuple) -> threading.RLock:
     with _SESSION_CKPT_LOCK:
         return _SESSION_KEY_LOCKS.setdefault(k, threading.RLock())

@@ -265,19 +265,34 @@ def win_ntile_quartiles(spark: SparkSession, sf: str) -> DataFrame:
                           + 1
                 END AS INT)"""
     )
+    # The exact mean's decimal sum accumulates as cents BIGINTs (value
+    # carries exactly 2 decimals, so CAST(value AS DECIMAL(28,6)) ==
+    # cents/100) — plain long adds in codegen instead of a per-value
+    # BigDecimal buffer (cov_matrix/gini lever); the decimal division
+    # on the 20 group rows keeps the double cast a single rounding.
     return (
         ranked.join(F.broadcast(group_n), ["event_type"])
-        .select("event_type", "value", quartile.alias("quartile"))
+        .select(
+            "event_type",
+            "value",
+            quartile.alias("quartile"),
+            F.expr("cast(floor(value * 100 + 0.5) as bigint)").alias("c1"),
+        )
         .groupBy("event_type", "quartile")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.round(F.min("value"), 4).alias("min_v"),
             F.round(F.max("value"), 4).alias("max_v"),
-            F.round(
-                F.sum(F.col("value").cast("decimal(28,6)")).cast("double")
-                / F.count(F.lit(1)),
-                4,
-            ).alias("mean_v"),
+            F.sum("c1").alias("sc1"),
+        )
+        .selectExpr(
+            "event_type",
+            "quartile",
+            "n",
+            "min_v",
+            "max_v",
+            "round(cast(cast(sc1 as decimal(38,0)) / 100 as double) / n, 4)"
+            " as mean_v",
         )
         .orderBy("event_type", "quartile")
     )

@@ -114,3 +114,27 @@ def test_quantize_equals_spark_round_for_non_negative(spark):
     ).collect()
     for row, v in zip(out, vals):
         assert row["q"] == row["r"], (v, row["q"], row["r"])
+
+
+def test_quantize_signed_equals_spark_round_for_either_sign(spark):
+    """quantize_signed (sign-split floor) must be value-identical to
+    Spark's BigDecimal-backed round() on sign-mixed inputs — HALF_UP
+    rounds ties AWAY from zero, which the plain quantize floor form
+    gets wrong for negatives (its exact .5 rounds toward +inf). Covers
+    exact .5 boundaries on both signs and float-error neighbors."""
+    from pyspark.sql import functions as F
+
+    from geostore_spark.operators.util import quantize_signed
+
+    vals = [
+        0.0, 0.004, 0.005, -0.004, -0.005, -0.0049999999,
+        123.455, -123.455, 0.125, -0.125, -999999.995, -12344.999999999,
+        1.005, -1.005, 2.675, -2.675, -94999.5, 94999.5, -10.015,
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    out = df.select(
+        quantize_signed(F.col("v"), 100).alias("q"),
+        F.round(F.col("v") * 100, 0).cast("bigint").alias("r"),
+    ).collect()
+    for row, v in zip(out, vals):
+        assert row["q"] == row["r"], (v, row["q"], row["r"])
