@@ -141,16 +141,25 @@ def emb_gram(spark: SparkSession, sf: str) -> DataFrame:
     # as two selectExpr calls the whole plan builds in ~50 ms
     emb = load_table(spark, "embeddings", sf)
     pairs = _gram_pairs()
-    q = emb.selectExpr(
-        f"transform(embedding, x -> cast(round(cast(x as double) * {GRAM_SCALE})"
-        " as bigint)) as v"
+    # 16 per-dim codegen projections instead of a transform() lambda
+    # over the WHOLE array: Spark evaluates higher-order lambdas
+    # interpreted (CodegenFallback), the lambda's round() added a
+    # per-element BigDecimal, and the old form quantized every
+    # dimension when only GRAM_DIMS are read. quantize_signed is
+    # value-identical to round() for the sign-mixed values (r11
+    # fisher_ratio lever; sf1 interleaved medians in
+    # OPTIMIZATION_r11.md).
+    q = emb.select(
+        *[
+            quantize_signed(
+                F.element_at("embedding", i).cast("double"), GRAM_SCALE
+            ).alias(f"v{i}")
+            for i in range(1, GRAM_DIMS + 1)
+        ]
     )
     s = q.selectExpr(
         "count(1) as n",
-        *[
-            f"sum(element_at(v, {i}) * element_at(v, {j})) as g_{i}_{j}"
-            for i, j in pairs
-        ],
+        *[f"sum(v{i} * v{j}) as g_{i}_{j}" for i, j in pairs],
     )
     denom = f"(cast(n as double) * {GRAM_SCALE} * {GRAM_SCALE})"
     cells = ", ".join(
