@@ -1131,9 +1131,11 @@ def q_kcore(
     )
     stats = []
     for rnd in range(1, KCORE_ROUNDS + 1):
+        # ONE edge scan feeds the degree count (explode, not a UNION of
+        # two selects — Catalyst does not CSE the duplicated subplan;
+        # the symmetrize() finding)
         deg = (
-            edges.select(F.col("u").alias("node"))
-            .unionAll(edges.select(F.col("v").alias("node")))
+            edges.select(F.explode(F.array("u", "v")).alias("node"))
             .groupBy("node")
             .agg(F.count(F.lit(1)).alias("d"))
         )
@@ -1147,10 +1149,14 @@ def q_kcore(
             k = keep.withColumnRenamed("node", col)
             return F.broadcast(k) if n_nodes <= broadcast_max_nodes else k
 
-        edges = (
-            edges.join(_keep_as("u"), "u", "left_semi")
-            .join(_keep_as("v"), "v", "left_semi")
-            .transform(pin_branch_point)
+        # the peeled edge list stays LAZY (the bfs_layers item-18
+        # lever): every input is pinned — the scaffold edge list and
+        # each round's keep set — so recomputing the chain is the base
+        # RDD scan plus broadcast probes, no shuffle, while re-pinning
+        # paid an |E|-row checkpoint write per round (r11 A/B, sf1
+        # paired medians: 5.63 -> 4.03 s, 5/7 rep wins; wash at sf0.1)
+        edges = edges.join(_keep_as("u"), "u", "left_semi").join(
+            _keep_as("v"), "v", "left_semi"
         )
         stats.append((rnd, n_nodes, edges.count()))
     return spark.createDataFrame(

@@ -516,8 +516,11 @@ def test_bloom_bitmap_build_is_executor_side(spark):
 
 def test_kcore_rounds_reuse_checkpointed_edges(spark):
     plan = _plan(spark, "x_graph_kcore")
-    # peeled edge lists are checkpointed between rounds: the lineitem
-    # scan + distinct must not be re-derived once per round
+    # the scaffold edge list and each round's keep set are pinned
+    # (ExistingRDD): the lineitem scan + distinct must not be re-derived
+    # once per round. The PEELED edge chain itself stays lazy since r11
+    # (recompute = broadcast probes over those pins; re-pinning paid an
+    # |E| checkpoint write per round — sf1 paired medians 5.63 -> 4.03 s)
     assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan
     assert "CartesianProduct" not in plan
 
