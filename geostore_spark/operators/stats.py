@@ -327,9 +327,14 @@ def stats_winsorize(spark: SparkSession, sf: str) -> DataFrame:
     # micro-unit fraction) BIGINT pairs instead of per-value BigDecimal
     # buffers (cov_matrix/gini lever): clip - floor(clip) is exact for
     # non-negative doubles (Sterbenz), and floor(f*1e6 + 0.5) is the
-    # cast's HALF_UP at the 6th decimal. Exact totals reassemble in
-    # DECIMAL on the 5 group rows; verified value-identical vs the
-    # DuckDB oracle at every audited SF.
+    # cast's HALF_UP at the 6th decimal. Caveat (r11 advisor): clip can
+    # be a quantile-INTERPOLATED double, so f*1e6 + 0.5 is not exact
+    # arithmetic there — a value whose decimal expansion sits within one
+    # ulp of a .5 tie at the 6th decimal could in principle round
+    # differently from the BigDecimal cast. The equivalence is therefore
+    # EMPIRICAL, not proven: verified value-identical vs the DuckDB
+    # oracle at every audited SF (0.001/0.01/0.1/1), and the final wmean
+    # rounds at 1e-4 while the decomposition differs at most 1e-6.
     return (
         ev.join(F.broadcast(q), "event_type")
         .withColumn("clip", clip)

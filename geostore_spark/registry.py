@@ -42,57 +42,43 @@ def register(key: str, doc: str, oracle: str | None):
 
 # Driver-coverage rotation: the per-round correctness harness samples a
 # prefix (~50) of the enumerated queries. The keys below enumerate
-# FIRST this round (round 11), in priority order:
-#   1. every query whose PLAN changed in round 11: a9_quantiles (local
-#      sort-selection kernel tier), cov_matrix (split-limb BIGINT
-#      accumulators + floor quantization), repeat_rate / cohort_ltv
-#      (first-order window replacing the customers-sized broadcast-back);
-#   2. the r10 `load_table_for_compute` scan-rebalance consumers that
-#      were NOT in the r10 driver sample (r10 judge item 7): every
-#      post-rebalance text/dedup/sampling/multimodal plan gets a fresh
-#      driver row this round.
-# Everything else (driver-green r1 ∪ ... ∪ r10 — all 220 keys)
+# FIRST this round (round 12), in priority order:
+#   1. every query whose PLAN (or underlying commit protocol / layout
+#      machinery) changed in round 12;
+#   2. the round-11 rewrites that missed round 11's 50-key driver
+#      sample (r11 verdict item 5 + advisor): the split-limb /
+#      quantize-signed accumulator conversions, the lazy-chain kcore /
+#      bfs rework, and the quantize-sweep consumers that overflowed the
+#      r11 prefix — each gets its first post-rewrite ground-truth
+#      oracle row this round.
+# Everything else (driver-green r1 ∪ ... ∪ r11 — all 220 keys)
 # enumerates last. Purely an enumeration-order hint — every query stays
 # registered and locally oracle-tested either way.
 _NEVER_DRIVER_SAMPLED = (
-    # -- 1: plans changed in round 11
-    "a9_quantiles", "x_stats_cov_matrix", "x_orders_repeat_rate",
-    "x_events_cohort_ltv",
-    # (late-round addition: the type-bounded-marginal rework collapsed
-    # these five plans' branch-join trees — re-verified locally,
-    # front-loaded so the driver re-rows them this round; the storage
-    # pair whose commit protocol changed already sits at the end of
-    # section 3 below)
-    "x_stats_chi2", "x_stats_mutual_info", "x_text_js_divergence",
-    "x_stats_benford", "x_events_entropy_rate",
-    # -- 2: rebalance-touched keys without an r10 driver row
-    "x_text_tokens", "x_text_quality", "x_text_winnow", "x_text_lang_id",
-    "x_text_fingerprint", "x_text_repetition", "x_text_tfidf",
-    "x_text_entropy", "x_text_pii_redact", "x_text_bigram_lm",
-    "x_text_decontaminate", "x_pipeline_training_set",
-    "x_text_heavy_hitters", "x_text_c4_lines", "x_text_gopher_rules",
-    "x_text_bm25", "x_pipeline_dataset_card", "x_text_zipf",
-    "x_text_kneser_ney", "x_text_chunk_windows",
-    "x_text_template_fingerprint", "x_text_trigram_novelty",
-    "x_pipeline_filter_ablation", "x_dedup_exact", "x_dedup_minhash_lsh",
-    "x_dedup_simhash", "x_dedup_simhash_pairs", "x_dedup_containment",
-    "x_dedup_embed_cosine", "x_dedup_ngram_jaccard", "x_dedup_chunks",
-    "x_dedup_substring", "x_dedup_incremental", "x_dedup_semantic",
-    "x_dedup_paragraph", "x_dedup_minhash_eval", "x_dedup_simhash_eval",
-    "x_sample_stratified", "x_sample_token_budget", "x_sample_topk_hash",
-    "x_pipeline_pack_sequences", "x_pipeline_mix_rebalance",
+    # -- 1: plans / protocols changed in round 12
+    "x_graph_triangles", "x_storage_cdc_apply", "x_storage_ivm_refresh",
+    "x_storage_bucketed_join", "x_storage_partition_prune",
+    "x_pipeline_training_set", "x_orders_backlog",
+    # -- 2a: r11 rewrites with no r11 driver row (changed accumulators /
+    #        plan shapes: limb sums, quantize_signed, lazy peel chains)
+    "x_stats_zscore", "x_stats_profile", "x_stats_winsorize",
+    "x_stats_gini", "x_stats_skew_kurtosis", "x_win_ntile_quartiles",
+    "x_emb_gram", "x_emb_fisher_ratio",
+    "x_graph_kcore", "x_graph_bfs_layers",
+    # -- 2b: r11 quantize-sweep consumers that overflowed the r11 prefix
+    "x_orders_rfm", "x_part_abc_pareto", "x_stats_corr", "x_stats_hhi",
+    "x_stats_bootstrap_ci", "x_stats_mann_whitney", "x_win_pct_change",
+    "x_orders_active_intervals", "x_join_bloom_semi", "x_win_first_last",
+    "x_pipeline_mix_rebalance",
     "x_mm_wav_windows", "x_mm_bmp_histogram", "x_mm_png_decode",
-    # -- 3: quantize-helper sweep (codegen floor replacing BigDecimal
-    #       round — value-identical by construction, all 15 keys
-    #       locally oracle-verified; lowest-risk refresh, so they sit
-    #       behind the rebalance block even though some overflow the
-    #       ~50-key driver sample)
-    "x_orders_rfm", "x_part_abc_pareto", "x_stats_corr",
-    "x_stats_skew_kurtosis", "x_stats_hhi", "x_stats_bootstrap_ci",
-    "x_stats_mann_whitney", "x_win_pct_change",
-    "x_orders_active_intervals", "x_join_bloom_semi",
-    "x_storage_partition_prune", "x_storage_ivm_refresh",
-    "x_win_first_last", "x_storage_cdc_apply",
+    # -- 3: r11-changed plans that DID get an r11 row — re-rowed last
+    #       (lowest risk, kept inside the prefix for two-round coverage)
+    "a9_quantiles", "x_stats_cov_matrix", "x_orders_repeat_rate",
+    "x_events_cohort_ltv", "x_stats_chi2", "x_stats_mutual_info",
+    "x_text_js_divergence", "x_stats_benford", "x_events_entropy_rate",
+    "x_text_tfidf", "x_text_bm25", "x_text_repetition", "x_text_entropy",
+    "x_text_kneser_ney", "x_text_bigram_lm", "x_text_trigram_novelty",
+    "x_dedup_simhash_eval", "x_text_decontaminate",
 )
 
 

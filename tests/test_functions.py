@@ -138,3 +138,63 @@ def test_quantize_signed_equals_spark_round_for_either_sign(spark):
     ).collect()
     for row, v in zip(out, vals):
         assert row["q"] == row["r"], (v, row["q"], row["r"])
+
+
+def test_limb_sum_reassembles_exact_python_sum(spark):
+    """limb_sum_aggs / limb_total_expr (the split-limb BIGINT
+    accumulation behind the r11 decimal-sum sweep) must reassemble the
+    EXACT sum of its non-negative bigint inputs — including zeros and
+    values near 2^62, where a plain bigint SUM would overflow but the
+    21-bit limb split must not (r11 advisor: the helpers had no direct
+    unit test, only indirect query-oracle coverage)."""
+    from geostore_spark.operators.util import limb_sum_aggs, limb_total_expr
+
+    vals = [
+        0,
+        1,
+        (1 << 21) - 1,          # lo-limb boundary
+        1 << 21,                # first mid-limb unit
+        (1 << 42) - 1,          # mid-limb boundary
+        1 << 42,                # first hi-limb unit
+        (1 << 62) - 1,          # near-max magnitude
+        (1 << 62) + 12345,
+        987654321987654321,
+        7,
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "p bigint")
+    out = (
+        df.agg(*limb_sum_aggs("p", "t"))
+        .selectExpr(limb_total_expr("t", "total"))
+        .collect()[0]
+    )
+    assert int(out["total"]) == sum(vals)
+
+
+def test_limb_sum_grouped_matches_per_group_python_sum(spark):
+    """Grouped limb accumulation: each group's reassembled DECIMAL(38,0)
+    total equals the exact per-group Python sum (the shape every
+    limb-sweep call site uses — per-key aggregates, not one global
+    row)."""
+    from geostore_spark.operators.util import limb_sum_aggs, limb_total_expr
+
+    rows = [
+        ("a", 0),
+        ("a", (1 << 62) - 1),
+        ("a", (1 << 62) - 1),
+        ("a", (1 << 62) - 1),   # group sum 3*(2^62)-3 exceeds int64 max
+        ("b", 123456789),
+        ("b", 1 << 42),
+        ("c", 0),
+    ]
+    df = spark.createDataFrame(rows, "k string, p bigint")
+    got = {
+        r["k"]: int(r["total"])
+        for r in df.groupBy("k")
+        .agg(*limb_sum_aggs("p", "t"))
+        .selectExpr("k", limb_total_expr("t", "total"))
+        .collect()
+    }
+    want = {}
+    for k, v in rows:
+        want[k] = want.get(k, 0) + v
+    assert got == want
