@@ -872,12 +872,16 @@ def q_degree_stats(spark: SparkSession, sf: str) -> DataFrame:
     "Triangle count over the part co-purchase graph (parts sharing an "
     "order are adjacent) — the clustering/community density probe. "
     "Classic degree-ordered node-iterator (Schank-Wagner): every edge "
-    "is oriented from its (degree, id)-smaller endpoint, wedges are an "
-    "equi-join of oriented edges on their source, and each triangle is "
-    "counted exactly once by closing the wedge against the oriented "
-    "edge list. Orientation bounds out-degree by O(sqrt(E)), so the "
-    "wedge join never explodes on hub parts; edge generation is "
-    "per-order blocked (orders are small), never an all-pairs pass.",
+    "is oriented from its (degree, id)-smaller endpoint, wedges pair "
+    "oriented edges sharing a source, and each triangle is counted "
+    "exactly once by closing the wedge against the oriented edge list. "
+    "Orientation bounds out-degree by O(sqrt(E)), so wedge fan-out "
+    "never explodes on hub parts; edge generation is per-order blocked "
+    "(orders are small), never an all-pairs pass. The physical closure "
+    "dispatches on |E|: at or under the kernel budget a wedge-balanced "
+    "Arrow CSR kernel probes closures with vectorized searchsorted (no "
+    "degree join, no wedge join); past it, broadcast/co-partitioned "
+    "equi-join tiers take over.",
     """WITH e AS (
          SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
          FROM lineitem a JOIN lineitem b
@@ -924,6 +928,19 @@ def q_triangles(spark: SparkSession, sf: str) -> DataFrame:
     return triangle_counts_from_edges(edges)
 
 
+# Kernel-tier budget for the Arrow CSR wedge kernel (r12). The kernel
+# holds the whole oriented adjacency (dst array + group offsets) plus
+# the sorted packed closing set as numpy state — ~24 B/edge — but
+# unlike a JVM hashed relation each PYTHON WORKER unpickles its own
+# copy: 16 M edges x 24 B x 32 local workers ≈ 12 GB per host, the
+# practical ceiling in this 128 GiB box (on a cluster the per-executor
+# copy count is executor cores, same math). The driver-side prep
+# (orientation + lexsort) is O(|E| log |E|) single-threaded — measured
+# ~0.3 s at 1.2 M edges (sf0.1) and ~4 s at 12 M (sf1), amortized by
+# the kernel's win over the broadcast-fusion join tier (sf1 wedge
+# stage: 71.6 s fused vs ~7 s kernel). Past the budget the join tiers
+# below take over.
+TRIANGLE_KERNEL_MAX_EDGES = 16_000_000
 # Broadcast budget for the triangle wedge/closure fusion. The fusion
 # holds TWO broadcasts at once — the oriented (src, dst, dst_d) wedge
 # side keyed by src and the packed-key closing probe — worst-case
@@ -944,17 +961,163 @@ TRIANGLE_BROADCAST_MAX_EDGES = 16_000_000
 TRIANGLE_CLOSING_BROADCAST_MAX_EDGES = 40_000_000
 
 
+def _triangle_csr_kernel_counts(edges: DataFrame, n_edges: int) -> DataFrame:
+    """Kernel tier of the triangle dispatch: orientation, wedge
+    generation AND closure probing over a driver-prepped CSR, sharded
+    by wedge count so every core runs an equal slice of the probe.
+
+    Why this beats the join tiers at or under the budget (guide §4.1 /
+    §2.4): the wedge stream is 30-100x |E| on co-purchase graphs, so
+    even the shuffle-free broadcast-fusion join pays a 30-100x-|E| hash
+    probe through codegen row iterators, plus an |E| degree join and an
+    |E| checkpoint write it needs first. Here the |E|-sized edge list
+    (already pinned by the caller) collects once, the driver computes
+    degrees + Schank-Wagner orientation vectorized, sorts the adjacency
+    by (src, dst_d, dst) into a CSR, and broadcasts (dst array, group
+    offsets, sorted packed closing set). Tasks get group RANGES cut so
+    each holds ~|W|/n_cores wedges (orientation bounds per-src wedge
+    fan-out by O(|E|), so no single group dominates a shard) and count
+    closures with vectorized searchsorted — the r11 single-task kernel
+    lost 11-15 s vs 2.9 s EXACTLY because it was one task; sharded, the
+    same numpy probe is ~0.4 s of per-core work at sf0.1. n_edges and
+    n_wedges are exact driver-side integers; only the closure count
+    runs distributed. Counts are deterministic (pure integer math).
+    """
+    import numpy as np
+
+    spark = edges.sparkSession
+    # |E| <= TRIANGLE_KERNEL_MAX_EDGES by dispatch: the collect is the
+    # same budget class as the closing-set broadcast the join tiers
+    # already hold (Spark builds those by collecting to the driver too)
+    pdf = edges.select("u", "v").toPandas()
+    u = pdf["u"].to_numpy(dtype=np.int64)
+    v = pdf["v"].to_numpy(dtype=np.int64)
+    # vectorized degree + Schank-Wagner orientation: edge points from
+    # its (degree, id)-smaller endpoint
+    nodes, inv = np.unique(np.concatenate((u, v)), return_inverse=True)
+    deg = np.bincount(inv).astype(np.int64)
+    du, dv = deg[inv[: len(u)]], deg[inv[len(u):]]
+    u_first = (du < dv) | ((du == dv) & (u < v))
+    src = np.where(u_first, u, v)
+    dst = np.where(u_first, v, u)
+    dst_d = np.where(u_first, dv, du)
+    # CSR sorted by (src, dst_d, dst): within a src group, index order
+    # IS the (dst_d, dst) wedge orientation order, so i<j pairs
+    # enumerate exactly the ordered wedges of the join tiers
+    order = np.lexsort((dst, dst_d, src))
+    src, dst = src[order], dst[order]
+    closing = np.sort(src * (1 << 32) + dst)  # packed (src,dst) probe set
+    change = np.flatnonzero(src[1:] != src[:-1]) + 1
+    g_start = np.concatenate(([0], change)).astype(np.int64)
+    g_end = np.concatenate((change, [n_edges])).astype(np.int64)
+    sizes = g_end - g_start
+    cumw = np.concatenate(([0], np.cumsum(sizes * (sizes - 1) // 2)))
+    n_wedges = int(cumw[-1])
+    # wedge-balanced shard bounds at group granularity
+    n_shards = max(1, spark.sparkContext.defaultParallelism)
+    targets = (np.arange(1, n_shards) * n_wedges) // n_shards
+    bounds = np.unique(
+        np.concatenate(([0], np.searchsorted(cumw, targets), [len(sizes)]))
+    ).astype(np.int64)
+    bc = spark.sparkContext.broadcast(
+        {"dst": dst, "g_start": g_start, "g_end": g_end,
+         "closing": closing, "bounds": bounds}
+    )
+
+    def probe(batches):
+        import numpy as np
+        import pandas as pd
+
+        st = bc.value
+        a_dst, a_gs, a_ge = st["dst"], st["g_start"], st["g_end"]
+        a_cl, a_b = st["closing"], st["bounds"]
+        n_cl = len(a_cl)
+        for pdf_in in batches:
+            for s in pdf_in["id"].to_numpy():
+                g0, g1 = int(a_b[s]), int(a_b[s + 1])
+                tri = 0
+                if g1 > g0:
+                    lo, hi = int(a_gs[g0]), int(a_ge[g1 - 1])
+                    idx = np.arange(lo, hi, dtype=np.int64)
+                    gend = np.repeat(a_ge[g0:g1], a_ge[g0:g1] - a_gs[g0:g1])
+                    reps = gend - idx - 1
+                    csum = np.concatenate(([0], np.cumsum(reps)))
+                    n_rows = hi - lo
+                    i = 0
+                    # slab the pair space into 256 k-wedge chunks: small
+                    # enough (5 x 2 MB scratch arrays) that the worker's
+                    # allocator REUSES buffers across slabs — measured:
+                    # 2 M-wedge slabs allocate 16 MB fresh arrays per op
+                    # and 32 concurrent cold workers stall on page
+                    # zeroing (first-call kernel wall 4.6 s vs 0.9 s
+                    # here; steady state 1.1 s vs 0.6 s)
+                    while i < n_rows:
+                        j = int(np.searchsorted(csum, csum[i] + (1 << 18)))
+                        j = min(max(j, i + 1), n_rows)
+                        r = reps[i:j]
+                        first = np.repeat(idx[i:j], r)
+                        w = int(csum[j] - csum[i])
+                        second = (
+                            np.arange(w, dtype=np.int64)
+                            - np.repeat(csum[i:j] - csum[i], r)
+                            + first + 1
+                        )
+                        pk = a_dst[first] * (1 << 32) + a_dst[second]
+                        p = np.searchsorted(a_cl, pk)
+                        pc = np.minimum(p, n_cl - 1)
+                        tri += int(
+                            np.count_nonzero((p < n_cl) & (a_cl[pc] == pk))
+                        )
+                        i = j
+                yield pd.DataFrame({"t": [tri]})
+
+    parts = spark.range(0, len(bounds) - 1, 1, len(bounds) - 1).mapInPandas(
+        probe, "t long"
+    )
+    return parts.agg(
+        F.sum("t").cast("bigint").alias("n_triangles")
+    ).select(
+        F.lit(n_edges).cast("bigint").alias("n_edges"),
+        F.lit(n_wedges).cast("bigint").alias("n_wedges"),
+        "n_triangles",
+    )
+
+
 def triangle_counts_from_edges(
     edges: DataFrame,
     broadcast_max_edges: int = TRIANGLE_BROADCAST_MAX_EDGES,
     closing_broadcast_max_edges: int = TRIANGLE_CLOSING_BROADCAST_MAX_EDGES,
+    kernel_max_edges: int = TRIANGLE_KERNEL_MAX_EDGES,
 ) -> DataFrame:
     """(n_edges, n_wedges, n_triangles) of an undirected edge list via
-    Schank-Wagner degree orientation; the physical strategy for the
-    wedge + closing joins dispatches on |E| at runtime (see
-    TRIANGLE_BROADCAST_MAX_EDGES). ``edges`` must be (u, v) deduped
-    rows, ideally checkpointed by the caller (it is consumed by the
-    degree table and the orientation join)."""
+    Schank-Wagner degree orientation; the physical strategy dispatches
+    on |E| at runtime: at or under TRIANGLE_KERNEL_MAX_EDGES the whole
+    orientation + wedge + closure runs as a wedge-balanced Arrow CSR
+    kernel (no degree join, no wedge join); past it the wedge + closing
+    JOIN tiers take over (see TRIANGLE_BROADCAST_MAX_EDGES). ``edges``
+    must be (u, v) deduped rows, ideally checkpointed by the caller (it
+    is consumed by the degree table and the orientation join)."""
+    # the count materializes the caller's edge checkpoint and drives the
+    # strategy dispatch — one job, no extra pass (|oriented| == |edges|:
+    # orientation is 1:1, so this is the same dispatch count the join
+    # tiers used to take on the oriented list)
+    n_edges = edges.count()
+    log_event(
+        LOG_MESSAGE_STRATEGY_DISPATCH,
+        stage="triangle_closure",
+        n_edges=n_edges,
+        strategy=(
+            "arrow_csr_kernel"
+            if 0 < n_edges <= kernel_max_edges
+            else "broadcast_fusion"
+            if n_edges <= broadcast_max_edges
+            else "closing_broadcast"
+            if n_edges <= closing_broadcast_max_edges
+            else "copartitioned_shuffle"
+        ),
+    )
+    if 0 < n_edges <= kernel_max_edges:
+        return _triangle_csr_kernel_counts(edges, n_edges)
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
@@ -974,24 +1137,10 @@ def triangle_counts_from_edges(
         F.when(u_first, F.col("dv.d")).otherwise(F.col("du.d")).alias("dst_d"),
     )
     # the oriented edge list feeds three consumers (both wedge sides and
-    # the closing probe); checkpoint it so the lineitem self-join +
-    # degree join run once, not once per consumer. The count both
-    # materializes the checkpoint and drives the strategy dispatch —
-    # one job, no extra pass.
+    # the closing probe); checkpoint it so the edge scan + degree join
+    # run once, not once per consumer (materializes inside the final
+    # action — the lazy pin hands all three branches one plan instance).
     oriented = oriented.transform(pin_branch_point)
-    n_edges = oriented.count()
-    log_event(
-        LOG_MESSAGE_STRATEGY_DISPATCH,
-        stage="triangle_closure",
-        n_edges=n_edges,
-        strategy=(
-            "broadcast_fusion"
-            if n_edges <= broadcast_max_edges
-            else "closing_broadcast"
-            if n_edges <= closing_broadcast_max_edges
-            else "copartitioned_shuffle"
-        ),
-    )
     e1, e2 = oriented.alias("e1"), oriented.alias("e2")
     ordered = (F.col("e1.dst_d") < F.col("e2.dst_d")) | (
         (F.col("e1.dst_d") == F.col("e2.dst_d"))
@@ -1117,10 +1266,12 @@ def _kcore_oracle() -> str:
     "list NEVER shuffles after its initial dedup (measured sf1: 52.7 s "
     "of per-round edge sort-merges -> broadcast probes). Past the "
     "budget the semi joins fall back to co-partitioned shuffles. The "
-    "edge list is checkpointed between rounds so round r never "
-    "recomputes rounds 0..r-1's joins; per-round counts are the "
-    "checkpoint-materializing actions, so the result assembles from "
-    "collected scalars (constant-size driver state).",
+    "peeled edge chain is deliberately LAZY over pinned inputs (the "
+    "scaffold edge list plus each round's pinned keep set), so a "
+    "round's count() recomputes only the base scan plus broadcast "
+    "probes — no shuffle, no per-round |E|-row checkpoint write; the "
+    "result assembles from collected scalars (constant-size driver "
+    "state).",
     _kcore_oracle(),
 )
 def q_kcore(

@@ -69,16 +69,22 @@ def test_triangle_dispatch_logged_both_ways(spark, logcap):
     ).localCheckpoint()
     triangle_counts_from_edges(edges)
     [ev] = [e for e in _dispatches(logcap) if e["stage"] == "triangle_closure"]
-    assert ev["strategy"] == "broadcast_fusion" and ev["n_edges"] == 3
+    assert ev["strategy"] == "arrow_csr_kernel" and ev["n_edges"] == 3
 
     logcap.clear()
-    triangle_counts_from_edges(edges, broadcast_max_edges=0)
+    triangle_counts_from_edges(edges, kernel_max_edges=0)
+    [ev] = [e for e in _dispatches(logcap) if e["stage"] == "triangle_closure"]
+    assert ev["strategy"] == "broadcast_fusion"
+
+    logcap.clear()
+    triangle_counts_from_edges(edges, kernel_max_edges=0, broadcast_max_edges=0)
     [ev] = [e for e in _dispatches(logcap) if e["stage"] == "triangle_closure"]
     assert ev["strategy"] == "closing_broadcast"
 
     logcap.clear()
     triangle_counts_from_edges(
-        edges, broadcast_max_edges=0, closing_broadcast_max_edges=0
+        edges, kernel_max_edges=0, broadcast_max_edges=0,
+        closing_broadcast_max_edges=0,
     )
     [ev] = [e for e in _dispatches(logcap) if e["stage"] == "triangle_closure"]
     assert ev["strategy"] == "copartitioned_shuffle"

@@ -151,14 +151,18 @@ def test_triangle_strategies_agree_at_volume(spark):
         .distinct()
         .localCheckpoint()
     )
-    fused = triangle_counts_from_edges(edges).collect()[0]
+    kernel = triangle_counts_from_edges(edges).collect()[0]  # CSR kernel
+    fused = triangle_counts_from_edges(
+        edges, kernel_max_edges=0
+    ).collect()[0]  # broadcast-fusion join tier
     middle = triangle_counts_from_edges(
-        edges, broadcast_max_edges=0
+        edges, kernel_max_edges=0, broadcast_max_edges=0
     ).collect()[0]  # closing-broadcast tier
     spilled = triangle_counts_from_edges(
-        edges, broadcast_max_edges=0, closing_broadcast_max_edges=0
+        edges, kernel_max_edges=0, broadcast_max_edges=0,
+        closing_broadcast_max_edges=0,
     ).collect()[0]  # full sort-merge tier
-    assert fused == middle == spilled
+    assert kernel == fused == middle == spilled
     assert fused["n_edges"] > 1_000_000  # really the at-volume graph
     assert fused["n_triangles"] > 0
 

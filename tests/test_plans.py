@@ -408,28 +408,46 @@ def test_ks_prefix_sums_are_two_phase(spark):
 
 
 def test_triangles_all_joins_are_equi(spark):
-    # degree-ordered orientation keeps the data joins equi-joins on node
+    # at fixture size the dispatch picks the Arrow CSR kernel: the final
+    # plan is a mapInPandas stage over shard ids plus a 1-row aggregate —
+    # no wedge join, no cartesian anywhere
+    plan = _plan(spark, "x_graph_triangles")
+    assert "CartesianProduct" not in plan
+    assert "MapInPandas" in plan
+    # past the kernel budget the data joins must stay equi-joins on node
     # keys (a nested-loop wedge join would mean all-pairs degeneration);
     # the only non-equi shapes allowed are the Cross joins assembling the
     # three 1-row scalar aggregates into the result row
-    plan = _plan(spark, "x_graph_triangles")
-    assert "CartesianProduct" not in plan
-    for line in plan.splitlines():
+    from geostore_spark.operators.graph import triangle_counts_from_edges
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3)], "u long, v long"
+    ).localCheckpoint()
+    join_plan = (
+        triangle_counts_from_edges(edges, kernel_max_edges=0)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in join_plan
+    for line in join_plan.splitlines():
         if "BroadcastNestedLoopJoin" in line:
             assert "Cross" in line, f"non-scalar nested loop: {line[:160]}"
     # the wedge join itself must be an equi-join on the oriented source
     assert any(
         ("SortMergeJoin" in ln or "ShuffledHashJoin" in ln or "BroadcastHashJoin" in ln)
         and "src" in ln
-        for ln in plan.splitlines()
+        for ln in join_plan.splitlines()
     )
 
 
 def test_triangles_dispatch_on_edge_budget(spark):
-    # below TRIANGLE_BROADCAST_MAX_EDGES the wedge+closure joins fuse as
+    # at or under TRIANGLE_KERNEL_MAX_EDGES the whole wedge+closure runs
+    # as the Arrow CSR kernel (mapInPandas, no joins at all); between
+    # that and TRIANGLE_BROADCAST_MAX_EDGES the joins fuse as
     # BroadcastHashJoins (shuffle-free counting stage); above the budget
     # the |E| broadcast would OOM at 100x, so the plan must fall back to
-    # co-partitioned shuffle joins — forced here with a zero budget
+    # co-partitioned shuffle joins — each tier forced with zero budgets
     from geostore_spark.operators.graph import triangle_counts_from_edges
 
     edges = spark.createDataFrame(
@@ -438,12 +456,19 @@ def test_triangles_dispatch_on_edge_budget(spark):
         "u long, v long",
     ).localCheckpoint()
 
-    fused = triangle_counts_from_edges(edges)
+    kernel = triangle_counts_from_edges(edges)
+    plan_kernel = kernel._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan_kernel
+    assert "Join" not in plan_kernel
+
+    fused = triangle_counts_from_edges(edges, kernel_max_edges=0)
     plan_fused = fused._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan_fused
     assert "SortMergeJoin" not in plan_fused
 
-    middle = triangle_counts_from_edges(edges, broadcast_max_edges=0)
+    middle = triangle_counts_from_edges(
+        edges, kernel_max_edges=0, broadcast_max_edges=0
+    )
     plan_middle = middle._jdf.queryExecution().executedPlan().toString()
     # closing-broadcast tier: wedge join shuffles, closing probe is the
     # ONLY broadcast (single packed-long column)
@@ -451,15 +476,17 @@ def test_triangles_dispatch_on_edge_budget(spark):
     assert "SortMergeJoin" in plan_middle or "ShuffledHashJoin" in plan_middle
 
     spilled = triangle_counts_from_edges(
-        edges, broadcast_max_edges=0, closing_broadcast_max_edges=0
+        edges, kernel_max_edges=0, broadcast_max_edges=0,
+        closing_broadcast_max_edges=0,
     )
     plan_spilled = spilled._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" not in plan_spilled
     assert "SortMergeJoin" in plan_spilled or "ShuffledHashJoin" in plan_spilled
 
-    # both strategies compute identical counts
+    # all four strategies compute identical counts
     expect = {"n_edges": 7, "n_wedges": None, "n_triangles": 4}
     r1, r2 = fused.collect()[0], spilled.collect()[0]
+    assert kernel.collect()[0] == r1
     assert middle.collect()[0] == r1
     assert r1 == r2
     assert r1["n_edges"] == expect["n_edges"]
