@@ -176,6 +176,7 @@ def test_shared_scaffold_builders_cover_the_session_scaffolds(spark):
         "supply_pairs", "supply_sym_dst", "supply_nodes",
         "order_part_sets", "part_supports", "daily_orders",
         "kmeans_assignment", "bloom_state", "simhash_fps", "minhash_sig",
+        "bucketed_layout", "partitioned_layout",
     }
     built = {name: fn(spark, sf) for name, fn in builders.items()}
     for name, df in built.items():
