@@ -583,11 +583,16 @@ class MetadataStore:
             insert_not_matched_where,
         )
         # No recorded change feed: computing the merge's pre/post images
-        # needs a second target join + net-collapse aggregation at commit
-        # time. A/B on the registered CDC churn (sf0.1, 5-rep medians):
-        # recording 5.7 s vs generic-diff fallback 3.3 s — the batch
-        # touches a table-sized fraction of rows, so O(touched) buys
-        # nothing here. changes() falls back to the snapshot diff.
+        # needs the merge join's output twice (pre-images + committed
+        # frame). r11 re-ran the join and measured 5.7 s vs 3.3 s on the
+        # CDC churn; r12 re-tried it with the join PINNED and a
+        # feed-sized net-collapse — still a loss (cdc b1 apply 0.73 ->
+        # 1.59 s for only ~0.1 s of refresh saved: the pin write is
+        # table-sized and the extra feed-write job is pure fixed cost on
+        # every merge, including aggregate-sized IVM view commits).
+        # changes() over a merge commit therefore stays a generic
+        # snapshot diff, and IVM's refresh dispatches to a one-scan
+        # rebuild instead (strictly less work than the two-scan diff).
         self._write_snapshot(table, df, base, meta=meta)
 
     @staticmethod
@@ -656,6 +661,73 @@ class MetadataStore:
             new_rows = insertable.join(tkeys, null_safe_on(on, "__tk_"), "left_anti")
             result = result.unionByName(new_rows.select(result.columns))
         return result
+
+    @staticmethod
+    def _net_collapse(feed: DataFrame, cols: list[str]) -> DataFrame:
+        """Collapse a raw pre/post feed to the NET multiset diff the
+        ``changes()`` contract promises — identical rows on both sides
+        cancel, multiplicity shifts emit |delta| copies. Same signed
+        count-diff as the generic snapshot diff, but over FEED-sized
+        rows only."""
+        w = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
+            F.lit(-1)
+        )
+        delta = (
+            feed.withColumn("__side", w)
+            .groupBy(*cols)
+            .agg(F.sum("__side").alias("__delta"))
+            .filter(F.col("__delta") != 0)
+        )
+        return (
+            delta.withColumn(
+                "_change_type",
+                F.when(F.col("__delta") > 0, F.lit("insert")).otherwise(
+                    F.lit("delete")
+                ),
+            )
+            .withColumn(
+                "__rep",
+                F.explode(
+                    F.array_repeat(F.lit(1), F.abs(F.col("__delta")).cast("int"))
+                ),
+            )
+            .drop("__delta", "__rep")
+        )
+
+    def window_feeds_recorded(
+        self, table: str, from_version: int, to_version: int
+    ) -> bool:
+        """True when every commit in ``(from_version, to_version]``
+        recorded a change feed — i.e. ``changes()`` over the window is
+        O(Σ|changes|), never a two-snapshot diff. Driver-side commit
+        metadata only, no job: incremental consumers dispatch on this
+        (an unrecorded commit makes the generic diff scan BOTH
+        snapshots, at which point a one-scan full rebuild is strictly
+        less work)."""
+        for v in range(from_version + 1, to_version + 1):
+            if not isinstance(
+                self._raw_commit_meta(table, v).get(self.CDF_META_KEY), dict
+            ):
+                return False
+        return True
+
+    def window_insert_only(
+        self, table: str, from_version: int, to_version: int
+    ) -> bool:
+        """True when every commit in ``(from_version, to_version]``
+        recorded a change feed that PROVABLY contains no deletes —
+        'files' append commits and 'empty' commits. Driver-side commit
+        metadata only, no job: incremental consumers use it to skip
+        their retraction machinery (delta checkpoint + has-delete
+        probe) on insert-only windows."""
+        for v in range(from_version + 1, to_version + 1):
+            cdf = self._raw_commit_meta(table, v).get(self.CDF_META_KEY)
+            if not isinstance(cdf, dict) or cdf.get("type") not in (
+                "files",
+                "empty",
+            ):
+                return False
+        return True
 
     def _recorded_changes(self, table: str, version: int) -> DataFrame | None:
         """The change feed RECORDED by ``version``'s commit, or None when
@@ -741,6 +813,31 @@ class MetadataStore:
             recorded = self._recorded_changes(table, to_version)
             if recorded is not None:
                 return recorded
+        elif to_version > from_version + 1:
+            # multi-commit window with EVERY commit's feed recorded
+            # (r12): union the per-commit feeds and net-collapse across
+            # commits — an insert in one commit cancelled by a delete in
+            # a later one must vanish, exactly as the generic diff would
+            # report. Value-identical to the diff by induction (net of
+            # per-commit nets = net), at O(Σ|changes|) instead of two
+            # full snapshot scans; _commit_version is to_version on
+            # every row, matching the generic diff's labeling.
+            feeds = [
+                self._recorded_changes(table, v)
+                for v in range(from_version + 1, to_version + 1)
+            ]
+            if all(f is not None for f in feeds):
+                out = feeds[0]
+                for f in feeds[1:]:
+                    out = out.unionByName(f, allowMissingColumns=True)
+                cols = [
+                    c
+                    for c in out.columns
+                    if c not in ("_change_type", "_commit_version")
+                ]
+                return self._net_collapse(out, cols).withColumn(
+                    "_commit_version", F.lit(to_version)
+                )
         old = self.read(table, from_version).withColumn("__side", F.lit(-1))
         new = self.read(table, to_version).withColumn("__side", F.lit(1))
         both = old.unionByName(new, allowMissingColumns=True)

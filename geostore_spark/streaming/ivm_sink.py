@@ -277,19 +277,21 @@ def _register_query() -> None:
         "batch 0 loads every pre-1996 order, batch 1 updates all "
         "1-URGENT orders (cents + 7) and deletes every 5-LOW order — "
         "while an attached IncrementalAggView maintains per-priority "
-        "(count, cents sum, min/max cents) incrementally off the change "
-        "feed. The final view must equal a plain GROUP BY over the "
-        "mutated slice, which the oracle computes directly from raw "
-        "orders: identical rows prove the one-commit merge apply (the "
-        "update surfaces as delete+insert in the CDF, firing the "
-        "min/max recompute-on-retract; the whole-group delete drains "
-        "5-LOW's count to zero, which must REMOVE the view row, not "
-        "zero it). Generalizes the reference's mutating API surface "
+        "(count, cents sum, min/max cents) off the change feed. The "
+        "final view must equal a plain GROUP BY over the mutated slice, "
+        "which the oracle computes directly from raw orders: identical "
+        "rows prove the one-commit merge apply (the whole-group delete "
+        "drains 5-LOW's count to zero, which must REMOVE the view row, "
+        "not zero it). Generalizes the reference's mutating API surface "
         "(dataset delete geostore/datasets/delete.py:27-64, title "
         "update geostore/datasets/update.py) from one-row endpoint "
         "calls to a batched change stream. At 100 TB the merge probes "
-        "the target by key join and each refresh shuffles only the CDF "
-        "delta — per-batch cost tracks the CHANGES, never the table.",
+        "the target by key join; the refresh after a merge commit takes "
+        "the r12 cost dispatch — merge records no change feed, so a "
+        "one-scan view rebuild is strictly cheaper than the generic "
+        "two-snapshot diff (recorded-feed windows, e.g. the append/"
+        "delete churn in x_storage_ivm_refresh, keep the incremental "
+        "O(|changes|) fold and the min/max recompute-on-retract).",
         """SELECT o_orderpriority AS pr,
                   COUNT(*) AS n_rows,
                   CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)

@@ -37,7 +37,10 @@ def test_ivm_matches_recompute_through_churn(spark, store):
     assert _rows(view.read()) == _rows(view.recompute())
     assert view.refresh()["mode"] == "noop"
 
-    # churn 1: insert new key, delete a key entirely, update a value
+    # churn 1: insert new key, delete a key entirely, update a value.
+    # update_where records no change feed, so the refresh takes the
+    # r12 cost dispatch: a one-scan rebuild instead of the generic
+    # two-snapshot diff (strictly less work; same view invariant)
     store.append("facts", spark.createDataFrame([("d", 9)], "k string, cents long"))
     store.delete_where("facts", F.col("k") == "b")
     store.update_where(
@@ -45,7 +48,7 @@ def test_ivm_matches_recompute_through_churn(spark, store):
         {"cents": F.lit(150)},
     )
     s = view.refresh()
-    assert s["mode"] == "incremental"
+    assert s["mode"] == "rebuild"
     got = _rows(view.read())
     assert got == _rows(view.recompute())
     assert ("b", 1, 40) not in got  # drained key dropped

@@ -85,6 +85,12 @@ def test_random_churn_view_matches_recompute(spark, store):
             store.delete_where("rc", F.col("m").isNull() & _key_eq(F.col("k"), RNG.choice(KEYS)))
             store.append("rc", spark.createDataFrame(_rand_rows(RNG, 3), schema))
         s = view.refresh()
-        assert s["mode"] in ("incremental", "noop"), s
+        # update_where records no change feed -> the r12 cost dispatch
+        # rebuilds (one scan) instead of paying the two-snapshot generic
+        # diff; every other op records its feed and folds incrementally
+        # (the 'mixed' two-commit window rides the r12 multi-commit
+        # recorded-feed union in changes())
+        want_modes = {"rebuild"} if op == "update" else {"incremental", "noop"}
+        assert s["mode"] in want_modes, (op, s)
         got, want = _views_equal(view)
         assert got == want, f"divergence after step {step} ({op}): {got} != {want}"

@@ -104,3 +104,38 @@ def test_random_script_change_feed_is_the_multiset_diff(spark, store):
         )
         want = _expected_cdf(versions[a], versions[b])
         assert feed == want, f"CDF v{a}->v{b}: {sorted(feed.items())} != {sorted(want.items())}"
+
+
+def test_multi_commit_recorded_window_is_the_net_diff(spark, store):
+    """r12: a multi-commit window whose commits ALL recorded feeds is
+    served from the per-commit feed union, net-collapsed — an insert in
+    one commit cancelled by a delete in a later one must vanish, exactly
+    as the generic two-snapshot diff reports, and every row carries the
+    window-end _commit_version like the diff does."""
+    store.create("mc", spark.createDataFrame([("a", 1), ("b", 2)], SCHEMA))
+    store.append("mc", spark.createDataFrame([("c", 3), ("d", 4)], SCHEMA))
+    store.delete_where("mc", F.col("k") == "c")  # retracts v1's insert
+    store.append("mc", spark.createDataFrame([("e", 5)], SCHEMA))
+    rows = store.changes("mc", 0, 3).collect()
+    feed = Counter(((r["k"], r["v"]), r["_change_type"]) for r in rows)
+    assert feed == Counter(
+        {(("d", 4), "insert"): 1, (("e", 5), "insert"): 1}
+    )  # (c, 3) cancelled across commits
+    assert {r["_commit_version"] for r in rows} == {3}
+
+
+def test_window_provenance_probes(spark, store):
+    """r12 dispatch inputs: window_insert_only is True only over
+    provably delete-free recorded feeds (append/compact); any 'dir'
+    feed or unrecorded commit flips it. window_feeds_recorded is True
+    exactly when every commit in the window recorded a feed."""
+    store.create("wp", spark.createDataFrame([("a", 1), ("b", 2)], SCHEMA))
+    store.append("wp", spark.createDataFrame([("c", 3)], SCHEMA))   # v1 files
+    store.compact("wp", target_files=1)                             # v2 empty
+    store.delete_where("wp", F.col("k") == "a")                     # v3 dir
+    store.update_where("wp", F.col("k") == "b", {"v": F.lit(9)})    # v4 none
+    assert store.window_insert_only("wp", 0, 2)
+    assert not store.window_insert_only("wp", 0, 3)
+    assert store.window_feeds_recorded("wp", 0, 3)
+    assert not store.window_feeds_recorded("wp", 0, 4)
+    assert not store.window_feeds_recorded("wp", -1, 0)  # create: unrecorded
