@@ -928,19 +928,18 @@ def q_triangles(spark: SparkSession, sf: str) -> DataFrame:
     return triangle_counts_from_edges(edges)
 
 
-# Kernel-tier budget for the Arrow CSR wedge kernel (r12). The kernel
-# holds the whole oriented adjacency (dst array + group offsets) plus
-# the sorted packed closing set as numpy state — ~24 B/edge — but
-# unlike a JVM hashed relation each PYTHON WORKER unpickles its own
-# copy: 16 M edges x 24 B x 32 local workers ≈ 12 GB per host, the
-# practical ceiling in this 128 GiB box (on a cluster the per-executor
-# copy count is executor cores, same math). The driver-side prep
-# (orientation + lexsort) is O(|E| log |E|) single-threaded — measured
-# ~0.3 s at 1.2 M edges (sf0.1) and ~4 s at 12 M (sf1), amortized by
-# the kernel's win over the broadcast-fusion join tier (sf1 wedge
-# stage: 71.6 s fused vs ~7 s kernel). Past the budget the join tiers
-# below take over.
-TRIANGLE_KERNEL_MAX_EDGES = 16_000_000
+# Kernel-tier budget for the Arrow CSR wedge kernel (r12), pinned by a
+# MEASURED crossover against the broadcast-fusion join tier
+# (interleaved medians, old tier forced via kernel_max_edges=0):
+#   1.2 M edges (sf0.1):  join 8.14 s  vs kernel 4.03 s  — kernel 2x
+#   3.6 M edges (sf0.3):  join 11.2 s  vs kernel 8.2 s   — kernel wins
+#   12 M edges  (sf1):    join 24.8 s  vs kernel 30.0 s  — kernel loses
+# The loss above ~10 M edges is the O(|E| log |E|) single-threaded
+# driver prep (packed-key argsort + closing sort) plus the per-PYTHON-
+# WORKER broadcast copy (~24 B/edge x n_cores — a JVM hashed relation
+# is one copy per executor). 6 M sits on the winning side of the
+# crossover with margin; past it the join tiers below take over.
+TRIANGLE_KERNEL_MAX_EDGES = 6_000_000
 # Broadcast budget for the triangle wedge/closure fusion. The fusion
 # holds TWO broadcasts at once — the oriented (src, dst, dst_d) wedge
 # side keyed by src and the packed-key closing probe — worst-case
@@ -993,18 +992,38 @@ def _triangle_csr_kernel_counts(edges: DataFrame, n_edges: int) -> DataFrame:
     u = pdf["u"].to_numpy(dtype=np.int64)
     v = pdf["v"].to_numpy(dtype=np.int64)
     # vectorized degree + Schank-Wagner orientation: edge points from
-    # its (degree, id)-smaller endpoint
-    nodes, inv = np.unique(np.concatenate((u, v)), return_inverse=True)
-    deg = np.bincount(inv).astype(np.int64)
-    du, dv = deg[inv[: len(u)]], deg[inv[len(u):]]
+    # its (degree, id)-smaller endpoint. Degrees via a DENSE bincount
+    # on raw ids when the id space is compact (the pagerank kernel's
+    # dense/sparse dispatch) — the np.unique factorization fallback
+    # sorts 2|E| values and was the top slice of the driver prep
+    # (measured sf1, 12 M edges: unique ~5 s vs bincount ~0.3 s).
+    max_id = int(max(u.max(), v.max()))
+    if max_id <= 4 * n_edges:
+        deg_arr = np.bincount(u, minlength=max_id + 1) + np.bincount(
+            v, minlength=max_id + 1
+        )
+        du, dv = deg_arr[u], deg_arr[v]
+    else:
+        nodes, inv = np.unique(np.concatenate((u, v)), return_inverse=True)
+        deg = np.bincount(inv).astype(np.int64)
+        du, dv = deg[inv[: len(u)]], deg[inv[len(u):]]
     u_first = (du < dv) | ((du == dv) & (u < v))
     src = np.where(u_first, u, v)
     dst = np.where(u_first, v, u)
     dst_d = np.where(u_first, dv, du)
     # CSR sorted by (src, dst_d, dst): within a src group, index order
     # IS the (dst_d, dst) wedge orientation order, so i<j pairs
-    # enumerate exactly the ordered wedges of the join tiers
-    order = np.lexsort((dst, dst_d, src))
+    # enumerate exactly the ordered wedges of the join tiers. One
+    # packed-key argsort when (2 x id bits + degree bits) fit 63 —
+    # (src, dst) is unique so the packed key is a total order — vs the
+    # 3-key lexsort fallback (3 stable sorts; measured sf1: ~11 s
+    # lexsort vs ~1.5 s packed argsort).
+    bi = max_id.bit_length()
+    bd = int(dst_d.max()).bit_length()
+    if 2 * bi + bd <= 63:
+        order = np.argsort((src << (bd + bi)) | (dst_d << bi) | dst)
+    else:
+        order = np.lexsort((dst, dst_d, src))
     src, dst = src[order], dst[order]
     closing = np.sort(src * (1 << 32) + dst)  # packed (src,dst) probe set
     change = np.flatnonzero(src[1:] != src[:-1]) + 1
@@ -1215,6 +1234,17 @@ def triangle_counts_from_edges(
 KCORE_K = 25
 KCORE_ROUNDS = 3
 
+# Budget for the LOCAL graph kernels (k-core peel, BFS layers): at or
+# under it the supply-pair edge list collects once (~16 B/edge — the
+# same driver-memory class as the triangle kernel's closing broadcast
+# and the store's broadcast joins) and the whole fixed-round loop runs
+# as vectorized numpy on the driver — each round is O(|E|) bincount /
+# boolean-mask work, milliseconds at any budget-sized |E|, replacing
+# per-round degree exchanges + broadcast probes + count() job launches
+# whose FIXED cost dominates these aggregate-output queries. Past the
+# budget the distributed loops below are unchanged (the 100 TB path).
+GRAPH_LOCAL_KERNEL_MAX_EDGES = 16_000_000
+
 
 def _kcore_oracle() -> str:
     """Unrolled CTE mirror of the fixed-round peel below."""
@@ -1271,15 +1301,64 @@ def _kcore_oracle() -> str:
     "round's count() recomputes only the base scan plus broadcast "
     "probes — no shuffle, no per-round |E|-row checkpoint write; the "
     "result assembles from collected scalars (constant-size driver "
-    "state).",
+    "state). At or under the local-kernel budget the whole fixed-round "
+    "peel instead runs vectorized over one collect of the pinned "
+    "scaffold (bincount degrees + boolean masks) — value-identical "
+    "integer counts, none of the per-round job launches.",
     _kcore_oracle(),
 )
 def q_kcore(
-    spark: SparkSession, sf: str, broadcast_max_nodes: int = 8_000_000
+    spark: SparkSession,
+    sf: str,
+    broadcast_max_nodes: int = 8_000_000,
+    kernel_max_edges: int = GRAPH_LOCAL_KERNEL_MAX_EDGES,
 ) -> DataFrame:
-    edges = shared_supply_pairs(spark, sf).select(
-        F.col("src").alias("u"), F.col("dst").alias("v")
+    pairs = shared_supply_pairs(spark, sf)
+    n_pairs = shared_supply_pairs_count(spark, sf)
+    log_event(
+        LOG_MESSAGE_STRATEGY_DISPATCH,
+        stage="kcore_peel",
+        n_edges=n_pairs,
+        strategy=(
+            "local_numpy_kernel"
+            if 0 < n_pairs <= kernel_max_edges
+            else "distributed_rounds"
+        ),
     )
+    if 0 < n_pairs <= kernel_max_edges:
+        # kernel tier (see GRAPH_LOCAL_KERNEL_MAX_EDGES): one collect of
+        # the pinned scaffold, then the identical peel vectorized —
+        # bincount degrees, boolean keep mask, edge-alive mask; exact
+        # integer counts, so the tiers are value-identical by
+        # construction (pinned by test_kcore_kernel_matches_distributed)
+        import numpy as np
+
+        pdf = pairs.select("src", "dst").toPandas()
+        u = pdf["src"].to_numpy(dtype=np.int64)
+        v = pdf["dst"].to_numpy(dtype=np.int64)
+        # supply-graph ids are dense by construction (partkey*2 /
+        # suppkey*2+1) so the masks index raw ids directly; the
+        # np.unique factorization fallback covers sparse relabelings
+        max_id = int(max(u.max(), v.max()))
+        if max_id > 4 * n_pairs:
+            nodes, inv = np.unique(np.concatenate((u, v)), return_inverse=True)
+            ui, vi = inv[: len(u)], inv[len(u):]
+            width = len(nodes)
+        else:
+            ui, vi, width = u, v, max_id + 1
+        alive = np.ones(len(u), dtype=bool)
+        rows = []
+        for rnd in range(1, KCORE_ROUNDS + 1):
+            deg = np.bincount(
+                np.concatenate((ui[alive], vi[alive])), minlength=width
+            )
+            keep = deg >= KCORE_K
+            alive &= keep[ui] & keep[vi]
+            rows.append((rnd, int(np.count_nonzero(keep)), int(np.count_nonzero(alive))))
+        return spark.createDataFrame(
+            rows, "round int, n_nodes long, n_edges long"
+        ).orderBy("round")
+    edges = pairs.select(F.col("src").alias("u"), F.col("dst").alias("v"))
     stats = []
     for rnd in range(1, KCORE_ROUNDS + 1):
         # ONE edge scan feeds the degree count (explode, not a UNION of
@@ -1360,11 +1439,72 @@ def _bfs_oracle() -> str:
     "(frontier is the SMALL side — broadcast), minus already-visited "
     "via anti-join; visited and frontier sets are |V|-bounded and "
     "checkpointed so round r never replays rounds 0..r-1. Output is "
-    "the depth-layer size profile (exact integers).",
+    "the depth-layer size profile (exact integers). At or under the "
+    "local-kernel budget the expansion instead runs as boolean masks "
+    "over one collect of the pinned scaffold — value-identical counts, "
+    "none of the per-round join/count job launches.",
     _bfs_oracle(),
 )
-def q_bfs_layers(spark: SparkSession, sf: str) -> DataFrame:
+def q_bfs_layers(
+    spark: SparkSession,
+    sf: str,
+    kernel_max_edges: int = GRAPH_LOCAL_KERNEL_MAX_EDGES,
+) -> DataFrame:
     pairs = shared_supply_pairs(spark, sf)
+    n_pairs = shared_supply_pairs_count(spark, sf)
+    log_event(
+        LOG_MESSAGE_STRATEGY_DISPATCH,
+        stage="bfs_layers",
+        n_edges=n_pairs,
+        strategy=(
+            "local_numpy_kernel"
+            if 0 < n_pairs <= kernel_max_edges
+            else "distributed_rounds"
+        ),
+    )
+    if 0 < n_pairs <= kernel_max_edges:
+        # kernel tier (see GRAPH_LOCAL_KERNEL_MAX_EDGES): collect the
+        # pinned scaffold once and run the identical frontier expansion
+        # as boolean masks over compressed node ids — per round one
+        # fancy-index gather over the 2|E| symmetric adjacency, minus
+        # visited; exact integer layer sizes (pinned by
+        # test_bfs_kernel_matches_distributed)
+        import numpy as np
+
+        pdf = pairs.select("src", "dst").toPandas()
+        u = pdf["src"].to_numpy(dtype=np.int64)
+        v = pdf["dst"].to_numpy(dtype=np.int64)
+        # dense raw-id masks when the id space is compact (supply-graph
+        # ids are), np.unique factorization otherwise — same dispatch
+        # as the k-core kernel above
+        max_id = int(max(u.max(), v.max()))
+        if max_id > 4 * n_pairs:
+            nodes, inv = np.unique(np.concatenate((u, v)), return_inverse=True)
+            a = np.concatenate((inv[: len(u)], inv[len(u):]))
+            b = np.concatenate((inv[len(u):], inv[: len(u)]))
+            width = len(nodes)
+            seed_idx = np.searchsorted(
+                nodes, np.unique(v[v < 2 * BFS_SEED_MAX + 1])
+            )
+        else:
+            a = np.concatenate((u, v))
+            b = np.concatenate((v, u))
+            width = max_id + 1
+            seed_idx = np.unique(v[v < 2 * BFS_SEED_MAX + 1])
+        frontier = np.zeros(width, dtype=bool)
+        frontier[seed_idx] = True
+        visited = frontier.copy()
+        rows = [(0, int(np.count_nonzero(frontier)))]
+        for depth in range(1, BFS_ROUNDS + 1):
+            nxt = np.zeros(width, dtype=bool)
+            nxt[b[frontier[a]]] = True
+            nxt &= ~visited
+            rows.append((depth, int(np.count_nonzero(nxt))))
+            visited |= nxt
+            frontier = nxt
+        return spark.createDataFrame(
+            rows, "depth int, n_nodes long"
+        ).orderBy("depth")
     sym = symmetrize(pairs).select(
         F.col("src").alias("u"), F.col("dst").alias("v")
     )

@@ -339,3 +339,33 @@ def test_pagerank_scaffold_pin_budget_falls_back(spark, monkeypatch):
         assert not any(
             "supply_sym_dst" in k for k in util._SESSION_CKPT if k[0] == app
         )
+
+
+def test_kcore_kernel_matches_distributed(spark):
+    """r12 two-tier dispatch: the local numpy peel and the distributed
+    per-round loop must produce identical (round, n_nodes, n_edges)
+    rows — forced both ways on the same fixture graph."""
+    from geostore_spark.operators.graph import q_kcore
+
+    sf = "/root/testdata/sf0.01"
+    kernel = sorted(tuple(r) for r in q_kcore(spark, sf).collect())
+    dist = sorted(
+        tuple(r) for r in q_kcore(spark, sf, kernel_max_edges=0).collect()
+    )
+    assert kernel == dist
+    assert len(kernel) == 3
+
+
+def test_bfs_kernel_matches_distributed(spark):
+    """Same tier-equality pin for the BFS layer profile."""
+    from geostore_spark.operators.graph import q_bfs_layers
+
+    sf = "/root/testdata/sf0.01"
+    kernel = sorted(tuple(r) for r in q_bfs_layers(spark, sf).collect())
+    dist = sorted(
+        tuple(r)
+        for r in q_bfs_layers(spark, sf, kernel_max_edges=0).collect()
+    )
+    assert kernel == dist
+    assert len(kernel) == 4
+    assert kernel[0][1] > 0  # seeds exist at this SF
