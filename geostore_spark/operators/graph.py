@@ -25,7 +25,7 @@ from geostore_spark.logging_keys import LOG_MESSAGE_STRATEGY_DISPATCH, log_event
 from geostore_spark.operators.dedup import simhash_pairs, simhash_pairs_ctes
 from geostore_spark.registry import register
 from geostore_spark.sources.tables import load_table
-from geostore_spark.operators.util import pin_branch_point
+from geostore_spark.operators.util import local_rows_df, pin_branch_point
 
 
 def _local_union_find(sym: DataFrame) -> DataFrame:
@@ -1355,8 +1355,8 @@ def q_kcore(
             keep = deg >= KCORE_K
             alive &= keep[ui] & keep[vi]
             rows.append((rnd, int(np.count_nonzero(keep)), int(np.count_nonzero(alive))))
-        return spark.createDataFrame(
-            rows, "round int, n_nodes long, n_edges long"
+        return local_rows_df(
+            spark, rows, "round int, n_nodes long, n_edges long"
         ).orderBy("round")
     edges = pairs.select(F.col("src").alias("u"), F.col("dst").alias("v"))
     stats = []
@@ -1502,8 +1502,8 @@ def q_bfs_layers(
             rows.append((depth, int(np.count_nonzero(nxt))))
             visited |= nxt
             frontier = nxt
-        return spark.createDataFrame(
-            rows, "depth int, n_nodes long"
+        return local_rows_df(
+            spark, rows, "depth int, n_nodes long"
         ).orderBy("depth")
     sym = symmetrize(pairs).select(
         F.col("src").alias("u"), F.col("dst").alias("v")

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from geostore_spark.operators.dedup import _duck_md5_32, _md5_32
 from geostore_spark.registry import register
 from geostore_spark.sources.tables import load_table, load_table_for_compute
-from geostore_spark.operators.util import pin_branch_point
+from geostore_spark.operators.util import local_rows_df, pin_branch_point
 
 SEED = "geostore-sample-v1"
 BUCKETS = 10_000
@@ -137,7 +137,9 @@ def token_budget_sample(
         if prior < budget:
             rules.append((r["lang"], r["bucket"], prior))
         acc[r["lang"]] = prior + r["btoks"]
-    rules_df = spark.createDataFrame(rules, "lang string, bucket int, base_acc long")
+    rules_df = local_rows_df(
+        spark, rules, "lang string, bucket int, base_acc long"
+    )
 
     from pyspark.sql import Window
 
@@ -314,8 +316,8 @@ def q_mix_rebalance(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(F.split(F.col("text"), " "))).cast("bigint").alias("n_tokens"),
     )
-    w = docs.sparkSession.createDataFrame(
-        list(MIX_WEIGHTS.items()), "lang string, weight double"
+    w = local_rows_df(
+        docs.sparkSession, list(MIX_WEIGHTS.items()), "lang string, weight double"
     )
     iw = inv.join(F.broadcast(w), "lang")
     budget = iw.agg(F.min(F.col("n_tokens") / F.col("weight")).alias("t"))

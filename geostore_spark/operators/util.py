@@ -274,6 +274,38 @@ def session_scalar(spark: SparkSession, key: tuple, build: Callable[[], object])
         return val
 
 
+def local_rows_df(spark: SparkSession, rows, schema_ddl: str) -> DataFrame:
+    """``createDataFrame`` for small driver-side row lists via the
+    pandas/Arrow branch. The plain list branch runs per-row schema
+    verification + Java conversion whose FIRST call in a session costs
+    ~1.4 s and ~0.3 s warm (measured r12 — it was the single biggest
+    slice of the graph kernels' cold bench rows); the Arrow branch is
+    ~0.1 s cold. Handles the flat int/long/double/string DDL subset the
+    kernel-result and rule-table sites use, falling back to the list
+    branch for anything richer."""
+    import pandas as pd
+
+    dtypes = {
+        "int": "int32",
+        "integer": "int32",
+        "long": "int64",
+        "bigint": "int64",
+        "double": "float64",
+        "string": "object",
+    }
+    try:
+        cols = []
+        for field in schema_ddl.split(","):
+            name, typ = field.strip().split()
+            cols.append((name, dtypes[typ.lower()]))
+    except (KeyError, ValueError):
+        return spark.createDataFrame(rows, schema_ddl)
+    pdf = pd.DataFrame(list(rows), columns=[c for c, _ in cols])
+    for c, dt in cols:
+        pdf[c] = pdf[c].astype(dt)
+    return spark.createDataFrame(pdf)
+
+
 def rebalance_for_python(
     df: DataFrame, keys: list[str] | None = None
 ) -> DataFrame:
