@@ -543,13 +543,21 @@ def test_bloom_bitmap_build_is_executor_side(spark):
 
 def test_kcore_rounds_reuse_checkpointed_edges(spark):
     plan = _plan(spark, "x_graph_kcore")
-    # the scaffold edge list and each round's keep set are pinned
-    # (ExistingRDD): the lineitem scan + distinct must not be re-derived
-    # once per round. The PEELED edge chain itself stays lazy since r11
-    # (recompute = broadcast probes over those pins; re-pinning paid an
-    # |E| checkpoint write per round — sf1 paired medians 5.63 -> 4.03 s)
-    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan
-    assert "CartesianProduct" not in plan
+    # at fixture size the r12 local kernel answers from one collect of
+    # the pinned scaffold: the returned plan is a local result table,
+    # no joins, no cartesian
+    assert "LocalTableScan" in plan or "ExistingRDD" in plan
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    # the distributed tier (forced) keeps the r11 shape: the scaffold
+    # edge list and each round's keep set are pinned (ExistingRDD) so
+    # the lineitem scan + distinct is never re-derived per round, and
+    # the PEELED chain stays lazy over those pins
+    from geostore_spark.operators.graph import q_kcore
+
+    dist = q_kcore(spark, SF, kernel_max_edges=0)
+    dplan = dist._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in dplan or "Scan ExistingRDD" in dplan
+    assert "CartesianProduct" not in dplan
 
 
 def test_ewma_is_bounded_window_not_self_join(spark):
@@ -706,11 +714,20 @@ def test_chunk_windows_expansion_is_zero_shuffle(spark):
 
 def test_bfs_rounds_are_checkpointed(spark):
     plan = _plan(spark, "x_graph_bfs_layers")
-    # each round's frontier/visited materializes at build (checkpoint),
-    # so the returned plan is a union of counts over cached layers —
-    # round r never replays rounds 0..r-1's joins at execution
-    assert "ExistingRDD" in plan
+    # at fixture size the r12 local kernel answers from one collect of
+    # the pinned scaffold — a local result table, no joins
+    assert "LocalTableScan" in plan or "ExistingRDD" in plan
     assert "Join" not in plan and "CartesianProduct" not in plan
+    # distributed tier (forced): each round's frontier/visited
+    # materializes at build (checkpoint), so the returned plan is a
+    # union of counts over cached layers — round r never replays rounds
+    # 0..r-1's joins at execution
+    from geostore_spark.operators.graph import q_bfs_layers
+
+    dist = q_bfs_layers(spark, SF, kernel_max_edges=0)
+    dplan = dist._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in dplan
+    assert "Join" not in dplan and "CartesianProduct" not in dplan
 
 
 def test_gapfill_spine_is_generate_no_calendar_dim(spark):
