@@ -75,6 +75,17 @@ def main() -> None:
     spark.range(64).repartition(int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))).mapInPandas(
         lambda it: it, "id long"
     ).collect()
+    # One-row string-intrinsic warmup (r12, same JVM-startup intent as the
+    # lines above): the FIRST upper()/lower() evaluation in a session loads
+    # the JVM's Unicode case-mapping state — measured 1.27 s for a 1-ROW
+    # call, billed to whichever query alphabetically first uses them
+    # (f11_title_case read 2.05 s cold vs 0.39 s steady). Session init,
+    # not query work; r12 rows before this fix are in OPTIMIZATION_r12.md.
+    from pyspark.sql import functions as F
+
+    spark.range(1).select(
+        F.upper(F.lit("a")).alias("u"), F.lower(F.lit("A")).alias("l")
+    ).collect()
 
     # Labeled shared-scaffold phase: the session-shared intermediates
     # (supply-pair edge list, daily rollup, k-means assignment, bloom
