@@ -55,21 +55,24 @@ def register(key: str, doc: str, oracle: str | None):
 # enumerates last. Purely an enumeration-order hint — every query stays
 # registered and locally oracle-tested either way.
 _NEVER_DRIVER_SAMPLED = (
-    # -- 1: plans / protocols changed in round 12
-    "x_graph_triangles", "x_storage_cdc_apply", "x_storage_ivm_refresh",
+    # -- 1: plans / protocols changed in round 12 (triangles CSR kernel;
+    #       kcore/bfs local kernels; IVM rebuild dispatch + multi-commit
+    #       feed union; layout-write itemization; Arrow local-row tables
+    #       in token_budget / mix_rebalance)
+    "x_graph_triangles", "x_graph_kcore", "x_graph_bfs_layers",
+    "x_storage_cdc_apply", "x_storage_ivm_refresh",
     "x_storage_bucketed_join", "x_storage_partition_prune",
+    "x_sample_token_budget", "x_pipeline_mix_rebalance",
     "x_pipeline_training_set", "x_orders_backlog",
     # -- 2a: r11 rewrites with no r11 driver row (changed accumulators /
     #        plan shapes: limb sums, quantize_signed, lazy peel chains)
     "x_stats_zscore", "x_stats_profile", "x_stats_winsorize",
     "x_stats_gini", "x_stats_skew_kurtosis", "x_win_ntile_quartiles",
     "x_emb_gram", "x_emb_fisher_ratio",
-    "x_graph_kcore", "x_graph_bfs_layers",
     # -- 2b: r11 quantize-sweep consumers that overflowed the r11 prefix
     "x_orders_rfm", "x_part_abc_pareto", "x_stats_corr", "x_stats_hhi",
     "x_stats_bootstrap_ci", "x_stats_mann_whitney", "x_win_pct_change",
     "x_orders_active_intervals", "x_join_bloom_semi", "x_win_first_last",
-    "x_pipeline_mix_rebalance",
     "x_mm_wav_windows", "x_mm_bmp_histogram", "x_mm_png_decode",
     # -- 3: r11-changed plans that DID get an r11 row — re-rowed last
     #       (lowest risk, kept inside the prefix for two-round coverage)
