@@ -960,7 +960,32 @@ TRIANGLE_BROADCAST_MAX_EDGES = 16_000_000
 TRIANGLE_CLOSING_BROADCAST_MAX_EDGES = 40_000_000
 
 
-def _triangle_csr_kernel_counts(edges: DataFrame, n_edges: int) -> DataFrame:
+def _compact_ids(u, v):
+    """(ui, vi, width): edge endpoints as DENSE int64 indices — the raw
+    ids themselves when the id space is already compact (max_id <=
+    4|E|), else an np.unique factorization. The factorization is
+    order-ISOMORPHIC (np.unique sorts), so id comparisons — and with
+    them the (degree, id) orientation tie-breaks — are preserved, and
+    every returned index is < max(4|E|+1, 2|E|) < 2^32 at any kernel
+    budget, which is what makes the packed-key arithmetic downstream
+    (closing-set keys, single-sort orientation keys) collision-free
+    even on raw id spaces wider than 32 bits (r12 review item). Shared
+    by the triangle/kcore/bfs local kernels."""
+    import numpy as np
+
+    n = len(u)
+    max_id = int(max(u.max(), v.max())) if n else 0
+    if max_id <= 4 * n:
+        return u, v, max_id + 1
+    nodes, inv = np.unique(np.concatenate((u, v)), return_inverse=True)
+    return (
+        inv[:n].astype(np.int64),
+        inv[n:].astype(np.int64),
+        len(nodes),
+    )
+
+
+def _triangle_csr_kernel_counts(edges: DataFrame) -> DataFrame:
     """Kernel tier of the triangle dispatch: orientation, wedge
     generation AND closure probing over a driver-prepped CSR, sharded
     by wedge count so every core runs an equal slice of the probe.
@@ -991,22 +1016,22 @@ def _triangle_csr_kernel_counts(edges: DataFrame, n_edges: int) -> DataFrame:
     pdf = edges.select("u", "v").toPandas()
     u = pdf["u"].to_numpy(dtype=np.int64)
     v = pdf["v"].to_numpy(dtype=np.int64)
-    # vectorized degree + Schank-Wagner orientation: edge points from
-    # its (degree, id)-smaller endpoint. Degrees via a DENSE bincount
-    # on raw ids when the id space is compact (the pagerank kernel's
-    # dense/sparse dispatch) — the np.unique factorization fallback
-    # sorts 2|E| values and was the top slice of the driver prep
-    # (measured sf1, 12 M edges: unique ~5 s vs bincount ~0.3 s).
-    max_id = int(max(u.max(), v.max()))
-    if max_id <= 4 * n_edges:
-        deg_arr = np.bincount(u, minlength=max_id + 1) + np.bincount(
-            v, minlength=max_id + 1
-        )
-        du, dv = deg_arr[u], deg_arr[v]
-    else:
-        nodes, inv = np.unique(np.concatenate((u, v)), return_inverse=True)
-        deg = np.bincount(inv).astype(np.int64)
-        du, dv = deg[inv[: len(u)]], deg[inv[len(u):]]
+    # everything downstream trusts the COLLECTED arrays, not the
+    # caller's dispatch count (r12 review: a non-pinned nondeterministic
+    # edge plan could disagree between the count job and this collect)
+    n = len(u)
+    # dense indices (see _compact_ids): degrees become one bincount —
+    # the np.unique fallback's 2|E| sort was the top slice of the sf1
+    # driver prep (~5 s vs ~0.3 s) — and every index stays < 2^32, so
+    # the packed keys below cannot collide on wide raw id spaces
+    u, v, width = _compact_ids(u, v)
+    deg_arr = np.bincount(u, minlength=width) + np.bincount(
+        v, minlength=width
+    )
+    du, dv = deg_arr[u], deg_arr[v]
+    # vectorized Schank-Wagner orientation: edge points from its
+    # (degree, id)-smaller endpoint (compaction is order-isomorphic, so
+    # the id tie-break picks the same edges)
     u_first = (du < dv) | ((du == dv) & (u < v))
     src = np.where(u_first, u, v)
     dst = np.where(u_first, v, u)
@@ -1018,7 +1043,7 @@ def _triangle_csr_kernel_counts(edges: DataFrame, n_edges: int) -> DataFrame:
     # (src, dst) is unique so the packed key is a total order — vs the
     # 3-key lexsort fallback (3 stable sorts; measured sf1: ~11 s
     # lexsort vs ~1.5 s packed argsort).
-    bi = max_id.bit_length()
+    bi = int(width - 1).bit_length()
     bd = int(dst_d.max()).bit_length()
     if 2 * bi + bd <= 63:
         order = np.argsort((src << (bd + bi)) | (dst_d << bi) | dst)
@@ -1028,7 +1053,7 @@ def _triangle_csr_kernel_counts(edges: DataFrame, n_edges: int) -> DataFrame:
     closing = np.sort(src * (1 << 32) + dst)  # packed (src,dst) probe set
     change = np.flatnonzero(src[1:] != src[:-1]) + 1
     g_start = np.concatenate(([0], change)).astype(np.int64)
-    g_end = np.concatenate((change, [n_edges])).astype(np.int64)
+    g_end = np.concatenate((change, [n])).astype(np.int64)
     sizes = g_end - g_start
     cumw = np.concatenate(([0], np.cumsum(sizes * (sizes - 1) // 2)))
     n_wedges = int(cumw[-1])
@@ -1096,7 +1121,7 @@ def _triangle_csr_kernel_counts(edges: DataFrame, n_edges: int) -> DataFrame:
     return parts.agg(
         F.sum("t").cast("bigint").alias("n_triangles")
     ).select(
-        F.lit(n_edges).cast("bigint").alias("n_edges"),
+        F.lit(n).cast("bigint").alias("n_edges"),
         F.lit(n_wedges).cast("bigint").alias("n_wedges"),
         "n_triangles",
     )
@@ -1136,7 +1161,7 @@ def triangle_counts_from_edges(
         ),
     )
     if 0 < n_edges <= kernel_max_edges:
-        return _triangle_csr_kernel_counts(edges, n_edges)
+        return _triangle_csr_kernel_counts(edges)
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
@@ -1337,15 +1362,9 @@ def q_kcore(
         u = pdf["src"].to_numpy(dtype=np.int64)
         v = pdf["dst"].to_numpy(dtype=np.int64)
         # supply-graph ids are dense by construction (partkey*2 /
-        # suppkey*2+1) so the masks index raw ids directly; the
-        # np.unique factorization fallback covers sparse relabelings
-        max_id = int(max(u.max(), v.max()))
-        if max_id > 4 * n_pairs:
-            nodes, inv = np.unique(np.concatenate((u, v)), return_inverse=True)
-            ui, vi = inv[: len(u)], inv[len(u):]
-            width = len(nodes)
-        else:
-            ui, vi, width = u, v, max_id + 1
+        # suppkey*2+1) so _compact_ids keeps the raw ids; the np.unique
+        # factorization path covers sparse relabelings
+        ui, vi, width = _compact_ids(u, v)
         alive = np.ones(len(u), dtype=bool)
         rows = []
         for rnd in range(1, KCORE_ROUNDS + 1):
@@ -1474,23 +1493,13 @@ def q_bfs_layers(
         pdf = pairs.select("src", "dst").toPandas()
         u = pdf["src"].to_numpy(dtype=np.int64)
         v = pdf["dst"].to_numpy(dtype=np.int64)
-        # dense raw-id masks when the id space is compact (supply-graph
-        # ids are), np.unique factorization otherwise — same dispatch
-        # as the k-core kernel above
-        max_id = int(max(u.max(), v.max()))
-        if max_id > 4 * n_pairs:
-            nodes, inv = np.unique(np.concatenate((u, v)), return_inverse=True)
-            a = np.concatenate((inv[: len(u)], inv[len(u):]))
-            b = np.concatenate((inv[len(u):], inv[: len(u)]))
-            width = len(nodes)
-            seed_idx = np.searchsorted(
-                nodes, np.unique(v[v < 2 * BFS_SEED_MAX + 1])
-            )
-        else:
-            a = np.concatenate((u, v))
-            b = np.concatenate((v, u))
-            width = max_id + 1
-            seed_idx = np.unique(v[v < 2 * BFS_SEED_MAX + 1])
+        # same dense/sparse index dispatch as the k-core kernel; the
+        # seed predicate evaluates on the RAW dst values, then maps to
+        # compact indices through the compacted edge array itself
+        ui, vi, width = _compact_ids(u, v)
+        a = np.concatenate((ui, vi))
+        b = np.concatenate((vi, ui))
+        seed_idx = np.unique(vi[v < 2 * BFS_SEED_MAX + 1])
         frontier = np.zeros(width, dtype=bool)
         frontier[seed_idx] = True
         visited = frontier.copy()

@@ -303,7 +303,10 @@ def local_rows_df(spark: SparkSession, rows, schema_ddl: str) -> DataFrame:
     pdf = pd.DataFrame(list(rows), columns=[c for c, _ in cols])
     for c, dt in cols:
         pdf[c] = pdf[c].astype(dt)
-    return spark.createDataFrame(pdf)
+    # the DDL rides along explicitly: createDataFrame(pdf) alone raises
+    # CANNOT_INFER_EMPTY_SCHEMA on a zero-row frame (r12 review), where
+    # the list branch this replaces returned an empty typed frame
+    return spark.createDataFrame(pdf, schema=schema_ddl)
 
 
 def rebalance_for_python(

@@ -88,10 +88,11 @@ _NEVER_DRIVER_SAMPLED = (
 def all_queries() -> dict[str, RegisteredQuery]:
     """Import every contributing module, then return the registry.
 
-    Enumeration order: the round-11 priority prefix first (see
-    _NEVER_DRIVER_SAMPLED — changed plans, then the rebalance-touched
-    refresh), then any new queries added this round, then the 220 keys
-    the driver already verified green in rounds 1-10.
+    Enumeration order: the round-12 priority prefix first (see
+    _NEVER_DRIVER_SAMPLED — this round's changed plans/protocols, then
+    the round-11 rewrites still awaiting a driver row), then any new
+    queries added this round, then the 220 keys the driver already
+    verified green in rounds 1-11.
     """
     # Imports are effectful: each module registers its queries on import.
     from geostore_spark.operators import (  # noqa: F401

@@ -198,3 +198,23 @@ def test_limb_sum_grouped_matches_per_group_python_sum(spark):
     for k, v in rows:
         want[k] = want.get(k, 0) + v
     assert got == want
+
+
+def test_local_rows_df_handles_empty_and_typed_rows(spark):
+    """r12 review: the Arrow branch must return an empty TYPED frame on
+    zero rows (createDataFrame(pdf) alone raises
+    CANNOT_INFER_EMPTY_SCHEMA), and round-trip values/dtypes like the
+    list branch it replaces."""
+    from geostore_spark.operators.util import local_rows_df
+
+    empty = local_rows_df(spark, [], "lang string, bucket int, acc long")
+    assert empty.count() == 0
+    assert [f.simpleString() for f in empty.schema.fields] == [
+        "lang:string", "bucket:int", "acc:bigint"
+    ]
+    rows = [("en", 3, 1 << 40), ("de", 0, 0)]
+    got = local_rows_df(spark, rows, "lang string, bucket int, acc long")
+    assert sorted(tuple(r) for r in got.collect()) == sorted(rows)
+    # richer DDL falls back to the list branch
+    m = local_rows_df(spark, [([1, 2],)], "xs array<int>")
+    assert m.collect()[0]["xs"] == [1, 2]

@@ -369,3 +369,26 @@ def test_bfs_kernel_matches_distributed(spark):
     assert kernel == dist
     assert len(kernel) == 4
     assert kernel[0][1] > 0  # seeds exist at this SF
+
+
+def test_triangle_kernel_wide_ids_no_packed_key_collision(spark):
+    """r12 review: raw node ids >= 2^32 could alias in the packed
+    closing key (src*2^32+dst) and overcount triangles. The kernel now
+    compacts ids first (_compact_ids), so this triangle-free graph —
+    constructed so a wedge's packed key collides with an oriented
+    edge's under raw-id packing — must count zero, matching the
+    sort-merge tier (which shuffles on the raw columns and has no
+    packing at its join keys' width here)."""
+    W = 1 << 32
+    edges_rows = [
+        (0, 6), (0, W + 9), (6, W + 50), (W + 9, W + 60),
+        (7, 9), (7, W + 70), (9, W + 80), (9, W + 90),
+    ]
+    from geostore_spark.operators.graph import triangle_counts_from_edges
+
+    edges = spark.createDataFrame(
+        edges_rows, "u long, v long"
+    ).localCheckpoint()
+    kernel = triangle_counts_from_edges(edges).collect()[0]
+    assert kernel["n_triangles"] == 0
+    assert kernel["n_edges"] == len(edges_rows)
